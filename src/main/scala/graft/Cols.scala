@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared by operators.
+  *
+  * Money math policy (oracle parity at any scale): cast parquet doubles to
+  * DECIMAL(18,2) before arithmetic so sums are exact and independent of
+  * partitioning / summation order, then cast the final aggregate back to
+  * DOUBLE (a deterministic conversion) for output. This keeps results
+  * bit-identical between a 32-thread local run, a 1000-executor cluster,
+  * and the DuckDB oracle.
+  */
+object Cols {
+  val Dec2: DecimalType = DecimalType(18, 2)
+  val Dec4: DecimalType = DecimalType(18, 4)
+
+  /** Exact 2-dp money column. */
+  def dec2(c: Column): Column = c.cast(Dec2)
+
+  /** Exact 4-dp factor column (e.g. (1-discount)*(1+tax)). */
+  def dec4(c: Column): Column = c.cast(Dec4)
+
+  /** Exact revenue term: price * (1 - discount). */
+  def discounted(price: Column, discount: Column): Column =
+    dec2(price) * dec2(lit(1.0) - discount)
+
+  /** SUM(...) of an exact decimal term, emitted as DOUBLE. */
+  def moneySum(term: Column): Column = sum(term).cast("double")
+}

@@ -1,13 +1,331 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Cols._
+import graft.operators._
+
+/** Driver contract — the complete operator surface (SURVEY.md §2), one
+  * query per operator plus a DuckDB oracle where ANSI SQL can express it.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: star-join revenue by region/nation on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.starRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_incremental_extract" -> (Queries.incrementalExtract _),
+    "q02_dedup_latest"        -> (Queries.dedupLatest _),
+    "q03_scd2_build"          -> (Queries.scd2Build _),
+    "q04_scd1_latest"         -> (Queries.scd1Latest _),
+    "q05_bucket_enrich"       -> (Queries.bucketEnrich _),
+    "q06_dq_validate"         -> (Queries.dqValidate _),
+    "q07_dim_date"            -> (Queries.dimDate _),
+    "q08_star_revenue"        -> (Queries.starRevenue _),
+    "q09_star_compose"        -> (Queries.starCompose _),
+    "q10_agg_report"          -> (Queries.aggReport _),
+    "q11_top_n_per_group"     -> (Queries.topNPerGroup _),
+    "q12_json_extract"        -> (Queries.jsonExtract _),
+    "q13_rollup_report"       -> (Queries.rollupReport _),
+    "q14_agg_merge"           -> (Queries.aggMerge _),
+    "q15_validity_asof"       -> (Queries.validityAsOf _),
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
+}
+
+/** Implementations of the §2 inventory over the testdata star schema. */
+object Queries {
+
+  // --- q01: watermark-window incremental extraction ------------------------
+  // reference: pipeline/incremental_ingestion.json (lookup → copy window)
+  val WmLow  = "2024-01-10 00:00:00"
+  val WmHigh = "2024-01-20 00:00:00"
+
+  def incrementalExtract(spark: SparkSession, dir: String): DataFrame =
+    Incremental.extractWindow(Tables.events(spark, dir), "ts",
+      lit(WmLow).cast("timestamp"), lit(WmHigh).cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // --- q02: dedup by business key, latest by sequence ----------------------
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestByKey(
+      Tables.events(spark, dir).select("user_id", "event_type", "event_id", "ts", "value"),
+      keys = Seq("user_id", "event_type"), orderCols = Seq("ts", "event_id"))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+
+  // --- q03: changelog → SCD2 validity intervals ----------------------------
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2FromChangelog(
+      Tables.events(spark, dir).select("user_id", "event_id", "event_type", "value", "ts"),
+      keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id"))
+      .select("user_id", "event_id", "event_type", "value",
+        "effective_from", "effective_to", "is_current")
+
+  // --- q04: SCD1 latest snapshot per key ------------------------------------
+  def scd1Latest(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd1Latest(
+      Tables.events(spark, dir).select("user_id", "event_id", "event_type", "value", "ts"),
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+
+  // --- q05: CASE-bucket enrichment + distribution ---------------------------
+  // reference: Silver_Dimensions.py durationFlag buckets
+  def bucketEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.withColumn("qty_bucket",
+        Enrich.bucketize(col("l_quantity"), Seq(25.0 -> "low", 40.0 -> "medium"), "high"))
+      .groupBy("qty_bucket")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+        moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("qty_bucket")
+  }
+
+  // --- q06: DQ expectations report ------------------------------------------
+  // reference: DimUser.py expectations + utils/transformations.py regex UDF
+  def dqRules: Seq[Quality.Rule] = Seq(
+    Quality.Rule("custkey_not_null", col("c_custkey").isNull),
+    Quality.Rule("name_format", !Quality.matchesFormat(col("c_name"), "^Customer#[0-9]{9}$")),
+    Quality.Rule("acctbal_non_negative", col("c_acctbal") < lit(0.0)),
+    Quality.Rule("nationkey_in_range", !col("c_nationkey").between(0, 24)))
+
+  def dqValidate(spark: SparkSession, dir: String): DataFrame =
+    Quality.report(Tables.customer(spark, dir), dqRules).orderBy("rule")
+
+  // --- q07: date dimension generation ---------------------------------------
+  def dimDate(spark: SparkSession, dir: String): DataFrame =
+    Enrich.dimDateFrom(Tables.orders(spark, dir), "o_orderdate").orderBy("date_key")
+
+  // --- q08: star join revenue by region/nation -------------------------------
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("region"), col("nation"), col("revenue"), col("n_items"))
+      .orderBy("region", "nation")
+  }
+
+  // --- q09: config-driven star composition (Jinja analog) --------------------
+  def starCompose(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.compose(
+      fact = Tables.lineitem(spark, dir),
+      factCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice"),
+      dims = Seq(
+        StarSchema.Dim(Tables.part(spark, dir), Seq("p_name", "p_brand"),
+          factKey = "l_partkey", dimKey = "p_partkey"),
+        StarSchema.Dim(Tables.supplier(spark, dir), Seq("s_name"),
+          factKey = "l_suppkey", dimKey = "s_suppkey", broadcastHint = true)))
+
+  // --- q10: grouped pricing summary (exact decimal money math) ---------------
+  def aggReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+        moneySum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        moneySum(dec2(col("l_extendedprice")) *
+          dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        round(moneySum(dec2(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- q11: top-N per group via window ranking -------------------------------
+  def topNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_exact"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(col("rev_exact").desc, col("p_partkey"))
+    rev.join(broadcast(p), rev("l_partkey") === p("p_partkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("rev_exact").cast("double").as("revenue"),
+        col("rank"))
+      .orderBy("p_brand", "rank")
+  }
+
+  // --- q12: JSON field extraction + aggregation ------------------------------
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", Enrich.jsonField(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  // --- q13: ROLLUP multi-level report ----------------------------------------
+  def rollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(dec2(col("o_totalprice"))).as("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // --- q14: incremental aggregate merge (partial-agg combine) ----------------
+  val SplitTs = "2024-01-15 00:00:00"
+
+  def aggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def partial(d: DataFrame) = d.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).as("total_value"))
+    val base    = partial(ev.filter(col("ts") <= lit(SplitTs).cast("timestamp")))
+    val updates = partial(ev.filter(col("ts") > lit(SplitTs).cast("timestamp")))
+    Incremental.mergeAggregates(Seq(base, updates), Seq("user_id"),
+        Seq("n_events", "total_value"))
+      .select(col("user_id"), col("n_events"), col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  // --- q15: SCD2 point-in-time (as-of) snapshot -------------------------------
+  val AsOfTs = "2024-01-15 00:00:00"
+
+  def validityAsOf(spark: SparkSession, dir: String): DataFrame =
+    Scd.asOfSnapshot(scd2Build(spark, dir).withColumnRenamed("effective_from", "effective_from")
+        , lit(AsOfTs).cast("timestamp"))
+      .select("user_id", "event_id", "event_type", "value", "effective_from", "effective_to")
+      .orderBy("user_id")
+}
+
+/** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
+  * Spark output column names exactly (driver hashes columns by name).
+  */
+object Oracles {
+  private val moneyQty   = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val discTerm   =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
+
+  val sql: Map[String, String] = Map(
+    "q01_incremental_extract" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
+          WHERE ts > TIMESTAMP '${Queries.WmLow}' AND ts <= TIMESTAMP '${Queries.WmHigh}'""",
+
+    "q02_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+           SELECT user_id, event_type, event_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "q03_scd2_build" ->
+      """SELECT user_id, event_id, event_type, value,
+                ts AS effective_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM events""",
+
+    "q04_scd1_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+           SELECT user_id, event_id, event_type, value, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "q05_bucket_enrich" ->
+      s"""SELECT CASE WHEN l_quantity < 25 THEN 'low'
+                      WHEN l_quantity < 40 THEN 'medium'
+                      ELSE 'high' END AS qty_bucket,
+                 COUNT(*) AS n_items,
+                 $moneyQty AS sum_qty,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY 1""",
+
+    "q06_dq_validate" ->
+      """WITH m AS (
+           SELECT COUNT(*) FILTER (WHERE c_custkey IS NULL) AS v1,
+                  COUNT(*) FILTER (WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')) AS v2,
+                  COUNT(*) FILTER (WHERE c_acctbal < 0.0) AS v3,
+                  COUNT(*) FILTER (WHERE c_nationkey NOT BETWEEN 0 AND 24) AS v4,
+                  COUNT(*) AS total
+           FROM customer)
+         SELECT 'custkey_not_null' AS rule, v1 AS violations, total FROM m
+         UNION ALL SELECT 'name_format', v2, total FROM m
+         UNION ALL SELECT 'acctbal_non_negative', v3, total FROM m
+         UNION ALL SELECT 'nationkey_in_range', v4, total FROM m""",
+
+    "q07_dim_date" ->
+      """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+                d AS date,
+                CAST(day(d) AS INT) AS day, CAST(month(d) AS INT) AS month,
+                CAST(year(d) AS INT) AS year, dayname(d) AS weekday
+         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)""",
+
+    "q08_star_revenue" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY 1, 2""",
+
+    "q09_star_compose" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, p_name, p_brand, s_name
+         FROM lineitem
+         JOIN part     ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey""",
+
+    "q10_agg_report" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 $moneyQty AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(SUM($discTerm) AS DOUBLE) AS sum_disc_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_charge,
+                 ROUND($moneyQty / COUNT(*), 4) AS avg_qty,
+                 COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          GROUP BY 1, 2""",
+
+    "q11_top_n_per_group" ->
+      s"""SELECT p_brand, p_partkey, CAST(rev_exact AS DOUBLE) AS revenue, rank FROM (
+            SELECT p_brand, p_partkey, rev_exact,
+                   CAST(row_number() OVER (PARTITION BY p_brand
+                                           ORDER BY rev_exact DESC, p_partkey) AS INT) AS rank
+            FROM (SELECT l_partkey, SUM($discTerm) AS rev_exact
+                  FROM lineitem GROUP BY 1)
+            JOIN part ON l_partkey = p_partkey)
+          WHERE rank <= 3""",
+
+    "q12_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1""",
+
+    "q13_rollup_report" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "q14_agg_merge" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1""",
+
+    "q15_validity_asof" ->
+      s"""SELECT user_id, event_id, event_type, value, effective_from, effective_to FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ts AS effective_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+            FROM events)
+          WHERE effective_from <= TIMESTAMP '${Queries.AsOfTs}'
+            AND (effective_to IS NULL OR effective_to > TIMESTAMP '${Queries.AsOfTs}')""",
+  )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-on-read accessors for the star-schema testdata.
+  *
+  * Plays the role of the reference's bronze layer source surface
+  * (reference: data_scripts/spotify_initial_load.sql:7-52 -- star schema of
+  * Dim/Fact tables; reference: local_spotify_dab/src/silver/
+  * Silver_Dimensions.py -- per-table parquet reads). Readers are plain
+  * parquet scans so Catalyst pushes filters and prunes columns straight
+  * into the scan.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark cannot
+    * map to its microsecond TimestampType directly. Read it as raw nanos
+    * (legacy nanosAsLong) and truncate to micros with integer division —
+    * exactly the truncation DuckDB applies when it reads the same file into
+    * its microsecond TIMESTAMP, so both engines see identical instants.
+    * (Plain `/ 1000` would round-trip through double and lose precision:
+    * epoch-nanos ≈ 1.7e18 > 2^53.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

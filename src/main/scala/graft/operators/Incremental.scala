@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermark-window incremental extraction.
+  *
+  * Reference analog: the ADF ingestion pipeline (reference: pipeline/
+  * incremental_ingestion.json — activities `last_cdc` Lookup →
+  * `current_time` SetVariable → `sql_to_datalake` Copy → `max_cdc` Script →
+  * `update_last_cdc`) copies rows where
+  * `updated_at > last_watermark AND updated_at <= current_time`, then
+  * persists the new watermark.
+  *
+  * Scale design: the window predicate is a plain filter on the sequence
+  * column, so it reaches the parquet scan as a pushed filter (and prunes
+  * partitions when the source is partitioned by time) — the extraction
+  * reads only the new slice regardless of total table size.
+  */
+object Incremental {
+
+  /** Rows in the half-open CDC window (low, high]. */
+  def extractWindow(df: DataFrame, seqCol: String, lowExclusive: Column,
+                    highInclusive: Column): DataFrame =
+    df.filter(col(seqCol) > lowExclusive && col(seqCol) <= highInclusive)
+
+  /** The next watermark after an extraction: max of the sequence column
+    * (ADF `max_cdc` Script activity analog). Single-row aggregate.
+    */
+  def nextWatermark(extracted: DataFrame, seqCol: String): DataFrame =
+    extracted.agg(max(col(seqCol)).as("watermark"))
+
+  /** Incremental aggregate refresh: combine partial aggregates from an
+    * already-aggregated base batch and a new batch without rescanning the
+    * base data — the re-aggregation merges partial states (sums of sums).
+    * All aggregate columns must be decomposable (sum/count/min/max).
+    */
+  def mergeAggregates(parts: Seq[DataFrame], keys: Seq[String],
+                      sumCols: Seq[String]): DataFrame = {
+    val unioned = parts.reduce(_ unionByName _)
+    unioned.groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Config-driven star-schema query composition.
+  *
+  * Reference analog: the Jinja notebook builds an analytical SQL join from
+  * a list of {table, alias, cols, condition} dicts — fact table first, each
+  * dimension joined to it (reference: local_spotify_dab/Jinja/
+  * jinja_notebook.py:43-107). Here the same composition is expressed over
+  * DataFrames so Catalyst plans it (join reorder, broadcast selection,
+  * column pruning through the joins).
+  */
+object StarSchema {
+
+  /** One dimension of a star query: the dimension frame, the columns to
+    * surface from it, and the equi-join keys (factKey = dimKey). Equi-keys
+    * (rather than a free-form condition) keep every join hash/broadcast
+    * plannable at scale.
+    */
+  final case class Dim(df: DataFrame, cols: Seq[String], factKey: String,
+                       dimKey: String, broadcastHint: Boolean = false)
+
+  /** Compose fact ⋈ dims, projecting `factCols` + each dim's columns.
+    * Dimensions marked `broadcastHint` are broadcast explicitly (bounded
+    * lookup tables); others are left to Catalyst/AQE, which broadcasts
+    * them when they fit and shuffles otherwise — the right behaviour when
+    * the same query runs at 1000x the data.
+    */
+  def compose(fact: DataFrame, factCols: Seq[String], dims: Seq[Dim]): DataFrame = {
+    val joined = dims.foldLeft(fact) { (acc, d) =>
+      val dim = d.df.select((d.dimKey +: d.cols).distinct.map(col): _*)
+      val side = if (d.broadcastHint) broadcast(dim) else dim
+      acc.join(side, acc(d.factKey) === dim(d.dimKey), "inner")
+    }
+    joined.select((factCols ++ dims.flatMap(_.cols)).map(col): _*)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreOperatorsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has matching column names with its oracle declaration") {
+    // Columns must match by NAME for the driver's hash compare; at minimum
+    // the Spark side must not emit auto-generated aggregate names.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      cols.foreach { c =>
+        assert(!c.contains("("), s"$name column '$c' looks auto-generated")
+      }
+    }
+  }
+
+  test("dedup_latest yields one row per key and keeps the max sequence") {
+    val out = Queries.dedupLatest(spark, sf)
+    assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+    // kept ts must equal the max ts per key
+    val ev = Tables.events(spark, sf)
+    val mx = ev.groupBy("user_id", "event_type").agg(max("ts").as("mx"))
+    val bad = out.join(mx, Seq("user_id", "event_type"))
+      .filter(col("ts") =!= col("mx")).count()
+    assert(bad == 0)
+  }
+
+  test("scd2 intervals: exactly one current row per key, from < to") {
+    val scd2 = Queries.scd2Build(spark, sf)
+    val perKeyCurrent = scd2.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(perKeyCurrent == 0)
+    assert(scd2.filter(col("effective_to").isNotNull &&
+      col("effective_from") >= col("effective_to")).count() == 0)
+  }
+
+  test("as-of snapshot has at most one row per key and brackets the timestamp") {
+    val snap = Queries.validityAsOf(spark, sf)
+    assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("incremental window extraction is bounded by the watermarks") {
+    val out = Queries.incrementalExtract(spark, sf)
+    val viol = out.filter(col("ts") <= lit(Queries.WmLow).cast("timestamp") ||
+      col("ts") > lit(Queries.WmHigh).cast("timestamp")).count()
+    assert(viol == 0)
+  }
+
+  test("incremental agg merge equals full recompute") {
+    val merged = Queries.aggMerge(spark, sf)
+    val full = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(Cols.dec2(col("value"))).cast("double").as("total_value"))
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
+  }
+
+  test("dq report counts violations in a single pass") {
+    val rep = Queries.dqValidate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("custkey_not_null") == 0)
+    assert(rep("name_format") == 0)
+    assert(rep.contains("acctbal_non_negative"))
+  }
+
+  test("star revenue flagship returns one row per (region, nation) present") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.groupBy("region", "nation").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("dim_date keys are consistent with their date") {
+    val dd = Queries.dimDate(spark, sf)
+    val bad = dd.filter(col("date_key") =!=
+      (col("year") * 10000 + col("month") * 100 + col("day"))).count()
+    assert(bad == 0)
+  }
+}
