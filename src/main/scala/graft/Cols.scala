@@ -29,4 +29,17 @@ object Cols {
 
   /** SUM(...) of an exact decimal term, emitted as DOUBLE. */
   def moneySum(term: Column): Column = sum(term).cast("double")
+
+  /** A timestamp literal pinned to UTC regardless of the session timezone:
+    * the wall-clock string is resolved to epoch micros at plan-build time
+    * and embedded via `timestamp_micros`, so `SparkEntry.queries` produce
+    * identical windows under any caller session config (the DuckDB oracle
+    * side always parses literals as naive UTC).
+    */
+  def utcTs(s: String): Column = {
+    val inst = java.time.LocalDateTime
+      .parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    timestamp_micros(lit(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
+  }
 }

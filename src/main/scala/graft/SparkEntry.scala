@@ -45,7 +45,7 @@ object Queries {
 
   def incrementalExtract(spark: SparkSession, dir: String): DataFrame =
     Incremental.extractWindow(Tables.events(spark, dir), "ts",
-      lit(WmLow).cast("timestamp"), lit(WmHigh).cast("timestamp"))
+      utcTs(WmLow), utcTs(WmHigh))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
   // --- q02: dedup by business key, latest by sequence ----------------------
@@ -130,7 +130,7 @@ object Queries {
   // --- q10: grouped pricing summary (exact decimal money math) ---------------
   def aggReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <= utcTs("1998-09-01 00:00:00"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         moneySum(dec2(col("l_quantity"))).as("sum_qty"),
@@ -138,7 +138,7 @@ object Queries {
         moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
         moneySum(dec2(col("l_extendedprice")) *
           dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        round(moneySum(dec2(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
+        (moneySum(dec2(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -182,8 +182,8 @@ object Queries {
     val ev = Tables.events(spark, dir)
     def partial(d: DataFrame) = d.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).as("total_value"))
-    val base    = partial(ev.filter(col("ts") <= lit(SplitTs).cast("timestamp")))
-    val updates = partial(ev.filter(col("ts") > lit(SplitTs).cast("timestamp")))
+    val base    = partial(ev.filter(col("ts") <= utcTs(SplitTs)))
+    val updates = partial(ev.filter(col("ts") > utcTs(SplitTs)))
     Incremental.mergeAggregates(Seq(base, updates), Seq("user_id"),
         Seq("n_events", "total_value"))
       .select(col("user_id"), col("n_events"), col("total_value").cast("double").as("total_value"))
@@ -194,8 +194,7 @@ object Queries {
   val AsOfTs = "2024-01-15 00:00:00"
 
   def validityAsOf(spark: SparkSession, dir: String): DataFrame =
-    Scd.asOfSnapshot(scd2Build(spark, dir).withColumnRenamed("effective_from", "effective_from")
-        , lit(AsOfTs).cast("timestamp"))
+    Scd.asOfSnapshot(scd2Build(spark, dir), utcTs(AsOfTs))
       .select("user_id", "event_id", "event_type", "value", "effective_from", "effective_to")
       .orderBy("user_id")
 }
@@ -288,7 +287,7 @@ object Oracles {
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                           CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE)
                    AS sum_charge,
-                 ROUND($moneyQty / COUNT(*), 4) AS avg_qty,
+                 $moneyQty / COUNT(*) AS avg_qty,
                  COUNT(*) AS count_order
           FROM lineitem
           WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

@@ -38,8 +38,18 @@ object Enrich {
         dayofmonth(col("date")).as("day"),
         month(col("date")).as("month"),
         year(col("date")).as("year"),
-        date_format(col("date"), "EEEE").as("weekday"))
+        weekdayName(col("date")).as("weekday"))
   }
+
+  /** English weekday name, independent of the JVM default locale (DuckDB's
+    * `dayname()` is always English; `date_format(_, "EEEE")` is not).
+    * `dayofweek` is 1=Sunday..7=Saturday.
+    */
+  def weekdayName(d: Column): Column =
+    element_at(
+      array(Seq("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+        "Friday", "Saturday").map(lit): _*),
+      dayofweek(d))
 
   /** Extract a scalar JSON field (JSONPath) as a typed column. Codegen'd
     * `get_json_object`; schema-on-read like the rescue-column handling in
