@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Cols._
 import graft.operators._
+import graft.functions.TextAnalysis
 
 /** Driver contract — the complete operator surface (SURVEY.md §2), one
   * query per operator plus a DuckDB oracle where ANSI SQL can express it.
@@ -30,6 +31,11 @@ object SparkEntry {
     "q13_rollup_report"       -> (Queries.rollupReport _),
     "q14_agg_merge"           -> (Queries.aggMerge _),
     "q15_validity_asof"       -> (Queries.validityAsOf _),
+    "q20_dedup_exact"         -> (Queries.dedupExact _),
+    "q27_text_langid"         -> (Queries.textLangid _),
+    "q28_text_quality"        -> (Queries.textQuality _),
+    "q29_text_tokens"         -> (Queries.textTokens _),
+    "q30_text_fingerprint"    -> (Queries.textFingerprint _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -197,6 +203,59 @@ object Queries {
     Scd.asOfSnapshot(scd2Build(spark, dir), utcTs(AsOfTs))
       .select("user_id", "event_id", "event_type", "value", "effective_from", "effective_to")
       .orderBy("user_id")
+
+  // --- q20: exact content dedup (hash-groupBy, canonical = min id) -----------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByContent(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  // --- q27: heuristic language ID vs the labeled lang column -----------------
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.langPredict(ws).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  // --- q28: document quality scoring (length/stopword/word-len ratios) -------
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val enStops = TextAnalysis.LangProfiles.head._2
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      (TextAnalysis.totalWordLen(ws).cast("double") / size(ws)).as("avg_word_len"),
+      (TextAnalysis.stopwordCount(ws, enStops).cast("double") / size(ws)).as("stop_ratio"),
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text"))).as("punct_ratio"))
+      .withColumn("quality_score",
+        lit(0.5) * col("stop_ratio") +
+          lit(0.5) * least(lit(1.0), col("n_words").cast("double") / lit(200.0)))
+      .orderBy("doc_id")
+  }
+
+  // --- q29: token counting — whitespace, regex lexer, subword estimate -------
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TokenPattern)).as("n_re_tokens"),
+      aggregate(
+        transform(ws, w => floor((length(w) + lit(3)) / lit(4.0))),
+        lit(0L), (acc, x) => acc + x).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  // --- q30: rolling polynomial-hash document fingerprint ----------------------
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -204,6 +263,21 @@ object Queries {
   */
 object Oracles {
   private val moneyQty   = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  /** `string_split` ≡ Spark `split(text, " ")`. */
+  private val ws         = "string_split(text, ' ')"
+  private def inList(s: Seq[String]) = s.map(w => s"'$w'").mkString("(", ",", ")")
+  /** Per-profile stopword frequency — ≡ TextAnalysis.stopwordCount. */
+  private def stopCount(prof: Seq[String]) =
+    s"len(list_filter($ws, w -> w IN ${inList(prof)}))"
+  /** argmax CASE cascade — ≡ TextAnalysis.langPredict (first-wins ties). */
+  private val langCase: String = {
+    val ps = graft.functions.TextAnalysis.LangProfiles.map(_._1)
+    val cases = ps.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = ps.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${ps.last}' END"
+  }
   private val discTerm   =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
 
@@ -326,5 +400,51 @@ object Oracles {
             FROM events)
           WHERE effective_from <= TIMESTAMP '${Queries.AsOfTs}'
             AND (effective_to IS NULL OR effective_to > TIMESTAMP '${Queries.AsOfTs}')""",
+
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY text""",
+
+    "q27_text_langid" -> {
+      val scores = graft.functions.TextAnalysis.LangProfiles
+        .map { case (l, prof) => s"${stopCount(prof)} AS s_$l" }.mkString(",\n                  ")
+      s"""WITH s AS (SELECT lang,
+                  $scores
+           FROM documents)
+         SELECT lang, $langCase AS pred_lang, COUNT(*) AS n_docs
+         FROM s GROUP BY 1, 2"""
+    },
+
+    "q28_text_quality" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""SELECT doc_id,
+                 CAST(len($ws) AS INT) AS n_words,
+                 CAST(list_reduce(list_transform($ws, w -> CAST(length(w) AS BIGINT)),
+                      (a,b) -> a+b) AS DOUBLE) / len($ws) AS avg_word_len,
+                 CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                   / len($ws) AS stop_ratio,
+                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+                 0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE) / len($ws))
+                   + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0) AS quality_score
+          FROM documents"""
+    },
+
+    "q29_text_tokens" ->
+      s"""SELECT doc_id,
+                 CAST(len($ws) AS INT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '${Queries.TokenPattern}')) AS INT)
+                   AS n_re_tokens,
+                 list_reduce(list_transform($ws,
+                      w -> CAST(floor((length(w)+3)/4.0) AS BIGINT)),
+                      (a,b) -> a+b) AS n_subwords
+          FROM documents""",
+
+    "q30_text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_transform(string_split_regex(text, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                     (a,b) -> (a*31+b) % 1000000007) AS fp
+         FROM documents""",
   )
 }

