@@ -32,6 +32,9 @@ object SparkEntry {
     "q14_agg_merge"           -> (Queries.aggMerge _),
     "q15_validity_asof"       -> (Queries.validityAsOf _),
     "q20_dedup_exact"         -> (Queries.dedupExact _),
+    "q21_dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "q24_dedup_embedding"     -> (Queries.dedupEmbedding _),
+    "q25_ann_bruteforce"      -> (Queries.annBruteForce _),
     "q27_text_langid"         -> (Queries.textLangid _),
     "q28_text_quality"        -> (Queries.textQuality _),
     "q29_text_tokens"         -> (Queries.textTokens _),
@@ -209,6 +212,36 @@ object Queries {
     Dedup.exactByContent(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  // --- q21: n-gram Jaccard near-duplicate pairs ------------------------------
+  val JaccardN = 3
+  val JaccardThreshold = 0.8
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q24: embedding-cosine near-duplicate pairs (brute-force baseline) -----
+  val CosineThreshold = 0.4
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+
+  // --- q25: brute-force cosine top-k ANN -------------------------------------
+  val AnnQueryMaxId = 10
+  val AnnK = 5
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = NearDup.withNorm(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    NearDup.annBruteForce(
+      queries = e.filter(col("vec_id") < AnnQueryMaxId),
+      corpus = e.filter(col("vec_id") >= AnnQueryMaxId),
+      k = AnnK)
+      .orderBy("query_id", "rank")
+  }
+
   // --- q27: heuristic language ID vs the labeled lang column -----------------
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
@@ -269,6 +302,13 @@ object Oracles {
   /** Per-profile stopword frequency — ≡ TextAnalysis.stopwordCount. */
   private def stopCount(prof: Seq[String]) =
     s"len(list_filter($ws, w -> w IN ${inList(prof)}))"
+  /** Sequential-fold dot product — ≡ Similarity.dot (bit-identical). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"""
+  /** ≡ Similarity.l2Norm of the `embedding` column. */
+  private val nrmSql: String = s"sqrt(${dotSql("embedding", "embedding")})"
+
   /** argmax CASE cascade — ≡ TextAnalysis.langPredict (first-wins ties). */
   private val langCase: String = {
     val ps = graft.functions.TextAnalysis.LangProfiles.map(_._1)
@@ -404,6 +444,46 @@ object Oracles {
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text""",
+
+    "q21_dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+           FROM documents),
+          ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb, COUNT(*) AS common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, common, jaccard FROM (
+           SELECT doc_a, doc_b, common,
+                  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
+         WHERE jaccard >= ${Queries.JaccardThreshold}""",
+
+    "q24_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings)
+          SELECT vec_a, vec_b, cos FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          WHERE cos >= ${Queries.CosineThreshold}""",
+
+    "q25_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM e WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn
+                FROM e WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          s AS (SELECT query_id, neighbor_id,
+                       ${dotSql("qe", "ce")} / (qn * cn) AS cos
+                FROM c, q)
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM s)
+          WHERE rank <= ${Queries.AnnK}""",
 
     "q27_text_langid" -> {
       val scores = graft.functions.TextAnalysis.LangProfiles

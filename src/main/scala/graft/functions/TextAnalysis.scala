@@ -28,9 +28,13 @@ object TextAnalysis {
     * spaces). `sequence` + `element_at` keeps it a pure array expression.
     */
   def ngrams(ws: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    // Guard: Spark sequence(1, stop) DESCENDS for stop < 1 (it would yield
+    // [1,0], not []) — documents shorter than n words must give no shingles.
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Count of tokens in `stop` (frequency, not set membership). */
   def stopwordCount(ws: Column, stop: Seq[String]): Column =
