@@ -33,6 +33,9 @@ object SparkEntry {
     "q15_validity_asof"       -> (Queries.validityAsOf _),
     "q20_dedup_exact"         -> (Queries.dedupExact _),
     "q21_dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "q22_dedup_minhash_lsh"   -> (Queries.dedupMinHashLsh _),
+    "q23_dedup_simhash"       -> (Queries.dedupSimHash _),
+    "q26_ann_lsh"             -> (Queries.annLsh _),
     "q24_dedup_embedding"     -> (Queries.dedupEmbedding _),
     "q25_ann_bruteforce"      -> (Queries.annBruteForce _),
     "q27_text_langid"         -> (Queries.textLangid _),
@@ -221,6 +224,25 @@ object Queries {
       JaccardN, JaccardThreshold)
       .orderBy("doc_a", "doc_b")
 
+  // --- q22: MinHash signatures + LSH band bucketing → candidate pairs --------
+  def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardN)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q23: SimHash fingerprint near-dup (hamming <= k) ----------------------
+  val SimHammingMax = 3
+
+  def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, SimHammingMax)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q26: random-hyperplane LSH bucketed ANN (scale path) -------------------
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    NearDup.annLshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      AnnQueryMaxId, AnnK)
+      .orderBy("query_id", "rank")
+
   // --- q24: embedding-cosine near-duplicate pairs (brute-force baseline) -----
   val CosineThreshold = 0.4
 
@@ -308,6 +330,18 @@ object Oracles {
        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"""
   /** ≡ Similarity.l2Norm of the `embedding` column. */
   private val nrmSql: String = s"sqrt(${dotSql("embedding", "embedding")})"
+
+  /** Polynomial fingerprint of string expr `x` — ≡ rollingFingerprint. */
+  private def fpSql(x: String): String =
+    s"""list_reduce(list_transform(string_split_regex($x, ''),
+       c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % ${graft.functions.Lsh.P})"""
+
+  /** Distinct word-trigram shingles — ≡ NearDup.shingleSets. */
+  private val shinglesSql: String =
+    s"""list_distinct(list_transform(generate_series(1, len($ws) - 2),
+       i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))"""
+
+  private def sqlArr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
   /** argmax CASE cascade — ≡ TextAnalysis.langPredict (first-wins ties). */
   private val langCase: String = {
@@ -460,6 +494,89 @@ object Oracles {
            SELECT doc_a, doc_b, common,
                   CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
          WHERE jaccard >= ${Queries.JaccardThreshold}""",
+
+    "q22_dedup_minhash_lsh" -> {
+      import graft.functions.Lsh._
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+                     WHERE len($ws) >= ${Queries.JaccardN}),
+          f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
+          sigs AS (SELECT doc_id,
+                          list_transform(generate_series(1, $K), i ->
+                            list_aggregate(list_transform(fps,
+                              v -> (${sqlArr(A)}[i]*v + ${sqlArr(B)}[i]) % $P), 'min')) AS sig
+                   FROM f),
+          bands AS (SELECT doc_id, t,
+                           list_reduce(sig[t*$RowsPerBand+1 : t*$RowsPerBand+$RowsPerBand],
+                             (x,y) -> x*31+y) AS key
+                    FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS t) bt),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(generate_series(1, $K), i -> sa.sig[i] = sb.sig[i]))
+                      AS DOUBLE) / ${K.toDouble} AS est_jaccard
+          FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id"""
+    },
+
+    "q23_dedup_simhash" -> {
+      import graft.functions.Lsh._
+      val simPows = sqlArr((0 until SimBits).map(j => 1L << j))
+      val bytePows = sqlArr(Seq(1L, 256L, 65536L, 16777216L))
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+                     WHERE len($ws) >= ${Queries.JaccardN}),
+          f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
+          g AS (SELECT doc_id, list_transform(fps, v -> ($GA*v + $GB) % $TwoPow32) AS gs
+                FROM f),
+          sims AS (SELECT doc_id,
+                          list_reduce(list_transform(generate_series(0, ${SimBits - 1}), j ->
+                            CASE WHEN 2*len(list_filter(gs,
+                                   v -> CAST(floor(v / ($simPows[j+1])) AS BIGINT) % 2 = 1))
+                                 >= len(gs)
+                                 THEN $simPows[j+1] ELSE CAST(0 AS BIGINT) END),
+                            (a,b) -> a+b) AS sim
+                   FROM g),
+          bands AS (SELECT doc_id, t,
+                           CAST(floor(sim / ($bytePows[t+1])) AS BIGINT) % 256 AS key
+                    FROM sims, (SELECT unnest(generate_series(0, ${SimBands - 1})) AS t) bt),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
+            FROM cand JOIN sims sa ON doc_a = sa.doc_id JOIN sims sb ON doc_b = sb.doc_id)
+          WHERE hamming <= ${Queries.SimHammingMax}"""
+    },
+
+    "q26_ann_lsh" -> {
+      import graft.functions.Lsh._
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+          bits AS (SELECT vec_id,
+                          list_transform(generate_series(0, ${Planes - 1}), p ->
+                            CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), i ->
+                                   (CAST(((p*$Dim+i) * 2654435761) % $TwoPow32 AS DOUBLE)
+                                      / 4294967296.0 - 0.5)
+                                   * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y) >= 0
+                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+                   FROM e),
+          bands AS (SELECT vec_id, t,
+                           list_reduce(bits[t*$RowsRp+1 : t*$RowsRp+$RowsRp],
+                             (x,y) -> x*2+y) AS key
+                    FROM bits, (SELECT unnest(generate_series(0, ${BandsRp - 1})) AS t) bt),
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM bands q JOIN bands c ON q.t = c.t AND q.key = c.key
+                   WHERE q.vec_id < ${Queries.AnnQueryMaxId}
+                     AND c.vec_id >= ${Queries.AnnQueryMaxId}),
+          scored AS (SELECT query_id, neighbor_id,
+                            ${dotSql("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) AS cos
+                     FROM cand JOIN e eq ON query_id = eq.vec_id
+                               JOIN e ec ON neighbor_id = ec.vec_id)
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          WHERE rank <= ${Queries.AnnK}"""
+    },
 
     "q24_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings)

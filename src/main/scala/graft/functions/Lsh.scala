@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Locality-sensitive hashing primitives: MinHash (Jaccard), SimHash
+  * (cosine-ish over sets), and random-hyperplane signatures (embedding
+  * cosine). These are the 100 TB near-dup / ANN path: candidate pairs come
+  * from equality joins on band keys (a narrow hash-shuffle), never from an
+  * n² pair matrix.
+  *
+  * Hash family: instead of an engine-private hash (xxhash64), signatures
+  * are built from the rolling polynomial fingerprint
+  * (TextAnalysis.rollingFingerprint) composed with affine permutations
+  * `(a*x + b) mod P` — every step is plain integer arithmetic, so the
+  * DuckDB oracle can state the identical computation and the driver's
+  * hash-compare verifies these operators exactly rather than rows-only.
+  * All constants are generated here and interpolated into the oracle SQL
+  * from the same values (single source of truth).
+  *
+  * Everything is `transform`/`filter`/`aggregate` HOFs — codegen'd, no
+  * UDFs, no driver-side state.
+  */
+object Lsh {
+
+  /** Modulus for the fingerprint/permutation family (fits products in i64:
+    * a < 2^33, x < P ≈ 2^30 → a*x+b < 2^63).
+    */
+  val P: Long = 1000000007L
+
+  /** MinHash signature length and banding shape (bands * rowsPerBand = K). */
+  val K: Int = 16
+  val Bands: Int = 4
+  val RowsPerBand: Int = 4
+
+  /** Affine permutation parameters, derived from a fixed multiplicative
+    * sequence (Knuth's 2654435761 mixer) — deterministic, collision-free
+    * `a != 0`.
+    */
+  val A: Seq[Long] = (1 to K).map(i => 1L + (i.toLong * 2654435761L) % (P - 1))
+  val B: Seq[Long] = (1 to K).map(i => (i.toLong * 1103515245L + 12345L) % P)
+
+  private def litArr(xs: Seq[Long]): Column = array(xs.map(lit): _*)
+
+  /** Per-element polynomial fingerprints of a string array. */
+  def fingerprints(strings: Column): Column =
+    transform(strings, s => TextAnalysis.rollingFingerprint(s))
+
+  /** MinHash signature: sig[i] = min over set elements of (A[i]*fp + B[i]) mod P. */
+  def minHashSignature(fps: Column): Column = {
+    val (aArr, bArr) = (litArr(A), litArr(B))
+    transform(sequence(lit(1), lit(K)), i =>
+      array_min(transform(fps, v =>
+        (element_at(aArr, i) * v + element_at(bArr, i)) % lit(P))))
+  }
+
+  /** Band keys: fold each band's `RowsPerBand` signature values with a
+    * base-31 polynomial (bounded: < 31^4 * P ≈ 2^50). Returns an array of
+    * (band, key) structs to explode for the bucket join.
+    */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), t =>
+      struct(
+        t.as("band"),
+        aggregate(slice(sig, t * lit(RowsPerBand) + 1, lit(RowsPerBand)),
+          lit(0L), (acc, v) => acc * 31 + v).as("key")))
+
+  /** Fraction of signature positions where two signatures agree — the
+    * MinHash estimate of Jaccard similarity.
+    */
+  def signatureAgreement(sa: Column, sb: Column): Column =
+    size(filter(sequence(lit(1), lit(K)), i =>
+      element_at(sa, i) === element_at(sb, i))).cast("double") / lit(K.toDouble)
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** SimHash width (bits) and the mixing constants for the 32-bit hash
+    * `g(x) = (G_A*fp(x) + G_B) mod 2^32`.
+    */
+  val SimBits: Int = 32
+  val GA: Long = 2654435761L
+  val GB: Long = 2246822519L
+  val TwoPow32: Long = 4294967296L
+
+  private val pow2: Seq[Long] = (0 until SimBits).map(j => 1L << j)
+
+  /** SimHash fingerprint of a set given its element fingerprints: bit j is
+    * set when elements with bit j set in g(fp) are a (tie-wins) majority.
+    * Bit extraction uses `floor(v / 2^j) mod 2` — division by a power of
+    * two is exact in binary floating point, and `floor` (not a raw cast)
+    * keeps Spark and DuckDB identical (DuckDB's double→int cast rounds).
+    */
+  def simHash(fps: Column): Column = {
+    val pw = litArr(pow2)
+    val gs = transform(fps, v => (lit(GA) * v + lit(GB)) % lit(TwoPow32))
+    aggregate(
+      transform(sequence(lit(0), lit(SimBits - 1)), j => {
+        val p = element_at(pw, j + 1)
+        val cnt1 = size(filter(gs, v =>
+          floor(v.cast("double") / p) % 2 === 1))
+        when(cnt1 * 2 >= size(gs), p).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Byte-bands of a SimHash for candidate blocking: 4 bytes; by
+    * pigeonhole any pair with hamming <= 3 shares at least one byte.
+    */
+  val SimBands: Int = 4
+
+  def simHashBands(sim: Column): Column =
+    transform(sequence(lit(0), lit(SimBands - 1)), t =>
+      struct(
+        t.as("band"),
+        (floor(sim.cast("double") / element_at(litArr(Seq(1L, 256L, 65536L, 16777216L)), t + 1))
+          .cast("long") % 256).as("key")))
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- Random-hyperplane LSH for embeddings --------------------------------
+
+  /** Plane count and banding (BandsRp * RowsRp = Planes). Plane
+    * coefficients come from a multiplicative LCG on the flat index
+    * `s = p*dim + i`, mapped to [-0.5, 0.5) — deterministic and stateless,
+    * so executors regenerate them for free (nothing is broadcast).
+    */
+  val Planes: Int = 16
+  val BandsRp: Int = 4
+  val RowsRp: Int = 4
+  val Dim: Int = 64
+
+  private def lcgVal(s: Column): Column =
+    ((s.cast("long") * lit(2654435761L)) % lit(TwoPow32)).cast("double") /
+      lit(4294967296.0) - lit(0.5)
+
+  /** Sign bits of the embedding against each hyperplane (array of 0/1). */
+  def planeBits(emb: Column): Column =
+    transform(sequence(lit(0), lit(Planes - 1)), p => {
+      val d = aggregate(
+        transform(sequence(lit(1), lit(Dim)), i =>
+          lcgVal(p * lit(Dim) + i) * element_at(emb, i).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L)).otherwise(lit(0L))
+    })
+
+  /** Band codes over the sign bits (binary fold of each 4-bit slice). */
+  def planeBandKeys(bits: Column): Column =
+    transform(sequence(lit(0), lit(BandsRp - 1)), t =>
+      struct(
+        t.as("band"),
+        aggregate(slice(bits, t * lit(RowsRp) + 1, lit(RowsRp)),
+          lit(0L), (acc, v) => acc * 2 + v).as("key")))
+}
