@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_text_quality"        -> (Queries.textQuality _),
     "q29_text_tokens"         -> (Queries.textTokens _),
     "q30_text_fingerprint"    -> (Queries.textFingerprint _),
+    "q31_multimodal_meta"     -> (Queries.multimodalMeta _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -310,6 +311,11 @@ object Queries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // --- q31: opaque media payload + typed metadata (decode stubbed) ------------
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
 }
 
@@ -643,5 +649,17 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q31_multimodal_meta" ->
+      s"""SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                      WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                      ELSE 'video/mp4' END AS media_type,
+                 CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                 substr(hex(encode(text)), 1, 16) AS head_hex,
+                 ${fpSql("text")} AS checksum,
+                 CAST(64 + octet_length(encode(text)) % 193 AS INT) AS width,
+                 CAST(64 + (octet_length(encode(text)) * 31) % 193 AS INT) AS height
+          FROM documents""",
   )
 }
