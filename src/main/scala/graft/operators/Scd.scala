@@ -42,6 +42,29 @@ object Scd {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** SCD2 incremental merge: fold a batch of new change rows into an
+    * existing history. Only keys present in the batch are rebuilt — their
+    * history rows (which still carry the original sequence column) are
+    * re-derived together with the new changes — while untouched keys pass
+    * through without recomputation. Exactly-once under redelivery: change
+    * rows are deduplicated on (keys, seq, ties) before rebuilding.
+    *
+    * Scale: two semi/anti joins on the key (batch side is small) plus one
+    * keyed shuffle over only the AFFECTED keys' rows — cost tracks batch
+    * size, not history size.
+    */
+  def scd2Merge(history: DataFrame, updates: DataFrame, keys: Seq[String],
+                seqCol: String, tieCols: Seq[String]): DataFrame = {
+    val metaCols = Seq("effective_from", "effective_to", "is_current")
+    val batchKeys = updates.select(keys.map(col): _*).distinct()
+    val touched = history.join(batchKeys, keys, "left_semi")
+    val untouched = history.join(batchKeys, keys, "left_anti")
+    val changelog = touched.drop(metaCols: _*)
+      .unionByName(updates)
+      .dropDuplicates(keys ++ (seqCol +: tieCols))
+    scd2FromChangelog(changelog, keys, seqCol, tieCols).unionByName(untouched)
+  }
+
   /** Point-in-time (as-of) snapshot of an SCD2 table: the version valid at
     * `at`. Pure filter — pushed into the scan, no shuffle.
     */
