@@ -175,7 +175,7 @@ object Queries {
   // --- q12: JSON field extraction + aggregation ------------------------------
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", Enrich.jsonField(col("props"), "$.k").cast("long"))
+      .withColumn("k", Enrich.jsonLongField(col("props"), "k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
       .orderBy("event_type")

@@ -84,15 +84,22 @@ object Lsh {
 
   private val pow2: Seq[Long] = (0 until SimBits).map(j => 1L << j)
 
-  /** SimHash fingerprint of a set given its element fingerprints: bit j is
-    * set when elements with bit j set in g(fp) are a (tie-wins) majority.
-    * Bit extraction uses `floor(v / 2^j) mod 2` — division by a power of
-    * two is exact in binary floating point, and `floor` (not a raw cast)
-    * keeps Spark and DuckDB identical (DuckDB's double→int cast rounds).
+  /** Mixed 32-bit hashes of the element fingerprints (SimHash stage 1).
+    * Materialize this as its own column: referencing it from the 32
+    * per-bit majority counts below would otherwise re-inline (and
+    * re-evaluate) the whole upstream fingerprint fold per bit.
     */
-  def simHash(fps: Column): Column = {
+  def gvals(fps: Column): Column =
+    transform(fps, v => (lit(GA) * v + lit(GB)) % lit(TwoPow32))
+
+  /** SimHash fingerprint from pre-materialized g-values: bit j is set when
+    * elements with bit j set are a (tie-wins) majority. Bit extraction
+    * uses `floor(v / 2^j) mod 2` — division by a power of two is exact in
+    * binary floating point, and `floor` (not a raw cast) keeps Spark and
+    * DuckDB identical (DuckDB's double→int cast rounds).
+    */
+  def simHashFromG(gs: Column): Column = {
     val pw = litArr(pow2)
-    val gs = transform(fps, v => (lit(GA) * v + lit(GB)) % lit(TwoPow32))
     aggregate(
       transform(sequence(lit(0), lit(SimBits - 1)), j => {
         val p = element_at(pw, j + 1)
@@ -102,6 +109,11 @@ object Lsh {
       }),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** SimHash of a set of element fingerprints (single-expression form —
+    * prefer staging gvals/simHashFromG in separate projections).
+    */
+  def simHash(fps: Column): Column = simHashFromG(gvals(fps))
 
   /** Byte-bands of a SimHash for candidate blocking: 4 bytes; by
     * pigeonhole any pair with hamming <= 3 shares at least one byte.
@@ -130,19 +142,29 @@ object Lsh {
   val RowsRp: Int = 4
   val Dim: Int = 64
 
-  private def lcgVal(s: Column): Column =
-    ((s.cast("long") * lit(2654435761L)) % lit(TwoPow32)).cast("double") /
-      lit(4294967296.0) - lit(0.5)
+  /** The plane coefficient for flat index `s`, computed on the JVM with
+    * the exact arithmetic the oracle SQL states: integer LCG, exact
+    * int→double conversion, exact division by 2^32.
+    */
+  private def lcgVal(s: Long): Double =
+    ((s * 2654435761L) % TwoPow32).toDouble / 4294967296.0 - 0.5
 
-  /** Sign bits of the embedding against each hyperplane (array of 0/1). */
+  /** The hyperplane matrix as plan-time literals — regenerated from the
+    * LCG at plan build, so nothing is broadcast and every executor codegen
+    * sees constants.
+    */
+  private lazy val planeVecs: Seq[Seq[Double]] =
+    (0 until Planes).map(p => (1 to Dim).map(i => lcgVal(p.toLong * Dim + i)))
+
+  /** Sign bits of the embedding against each hyperplane (array of 0/1).
+    * Each plane dot is a codegen'd VecDot against a literal coefficient
+    * array — the whole signature stays inside whole-stage codegen.
+    */
   def planeBits(emb: Column): Column =
-    transform(sequence(lit(0), lit(Planes - 1)), p => {
-      val d = aggregate(
-        transform(sequence(lit(1), lit(Dim)), i =>
-          lcgVal(p * lit(Dim) + i) * element_at(emb, i).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    array((0 until Planes).map { p =>
+      val d = graft.plans.VectorExprs.dot(typedLit(planeVecs(p)), emb)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
-    })
+    }: _*)
 
   /** Band codes over the sign bits (binary fold of each 4-bit slice). */
   def planeBandKeys(bits: Column): Column =

@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of a double array via sequential fold (≡ DuckDB list_reduce). */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
-  /** Dot product of two float vectors, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product of two float/double vectors, accumulated sequentially in
+    * double — a custom codegen'd kernel (graft.plans.VecDot): Spark's HOFs
+    * are CodegenFallback, so the equivalent zip_with+aggregate fold costs
+    * ~200 interpreted virtual calls per 64-dim pair; VecDot is one tight
+    * primitive loop with the identical left-to-right summation order.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExprs.dot(a, b)
 
   /** L2 norm, accumulated in double. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

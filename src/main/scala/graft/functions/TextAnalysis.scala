@@ -46,17 +46,15 @@ object TextAnalysis {
   def totalWordLen(ws: Column): Column =
     aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x)
 
-  /** Rolling polynomial hash over the document's characters:
-    * `acc = (acc * 31 + ascii(c)) mod 1e9+7`. A strictly sequential fold —
-    * the classic Rabin-Karp document fingerprint — expressed as an
-    * `aggregate` HOF so it stays codegen'd. The modulus keeps the
-    * accumulator bounded (max ~3.1e10 << 2^63, no overflow).
+  /** Rolling polynomial hash over the document's bytes:
+    * `acc = (acc * 31 + byte) mod 1e9+7` — the classic Rabin-Karp document
+    * fingerprint, implemented as a custom codegen'd kernel
+    * (graft.plans.PolyFingerprint; a per-character HOF fold would be
+    * interpreted). On ASCII corpora `byte == ascii(char)`, matching the
+    * oracle's character-level formulation exactly.
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    graft.plans.VectorExprs.polyFingerprint(text)
 
   /** Per-language stopword profiles for the language-ID heuristic. Small
     * high-frequency function words per language; an honest heuristic (on a

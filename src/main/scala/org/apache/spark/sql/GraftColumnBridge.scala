@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column↔Expression converters, so
+  * graft's custom Catalyst expressions (graft.plans) can surface as
+  * ordinary `Column`s. Lives in org.apache.spark.sql because
+  * `classic.ExpressionUtils` is private[sql].
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
