@@ -31,6 +31,10 @@ object SparkEntry {
     "q13_rollup_report"       -> (Queries.rollupReport _),
     "q14_agg_merge"           -> (Queries.aggMerge _),
     "q15_validity_asof"       -> (Queries.validityAsOf _),
+    "q16_scd2_merge"          -> (Queries.scd2MergeIncremental _),
+    "q17_next_watermark"      -> (Queries.nextWatermark _),
+    "q18_dq_enforce"          -> (Queries.dqEnforce _),
+    "q19_star_date"           -> (Queries.starDateRevenue _),
     "q20_dedup_exact"         -> (Queries.dedupExact _),
     "q21_dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "q22_dedup_minhash_lsh"   -> (Queries.dedupMinHashLsh _),
@@ -210,6 +214,53 @@ object Queries {
     Scd.asOfSnapshot(scd2Build(spark, dir), utcTs(AsOfTs))
       .select("user_id", "event_id", "event_type", "value", "effective_from", "effective_to")
       .orderBy("user_id")
+
+  // --- q16: incremental SCD2 merge (batch path of the DLT auto-CDC flow) -----
+  // Builds history from the pre-split changelog, then merges the post-split
+  // batch; must equal the from-scratch rebuild (which is the oracle).
+  def scd2MergeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_id", "event_type", "value", "ts")
+    val h1 = ev.filter(col("ts") <= utcTs(SplitTs))
+    val h2 = ev.filter(col("ts") > utcTs(SplitTs))
+    Scd.scd2Merge(
+      Scd.scd2FromChangelog(h1, Seq("user_id"), "ts", Seq("event_id")),
+      h2, Seq("user_id"), "ts", Seq("event_id"))
+      .select("user_id", "event_id", "event_type", "value",
+        "effective_from", "effective_to", "is_current")
+      .orderBy("user_id", "effective_from")
+  }
+
+  // --- q17: post-extraction watermark update (ADF max_cdc Script analog) -----
+  def nextWatermark(spark: SparkSession, dir: String): DataFrame =
+    Incremental.nextWatermark(
+      Incremental.extractWindow(Tables.events(spark, dir), "ts",
+        utcTs(WmLow), utcTs(WmHigh)),
+      "ts")
+
+  // --- q18: DQ enforcement — rows passing every expectation ------------------
+  // (expect_all_or_drop semantics: a NULL rule verdict keeps the row)
+  def dqEnforce(spark: SparkSession, dir: String): DataFrame =
+    Quality.enforce(Tables.customer(spark, dir), dqRules)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  // --- q19: star join through the generated date dimension -------------------
+  def starDateRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      (year(col("o_orderdate").cast("date")) * 10000 +
+        month(col("o_orderdate").cast("date")) * 100 +
+        dayofmonth(col("o_orderdate").cast("date"))).as("date_key"))
+    val dim = Enrich.dimDateFrom(Tables.orders(spark, dir), "o_orderdate")
+      .select("date_key", "year", "month")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dim), "date_key")
+      .groupBy("year", "month")
+      .agg(moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("year", "month")
+  }
 
   // --- q20: exact content dedup (hash-groupBy, canonical = min id) -----------
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -480,6 +531,42 @@ object Oracles {
             FROM events)
           WHERE effective_from <= TIMESTAMP '${Queries.AsOfTs}'
             AND (effective_to IS NULL OR effective_to > TIMESTAMP '${Queries.AsOfTs}')""",
+
+    "q16_scd2_merge" ->
+      // The merge must equal the from-scratch SCD2 rebuild over the full
+      // changelog — the oracle IS that rebuild.
+      """SELECT user_id, event_id, event_type, value,
+                ts AS effective_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM events""",
+
+    "q17_next_watermark" ->
+      s"""SELECT MAX(ts) AS watermark FROM events
+          WHERE ts > TIMESTAMP '${Queries.WmLow}' AND ts <= TIMESTAMP '${Queries.WmHigh}'""",
+
+    "q18_dq_enforce" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+         WHERE NOT COALESCE(c_custkey IS NULL, false)
+           AND NOT COALESCE(NOT regexp_matches(c_name, '^Customer#[0-9]{9}$'), false)
+           AND NOT COALESCE(c_acctbal < 0.0, false)
+           AND NOT COALESCE(c_nationkey NOT BETWEEN 0 AND 24, false)""",
+
+    "q19_star_date" ->
+      s"""WITH o AS (SELECT o_orderkey,
+                 CAST(year(CAST(o_orderdate AS DATE))*10000
+                    + month(CAST(o_orderdate AS DATE))*100
+                    + day(CAST(o_orderdate AS DATE)) AS INT) AS date_key
+           FROM orders),
+          dim AS (SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+                         CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month
+                  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders))
+          SELECT year, month,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem JOIN o ON l_orderkey = o_orderkey
+                        JOIN dim USING (date_key)
+          GROUP BY 1, 2""",
 
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
