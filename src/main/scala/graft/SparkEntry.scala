@@ -60,9 +60,16 @@ object Queries {
   val WmLow  = "2024-01-10 00:00:00"
   val WmHigh = "2024-01-20 00:00:00"
 
+  private def utcMicros(s: String): Long = {
+    val i = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   def incrementalExtract(spark: SparkSession, dir: String): DataFrame =
-    Incremental.extractWindow(Tables.events(spark, dir), "ts",
-      utcTs(WmLow), utcTs(WmHigh))
+    Incremental.extractWindowNanos(Tables.eventsRawNanos(spark, dir), "ts",
+      utcMicros(WmLow), utcMicros(WmHigh))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
   // --- q02: dedup by business key, latest by sequence ----------------------

@@ -25,9 +25,19 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    eventsRawNanos(spark, dir)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** `events` with `ts` still raw epoch-nanos (LongType). Time-window
+    * operators filter THIS form so the range predicate reaches the parquet
+    * scan as a plain long comparison — `timestamp_micros(ts div 1000) > X`
+    * is opaque to the reader and would scan the full table at 100 TB.
+    */
+  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")

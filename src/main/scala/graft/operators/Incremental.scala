@@ -24,6 +24,19 @@ object Incremental {
                     highInclusive: Column): DataFrame =
     df.filter(col(seqCol) > lowExclusive && col(seqCol) <= highInclusive)
 
+  /** CDC window over a raw epoch-NANOS long column, with the bounds given
+    * in epoch MICROS. The predicate is translated exactly to the nanos
+    * domain (`micros(ts) > L  ⟺  ts > L*1000 + 999`, since micros is the
+    * truncating division by 1000), so the comparison stays a primitive
+    * long filter the parquet reader can push down — unlike a filter on the
+    * converted timestamp, which is evaluated only after the scan.
+    */
+  def extractWindowNanos(raw: DataFrame, nanosCol: String,
+                         lowExclusiveMicros: Long,
+                         highInclusiveMicros: Long): DataFrame =
+    raw.filter(col(nanosCol) > lowExclusiveMicros * 1000L + 999L &&
+      col(nanosCol) <= highInclusiveMicros * 1000L + 999L)
+
   /** The next watermark after an extraction: max of the sequence column
     * (ADF `max_cdc` Script activity analog). Single-row aggregate.
     */
