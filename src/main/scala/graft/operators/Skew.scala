@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for keyed joins.
+  *
+  * At 100 TB a handful of hot keys (the power-law reality of user/track
+  * plays in the reference's domain) can pin a shuffle join on a few
+  * straggler tasks. Two tools:
+  *
+  * - AQE (`spark.sql.adaptive.skewJoin.enabled`, on by default) splits
+  *   oversized shuffle partitions at runtime — prefer it when it applies
+  *   (sort-merge joins with runtime stats).
+  * - Explicit salting (below) for the cases AQE cannot rewrite: the
+  *   fact side's hot key is sharded across `salts` sub-keys, and the
+  *   (small) build side is replicated once per salt. Cost: build side
+  *   × salts; benefit: the hot key's rows spread over `salts` tasks.
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner equi-join with the probe side salted. `dim` should be the
+    * smaller side (it is replicated `salts` times).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // Per-row shard assignment: partition-local id spreads a hot key's
+    // rows uniformly without needing any key statistics.
+    val saltedFact = fact.withColumn(SaltCol,
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn(SaltCol,
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(replicatedDim, Seq(key, SaltCol)).drop(SaltCol)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.Sources
+
+/** Sources, SQL function registration, and skew utilities. */
+class InfraSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("json rescue read quarantines malformed and schema-violating rows") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val good = """{"id": 1, "name": "ok"}"""
+    val badJson = """{"id": 2, "name": """ // truncated record
+    val badType = """{"id": "not-a-number", "name": "x"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      Seq(good, badJson, badType).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantine) = Sources.splitRescued(
+      Sources.jsonWithRescue(spark, s"$dir/in.json", schema))
+    assert(clean.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val rescued = quarantine.select(Sources.RescueCol).collect().map(_.getString(0))
+    assert(rescued.length == 2)
+    assert(rescued.exists(_.contains("not-a-number")), "raw record preserved")
+  }
+
+  test("csv rescue read captures arity/type mismatches") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,7\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val (clean, quarantine) = Sources.splitRescued(
+      Sources.csvWithRescue(spark, s"$dir/in.csv", schema))
+    assert(clean.count() == 2)
+    assert(quarantine.count() == 1)
+  }
+
+  test("graft kernels are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    // fingerprint parity with the Column API
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_fingerprint(text) AS fp FROM docs_v")
+    val viaCol = Tables.documents(spark, sf).select(col("doc_id"),
+      functions.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+    assert(viaSql.except(viaCol).count() == 0 && viaCol.except(viaSql).count() == 0)
+    // vec_dot self-dot is the squared norm (> 0)
+    val d = spark.sql(
+      "SELECT graft_vec_dot(embedding, embedding) AS d FROM emb_v LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(d.forall(_ > 0))
+    // shingling + minhash + simhash compose in SQL
+    val sig = spark.sql(
+      """SELECT graft_minhash(graft_ngrams(split(text, ' '), 3)) AS sig,
+                graft_simhash(graft_ngrams(split(text, ' '), 3)) AS sim
+         FROM docs_v LIMIT 3""").collect()
+    assert(sig.forall(r => r.getSeq[Long](0).length == functions.Lsh.K))
+  }
+
+  test("extensions entry point injects without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("salted join equals the plain join on skewed keys") {
+    // ~600 rows share 3 hot keys — the skew shape salting exists for
+    val fact = Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") % 3).as("k"), col("l_extendedprice"))
+    val dim = spark.range(3).select(col("id").as("k"),
+      concat(lit("grp_"), col("id")).as("label"))
+    val plain = fact.join(dim, "k").select("k", "l_extendedprice", "label")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "l_extendedprice", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+}
