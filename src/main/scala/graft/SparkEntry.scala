@@ -47,6 +47,7 @@ object SparkEntry {
     "q29_text_tokens"         -> (Queries.textTokens _),
     "q30_text_fingerprint"    -> (Queries.textFingerprint _),
     "q31_multimodal_meta"     -> (Queries.multimodalMeta _),
+    "q32_sessionize"          -> (Queries.sessionize _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -375,6 +376,15 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q32: gap-based sessionization ------------------------------------------
+  val SessionGapMicros: Long = 6L * 3600 * 1000000 // 6 hours
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(
+      Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
+      .orderBy("user_id", "session_seq")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -743,6 +753,22 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q32_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts, value,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+                FROM e)
+          SELECT user_id, session_seq,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          FROM s GROUP BY 1, 2""",
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,

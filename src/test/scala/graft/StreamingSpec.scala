@@ -108,6 +108,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }
 
+  test("custom-state streaming sessionization matches batch sessions") {
+    val dir = tmp()
+    val src = s"$dir/src"
+    ev.write.mode("append").parquet(src)
+    import org.apache.spark.sql.Encoders
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val stream = IngestPipeline.boundedFileStream(spark, src, ev.schema)
+      .select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("tsMicros"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as(evEnc)
+    val q = SessionizeStream.sessionize(stream, Queries.SessionGapMicros)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_sessions")
+    // one batch closes every session except each key's open tail
+    val batch = operators.Sessionize.sessions(
+      Tables.events(spark, sf).select("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", Seq("event_id"), "value", Queries.SessionGapMicros)
+    val lastSeq = batch.groupBy("user_id").agg(max("session_seq").as("last_seq"))
+    val expected = batch.join(lastSeq, "user_id")
+      .filter(col("session_seq") < col("last_seq"))
+      .select(col("user_id").as("key"), col("session_seq"),
+        unix_micros(col("session_start")).as("start_micros"),
+        unix_micros(col("session_end")).as("end_micros"),
+        col("n_events"),
+        round(col("total_value") * 100).cast("long").as("total_cents"))
+    val gotSel = got.select(expected.columns.map(col): _*)
+    assert(gotSel.count() > 0)
+    assert(gotSel.except(expected).count() == 0 && expected.except(gotSel).count() == 0)
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
