@@ -48,6 +48,7 @@ object SparkEntry {
     "q30_text_fingerprint"    -> (Queries.textFingerprint _),
     "q31_multimodal_meta"     -> (Queries.multimodalMeta _),
     "q32_sessionize"          -> (Queries.sessionize _),
+    "q33_ann_ivf"             -> (Queries.annIvf _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -376,6 +377,14 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q33: IVF ANN — probe nprobe inverted lists, exact search within --------
+  val IvfNProbe = 3
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Ivf.annIvfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
+      AnnQueryMaxId, IvfNProbe, AnnK)
+      .orderBy("query_id", "rank")
 
   // --- q32: gap-based sessionization ------------------------------------------
   val SessionGapMicros: Long = 6L * 3600 * 1000000 // 6 hours
@@ -753,6 +762,41 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q33_ann_ivf" -> {
+      import graft.functions.Lsh.Dim
+      s"""WITH e AS (SELECT vec_id, embedding, label, $nrmSql AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM e WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce, nrm AS cn
+                FROM e WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          cent AS (
+            SELECT label, array_agg(CAST(s AS DOUBLE) ORDER BY i) AS centroid
+            FROM (SELECT label, i, SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS s
+                  FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                  WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                  GROUP BY 1, 2)
+            GROUP BY label),
+          pr AS (
+            SELECT query_id, qe, qn, label FROM (
+              SELECT query_id, qe, qn, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ccos DESC, label) AS lr
+              FROM (SELECT q.query_id, q.qe, q.qn, cent.label,
+                           ${dotSql("qe", "centroid")}
+                             / (q.qn * sqrt(${dotSql("centroid", "centroid")})) AS ccos
+                    FROM q, cent))
+            WHERE lr <= ${Queries.IvfNProbe}),
+          scored AS (
+            SELECT query_id, neighbor_id, ${dotSql("qe", "ce")} / (qn * cn) AS cos
+            FROM pr JOIN c USING (label))
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          WHERE rank <= ${Queries.AnnK}"""
+    },
 
     "q32_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ts, value,
