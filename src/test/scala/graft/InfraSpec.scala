@@ -67,6 +67,27 @@ class InfraSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("co-bucketed tables join without a shuffle on either side") {
+    val dir = Files.createTempDirectory("graft_buckets").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "k")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "k")
+    operators.Bucketing.saveBucketed(li, "b_lineitem", s"$dir/li", "k", 8)
+    operators.Bucketing.saveBucketed(o, "b_orders", s"$dir/o", "k", 8)
+    try {
+      val joined = operators.Bucketing.colocatedJoin(spark, "b_lineitem", "b_orders", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // same result as the plain (shuffling) join
+      assert(joined.count() == li.join(o, "k").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("salted join equals the plain join on skewed keys") {
     // ~600 rows share 3 hot keys — the skew shape salting exists for
     val fact = Tables.lineitem(spark, sf)
