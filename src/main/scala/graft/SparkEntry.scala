@@ -49,6 +49,7 @@ object SparkEntry {
     "q31_multimodal_meta"     -> (Queries.multimodalMeta _),
     "q32_sessionize"          -> (Queries.sessionize _),
     "q33_ann_ivf"             -> (Queries.annIvf _),
+    "q34_dedup_clusters"      -> (Queries.dedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -377,6 +378,17 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q34: near-dup clusters → canonical doc per component -------------------
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(
+      col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    Components.connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        (col("id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
 
   // --- q33: IVF ANN — probe nprobe inverted lists, exact search within --------
   val IvfNProbe = 3
@@ -762,6 +774,31 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q34_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          d AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+           FROM documents),
+          ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb, COUNT(*) AS common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+          pairs AS (SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
+              WHERE jaccard >= ${Queries.JaccardThreshold}),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT id AS doc_id, canonical_id, (id = canonical_id) AS is_canonical
+          FROM (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""",
 
     "q33_ann_ivf" -> {
       import graft.functions.Lsh.Dim
