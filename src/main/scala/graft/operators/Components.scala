@@ -29,8 +29,13 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Persist the RAW edge list before mirroring: the union references
+    // `edges` twice, and without the persist an expensive upstream (e.g.
+    // the Jaccard pair pipeline) would be computed twice into the cache.
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bidir = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -52,6 +57,7 @@ object Components {
       it += 1
     }
     bidir.unpersist()
+    e0.unpersist()
     labels
   }
 }
