@@ -50,6 +50,9 @@ object SparkEntry {
     "q32_sessionize"          -> (Queries.sessionize _),
     "q33_ann_ivf"             -> (Queries.annIvf _),
     "q34_dedup_clusters"      -> (Queries.dedupClusters _),
+    "q35_pivot_report"        -> (Queries.pivotReport _),
+    "q36_revenue_share"       -> (Queries.revenueShare _),
+    "q37_rolling_revenue"     -> (Queries.rollingRevenue _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -378,6 +381,48 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q35: pivot report (status columns per priority) ------------------------
+  val OrderStatuses = Seq("F", "O", "P")
+
+  def pivotReport(spark: SparkSession, dir: String): DataFrame =
+    Analytics.pivotCounts(Tables.orders(spark, dir),
+      "o_orderpriority", "o_orderstatus", OrderStatuses, "n_")
+      .orderBy("o_orderpriority")
+
+  // --- q36: share-of-total within partition (percent-of-region revenue) -------
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    val byNation = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+    byNation
+      .withColumn("share", Analytics.shareOfTotal(byNation, Seq("region"), "rev_dec"))
+      .select(col("region"), col("nation"),
+        col("rev_dec").cast("double").as("revenue"), col("share"))
+      .orderBy("region", "nation")
+  }
+
+  // --- q37: rolling 7-day revenue over ship dates ------------------------------
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .withColumn("day_num", datediff(col("ship_day"), lit("1970-01-01").cast("date")))
+    daily
+      .withColumn("rolling_dec", Analytics.rollingSumDays("day_num", "rev_dec", 7))
+      .select(col("ship_day"),
+        col("rev_dec").cast("double").as("daily_revenue"),
+        col("rolling_dec").cast("double").as("rolling_7d_revenue"))
+      .orderBy("ship_day")
+  }
 
   // --- q34: near-dup clusters → canonical doc per component -------------------
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -774,6 +819,40 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q35_pivot_report" ->
+      """SELECT o_orderpriority,
+                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1""",
+
+    "q36_revenue_share" ->
+      s"""WITH byn AS (
+            SELECT r_name AS region, n_name AS nation,
+                   SUM($discTerm) AS rev_dec
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2)
+          SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+                 CAST(rev_dec AS DOUBLE) /
+                   CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE) AS share
+          FROM byn""",
+
+    "q37_rolling_revenue" ->
+      s"""WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS ship_day,
+                   SUM($discTerm) AS rev_dec,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num
+            FROM lineitem GROUP BY 1, 3)
+          SELECT ship_day, CAST(rev_dec AS DOUBLE) AS daily_revenue,
+                 CAST(SUM(rev_dec) OVER (ORDER BY day_num
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS rolling_7d_revenue
+          FROM daily""",
 
     "q34_dedup_clusters" ->
       s"""WITH RECURSIVE
