@@ -53,6 +53,8 @@ object SparkEntry {
     "q35_pivot_report"        -> (Queries.pivotReport _),
     "q36_revenue_share"       -> (Queries.revenueShare _),
     "q37_rolling_revenue"     -> (Queries.rollingRevenue _),
+    "q38_distinct_sketch"     -> (Queries.distinctSketch _),
+    "q39_stratified_sample"   -> (Queries.stratifiedSample _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -381,6 +383,35 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q38: KMV distinct-count sketch vs exact ---------------------------------
+  val KmvK = 256
+
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val est = graft.functions.Sketches.kmvDistinctEstimate(li, "l_orderkey", KmvK)
+    val exact = li.agg(count_distinct(col("l_orderkey")).as("exact_distinct"))
+    est.crossJoin(exact)
+      .select(col("k"), col("exact_distinct"), col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double")).as("est_ratio"))
+  }
+
+  // --- q39: deterministic stratified sampling by language ----------------------
+  // Corpus-mixing rates: downsample dominant languages, keep the rest.
+  val SampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.tail.foldLeft(
+      when(col("lang") === SampleRates.head._1, SampleRates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .withColumn("h", graft.functions.Sketches.keyHash(col("doc_id")))
+      .filter(graft.functions.Sketches.hashSampled(col("h"), rate))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 
   // --- q35: pivot report (status columns per priority) ------------------------
   val OrderStatuses = Seq("F", "O", "P")
@@ -819,6 +850,30 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q38_distinct_sketch" -> {
+      import graft.functions.Sketches._
+      s"""WITH kmv AS (
+            SELECT MAX(h) AS kth FROM (
+              SELECT DISTINCT ($HA * l_orderkey + $HB) % $P AS h
+              FROM lineitem ORDER BY h LIMIT ${Queries.KmvK})),
+          ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+          SELECT ${Queries.KmvK} AS k, exact_distinct,
+                 ${(Queries.KmvK - 1).toDouble} / (CAST(kth AS DOUBLE) / ${P.toDouble})
+                   AS est_distinct,
+                 (${(Queries.KmvK - 1).toDouble} / (CAST(kth AS DOUBLE) / ${P.toDouble}))
+                   / CAST(exact_distinct AS DOUBLE) AS est_ratio
+          FROM kmv, ex"""
+    },
+
+    "q39_stratified_sample" -> {
+      import graft.functions.Sketches._
+      val rateCase = Queries.SampleRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+          WHERE CAST(($HA * doc_id + $HB) % $P AS DOUBLE) / ${P.toDouble}
+                < (CASE $rateCase ELSE 0.0 END)"""
+    },
 
     "q35_pivot_report" ->
       """SELECT o_orderpriority,
