@@ -769,10 +769,13 @@ object Oracles {
                            list_reduce(bits[t*$RowsRp+1 : t*$RowsRp+$RowsRp],
                              (x,y) -> x*2+y) AS key
                     FROM bits, (SELECT unnest(generate_series(0, ${BandsRp - 1})) AS t) bt),
-          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                   FROM bands q JOIN bands c ON q.t = c.t AND q.key = c.key
-                   WHERE q.vec_id < ${Queries.AnnQueryMaxId}
-                     AND c.vec_id >= ${Queries.AnnQueryMaxId}),
+          qb AS (SELECT vec_id, t, xor(key, m) AS key
+                 FROM bands,
+                      (SELECT unnest(${sqlArr(0L +: (0 until RowsRp).map(j => 1L << j))}) AS m) pm
+                 WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM qb JOIN bands c ON qb.t = c.t AND qb.key = c.key
+                   WHERE c.vec_id >= ${Queries.AnnQueryMaxId}),
           scored AS (SELECT query_id, neighbor_id,
                             ${dotSql("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) AS cos
                      FROM cand JOIN e eq ON query_id = eq.vec_id

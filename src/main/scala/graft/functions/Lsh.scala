@@ -173,4 +173,17 @@ object Lsh {
         t.as("band"),
         aggregate(slice(bits, t * lit(RowsRp) + 1, lit(RowsRp)),
           lit(0L), (acc, v) => acc * 2 + v).as("key")))
+
+  /** Multiprobe band keys: each band's base code plus its single-bit
+    * perturbations. Query-side only — a vector whose true neighbors sit
+    * just across one hyperplane still finds them, at the bounded cost of
+    * (1 + RowsRp)x probe rows per query instead of rescanning the corpus.
+    */
+  def planeBandProbeKeys(bits: Column): Column =
+    flatten(transform(sequence(lit(0), lit(BandsRp - 1)), t => {
+      val key = aggregate(slice(bits, t * lit(RowsRp) + 1, lit(RowsRp)),
+        lit(0L), (acc, v) => acc * 2 + v)
+      val masks = lit(0L) +: (0 until RowsRp).map(j => lit(1L << j))
+      array(masks.map(m => struct(t.as("band"), key.bitwiseXOR(m).as("key"))): _*)
+    }))
 }
