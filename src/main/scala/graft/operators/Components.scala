@@ -37,8 +37,12 @@ object Components {
     val bidir = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's plan references the previous labels TWICE (probe side
+    // and neighbor-min side), so lineage doubles per iteration — an eager
+    // localCheckpoint truncates it to a leaf each round, keeping plan
+    // size O(1) regardless of graph diameter.
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var prevSum = BigDecimal(labels.agg(sum("label")).head().getLong(0))
     var converged = false
     var it = 0
@@ -48,9 +52,8 @@ object Components {
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val s = BigDecimal(next.agg(sum("label")).head().getLong(0))
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Lsh
+import graft.operators.{Components, Dedup, Scd}
+
+/** Randomized property checks with a fixed seed: custom kernels are
+  * compared bit-exactly against plain-Scala reference folds (covering
+  * both the interpreted and codegen evaluation paths), and operator
+  * invariants are checked on generated data far messier than the
+  * testdata corpus (ties, empties, collisions).
+  */
+class RandomizedSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randWord(): String =
+    (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
+  private def randText(maxWords: Int): String =
+    (0 until rnd.nextInt(maxWords)).map(_ => randWord()).mkString(" ")
+
+  private def refFp(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + b) % 1000000007L)
+
+  test("PolyFingerprint matches the reference fold on random strings") {
+    val cases = (0 until 300).map(_ => randText(30)) :+ "" :+ "a"
+    val df = cases.map(s => (s, refFp(s))).toDF("s", "expected")
+    val bad = df.select(
+      graft.plans.VectorExprs.polyFingerprint(col("s")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("MinHashSig matches a reference implementation on random shingle sets") {
+    def refSig(shingles: Seq[String]): Seq[Long] =
+      (0 until Lsh.K).map { i =>
+        shingles.map(s => (Lsh.A(i) * refFp(s) + Lsh.B(i)) % Lsh.P)
+          .foldLeft(Long.MaxValue)(math.min)
+      }
+    val cases = (0 until 100).map(_ => (1 to 1 + rnd.nextInt(40)).map(_ => randWord()))
+    val df = cases.map(sh => (sh, refSig(sh))).toDF("sh", "expected")
+    val bad = df.select(
+      graft.plans.SignatureExprs.minHashSig(col("sh"), Lsh.A, Lsh.B, Lsh.P).as("got"),
+      col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("VecDot matches a reference sequential fold bit-exactly") {
+    val cases = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      ((0 until n).map(_ => rnd.nextFloat() - 0.5f),
+        (0 until n).map(_ => rnd.nextFloat() - 0.5f))
+    }
+    val df = cases.map { case (a, b) =>
+      val exp = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      (a, b, exp)
+    }.toDF("a", "b", "expected")
+    val bad = df.select(
+      graft.plans.VectorExprs.dot(col("a"), col("b")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("SCD2 invariants hold on a random changelog with ties") {
+    // keys with colliding sequence values exercise the tie columns
+    val rows = (0 until 2000).map { i =>
+      (rnd.nextInt(120).toLong, i.toLong, rnd.nextInt(50).toLong, rnd.nextDouble())
+    }
+    val df = rows.toDF("k", "uid", "seq", "v")
+    val scd2 = Scd.scd2FromChangelog(df, Seq("k"), "seq", Seq("uid"))
+    // exactly one current row per key
+    assert(scd2.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1).count() == 0)
+    // every non-current row's effective_to equals some row's effective_from
+    // for the same key, and intervals never go backwards
+    assert(scd2.filter(col("effective_to") < col("effective_from")).count() == 0)
+    val n = df.count()
+    assert(scd2.count() == n, "scd2 preserves every changelog row as a version")
+  }
+
+  test("folding scd1 merges equals one global latest-wins") {
+    val batches = (0 until 3).map { b =>
+      (0 until 500).map { i =>
+        (rnd.nextInt(80).toLong, (b * 1000 + i).toLong, rnd.nextInt(40).toLong, rnd.nextDouble())
+      }.toDF("k", "uid", "seq", "v")
+    }
+    val folded = batches.tail.foldLeft(
+      Dedup.latestByKey(batches.head, Seq("k"), Seq("seq", "uid")))(
+      (acc, b) => Scd.scd1Merge(acc, b, Seq("k"), Seq("seq", "uid")))
+    val global = Dedup.latestByKey(batches.reduce(_ unionByName _), Seq("k"), Seq("seq", "uid"))
+    assert(folded.except(global).count() == 0 && global.except(folded).count() == 0)
+  }
+
+  test("connected components agree with a union-find reference on a random graph") {
+    val n = 120
+    val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // union-find reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val refLabel = (0 until n).map { i =>
+      // canonical = min member; path-compress via repeated find
+      var r = find(i); i.toLong -> r.toLong
+    }.toMap
+    // min-id canonicalization of the union-find labels
+    val members = refLabel.toSeq.groupBy(_._2).flatMap { case (_, m) =>
+      val minId = m.map(_._1).min
+      m.map { case (id, _) => id -> minId }
+    }
+    val got = Components.connectedComponents(
+      spark.range(n).select(col("id")),
+      edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == members)
+  }
+}
