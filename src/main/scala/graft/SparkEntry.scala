@@ -55,6 +55,7 @@ object SparkEntry {
     "q37_rolling_revenue"     -> (Queries.rollingRevenue _),
     "q38_distinct_sketch"     -> (Queries.distinctSketch _),
     "q39_stratified_sample"   -> (Queries.stratifiedSample _),
+    "q40_asof_join"           -> (Queries.asOfAttribution _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -383,6 +384,21 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q40: as-of join — purchase attributed to latest preceding view ---------
+  def asOfAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = Dedup.latestByKey(
+      ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value"),
+      keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
+    AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts",
+      Seq("value", "event_id"), "view_")
+      .orderBy("event_id")
+  }
 
   // --- q38: KMV distinct-count sketch vs exact ---------------------------------
   val KmvK = 256
@@ -853,6 +869,18 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, event_id, value FROM (
+                  SELECT user_id, ts, event_id, value,
+                         row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'view') WHERE rn = 1)
+          SELECT p.event_id, p.user_id, p.ts, p.value,
+                 v.value AS view_value, v.event_id AS view_event_id
+          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
     "q38_distinct_sketch" -> {
       import graft.functions.Sketches._
