@@ -108,6 +108,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = tmp()
+    val ev2 = Tables.events(spark, sf).select("user_id", "event_id", "event_type", "value", "ts")
+    val purchases = ev2.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val views = ev2.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    purchases.write.parquet(s"$dir/p")
+    views.write.parquet(s"$dir/v")
+    val joined = StreamJoin.intervalJoin(
+      IngestPipeline.boundedFileStream(spark, s"$dir/p", purchases.schema), "p_ts",
+      IngestPipeline.boundedFileStream(spark, s"$dir/v", views.schema), "v_ts",
+      keys = Seq("user_id"), delay = "0 seconds", lookback = "24 HOURS")
+    joined.writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(s"$dir/out").select("p_id", "v_id")
+    val exp = purchases.join(views,
+        purchases("user_id") === views("user_id") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("v_ts") <= col("p_ts"))
+      .select("p_id", "v_id")
+    assert(got.count() > 0)
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+  }
+
   test("custom-state streaming sessionization matches batch sessions") {
     val dir = tmp()
     val src = s"$dir/src"
