@@ -56,6 +56,8 @@ object SparkEntry {
     "q38_distinct_sketch"     -> (Queries.distinctSketch _),
     "q39_stratified_sample"   -> (Queries.stratifiedSample _),
     "q40_asof_join"           -> (Queries.asOfAttribution _),
+    "q41_tfidf_terms"         -> (Queries.tfidfTerms _),
+    "q42_embed_stats"         -> (Queries.embedStats _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -384,6 +386,55 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q41: top TF-IDF terms per document --------------------------------------
+  // Log-free IDF (N/df) so scores are pure IEEE arithmetic on exact
+  // integers — bit-identical across engines; ranking is unchanged
+  // (x -> N/x and x -> log(N/x) are both monotone).
+  val TfIdfTopK = 3
+
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = docs.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+    val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = w.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TfIdfTopK)
+      .select("doc_id", "term", "tf", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  // --- q42: per-dimension embedding statistics ---------------------------------
+  // Moments over values TRUNCATED to integer units of 1e-10: truncation
+  // (unlike decimal rounding) has no tie cases, so the quantized value is
+  // bit-identical in any engine; integer/decimal sums are then exact and
+  // order-independent. (Decimal HALF_UP vs HALF_EVEN tie handling differs
+  // between engines — measured one-quantum divergences at scale 10.)
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 0)
+    val e = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        (col("v").cast("double") * lit(1.0e10)).cast("long").cast(dec).as("q"))
+    e.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("sq"))
+      .select(
+        col("pos"),
+        col("n"),
+        (col("s").cast("double") / col("n") / lit(1.0e10)).as("mean"),
+        (sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) / col("n"))
+          / lit(1.0e10)).as("std"))
+      .orderBy("pos")
+  }
 
   // --- q40: as-of join — purchase attributed to latest preceding view ---------
   def asOfAttribution(spark: SparkSession, dir: String): DataFrame = {
@@ -870,6 +921,34 @@ object Oracles {
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
 
+    "q41_tfidf_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest($ws) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+          df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM documents)
+          SELECT doc_id, term, tf, score, rank FROM (
+            SELECT doc_id, term, tf,
+                   CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY
+                     CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                     term) AS INT) AS rank
+            FROM tf JOIN df USING (term), nn)
+          WHERE rank <= ${Queries.TfIdfTopK}""",
+
+    "q42_embed_stats" ->
+      """SELECT pos, n,
+                CAST(s AS DOUBLE) / n / 1.0e10 AS mean,
+                sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                  / 1.0e10 AS std
+         FROM (SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+                      SUM(q) AS s, SUM(CAST(q AS DECIMAL(25,0)) * q) AS sq
+               FROM (SELECT i,
+                            CAST(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 1.0e10)
+                                      AS BIGINT) AS DECIMAL(12,0)) AS q
+                     FROM embeddings,
+                          (SELECT unnest(generate_series(1, 64)) AS i) g)
+               GROUP BY 1)""",
+
     "q40_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
                     WHERE event_type = 'purchase'),
@@ -974,7 +1053,8 @@ object Oracles {
                 FROM e WHERE vec_id >= ${Queries.AnnQueryMaxId}),
           cent AS (
             SELECT label, array_agg(CAST(s AS DOUBLE) ORDER BY i) AS centroid
-            FROM (SELECT label, i, SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS s
+            FROM (SELECT label, i,
+                         SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS s
                   FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i) g
                   WHERE vec_id >= ${Queries.AnnQueryMaxId}
                   GROUP BY 1, 2)
