@@ -422,17 +422,23 @@ object Queries {
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("pos"),
         (col("v").cast("double") * lit(1.0e10)).cast("long").cast(dec).as("q"))
+    // Variance numerator n*sq - s^2 computed EXACTLY in decimal — leaving
+    // only sqrt and two divisions in float. (With s^2/n in float, one
+    // engine's compiler contracted the expression differently, giving
+    // 1-ulp divergences.)
+    val d8 = org.apache.spark.sql.types.DecimalType(8, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
     e.groupBy("pos")
       .agg(count(lit(1)).as("n"),
         sum(col("q")).as("s"),
         sum(col("q") * col("q")).as("sq"))
+      .withColumn("var_num",
+        col("sq") * col("n").cast(d8) - col("s").cast(d18) * col("s").cast(d18))
       .select(
         col("pos"),
         col("n"),
         (col("s").cast("double") / col("n") / lit(1.0e10)).as("mean"),
-        (sqrt((col("sq").cast("double") -
-          col("s").cast("double") * col("s").cast("double") / col("n")) / col("n"))
-          / lit(1.0e10)).as("std"))
+        (sqrt(col("var_num").cast("double")) / col("n") / lit(1.0e10)).as("std"))
       .orderBy("pos")
   }
 
@@ -938,8 +944,9 @@ object Oracles {
     "q42_embed_stats" ->
       """SELECT pos, n,
                 CAST(s AS DOUBLE) / n / 1.0e10 AS mean,
-                sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
-                  / 1.0e10 AS std
+                sqrt(CAST(CAST(sq AS DECIMAL(30,0)) * CAST(n AS DECIMAL(8,0))
+                          - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(18,0))
+                          AS DOUBLE)) / n / 1.0e10 AS std
          FROM (SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
                       SUM(q) AS s, SUM(CAST(q AS DECIMAL(25,0)) * q) AS sq
                FROM (SELECT i,
