@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties PLANS.md claims
+  * are asserted here, so a refactor that silently reintroduces a shuffle,
+  * loses a pushdown, or re-inlines an expensive expression fails CI —
+  * not a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: CDC range predicate reaches the parquet scan") {
+    val p = plan("q01_incremental_extract")
+    assert(p.contains("GreaterThan(ts"), "lower bound not pushed")
+    assert(p.contains("LessThanOrEqual(ts"), "upper bound not pushed")
+  }
+
+  test("q08: all four dimensions broadcast; fact side never sort-merge joined") {
+    val p = plan("q08_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
+    assert(!p.contains("SortMergeJoin"), "a star dimension fell back to SMJ")
+  }
+
+  test("q10: scan prunes to the aggregated columns and pushes the date filter") {
+    val p = plan("q10_agg_report")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_comment"), "unused column not pruned")
+  }
+
+  test("q22: LSH candidate generation reads the corpus exactly twice") {
+    val p = plan("q22_dedup_minhash_lsh")
+    assert("FileScan parquet".r.findAllIn(p).length == 2, p)
+  }
+
+  test("q25: ANN brute force broadcasts the query side only") {
+    val p = plan("q25_ann_bruteforce")
+    assert(p.contains("BroadcastExchange"), "query set should broadcast")
+  }
+
+  test("q19: derived date dimension is broadcast") {
+    val p = plan("q19_star_date")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("aggregations use map-side partial aggregation") {
+    val p = plan("q10_agg_report")
+    assert(p.contains("partial_"), "no partial aggregate before the exchange")
+  }
+}
