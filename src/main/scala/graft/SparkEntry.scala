@@ -58,6 +58,8 @@ object SparkEntry {
     "q40_asof_join"           -> (Queries.asOfAttribution _),
     "q41_tfidf_terms"         -> (Queries.tfidfTerms _),
     "q42_embed_stats"         -> (Queries.embedStats _),
+    "q43_cube_report"         -> (Queries.cubeReport _),
+    "q44_text_normalize"      -> (Queries.textNormalize _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -386,6 +388,26 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q43: CUBE multi-dimensional aggregate (all grouping-set combinations) --
+  def cubeReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(dec2(col("o_totalprice"))).as("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // --- q44: text normalization — stopword removal + re-join -------------------
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val stops = TextAnalysis.LangProfiles.head._2
+    val ws = TextAnalysis.words(col("text"))
+    val kept = filter(ws, w => !w.isin(stops.map(lit): _*))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      (size(ws) - size(kept)).as("n_removed"))
+      .orderBy("doc_id")
+  }
 
   // --- q41: top TF-IDF terms per document --------------------------------------
   // Log-free IDF (N/df) so scores are pure IEEE arithmetic on exact
@@ -926,6 +948,21 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q43_cube_report" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q44_text_normalize" -> {
+      val stops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""SELECT doc_id,
+                 array_to_string(list_filter($ws, w -> w NOT IN $stops), ' ')
+                   AS clean_text,
+                 CAST(len($ws) - len(list_filter($ws, w -> w NOT IN $stops)) AS INT)
+                   AS n_removed
+          FROM documents"""
+    },
 
     "q41_tfidf_terms" ->
       s"""WITH w AS (SELECT doc_id, unnest($ws) AS term FROM documents),
