@@ -60,6 +60,8 @@ object SparkEntry {
     "q42_embed_stats"         -> (Queries.embedStats _),
     "q43_cube_report"         -> (Queries.cubeReport _),
     "q44_text_normalize"      -> (Queries.textNormalize _),
+    "q45_multimodal_frames"   -> (Queries.multimodalFrames _),
+    "q46_token_histogram"     -> (Queries.tokenHistogram _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -388,6 +390,30 @@ object Queries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(Multimodal.payloadTable(Tables.documents(spark, dir)))
       .orderBy("doc_id")
+
+  // --- q45: frame-sampling schedule for video payloads -------------------------
+  val FramesPerVideo = 4
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadTable(Tables.documents(spark, dir))
+      .filter(col("media_type") === "video/mp4")
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameSampleOffsets(octet_length(col("payload")), FramesPerVideo))
+          .as(Seq("frame_idx", "byte_offset")))
+      .orderBy("doc_id", "frame_idx")
+
+  // --- q46: corpus token-length histogram --------------------------------------
+  val TokenBucketWidth = 20
+
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.words(col("text")))
+    Tables.documents(spark, dir)
+      .select(floor(nTok / lit(TokenBucketWidth.toDouble)).cast("long").as("bucket"),
+        nTok.cast("long").as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .orderBy("bucket")
+  }
 
   // --- q43: CUBE multi-dimensional aggregate (all grouping-set combinations) --
   def cubeReport(spark: SparkSession, dir: String): DataFrame =
@@ -948,6 +974,21 @@ object Oracles {
                      c -> CAST(ascii(c) AS BIGINT)),
                      (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM documents""",
+
+    "q45_multimodal_frames" ->
+      s"""SELECT doc_id,
+                 CAST(m AS INT) AS frame_idx,
+                 CAST(floor(octet_length(encode(text)) * m
+                            / ${Queries.FramesPerVideo}.0) AS BIGINT) AS byte_offset
+          FROM documents,
+               (SELECT unnest(generate_series(0, ${Queries.FramesPerVideo - 1})) AS m) g
+          WHERE doc_id % 3 = 2""",
+
+    "q46_token_histogram" ->
+      s"""SELECT CAST(floor(len($ws) / ${Queries.TokenBucketWidth}.0) AS BIGINT) AS bucket,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(len($ws) AS BIGINT)) AS BIGINT) AS total_tokens
+          FROM documents GROUP BY 1""",
 
     "q43_cube_report" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -57,6 +57,16 @@ object Multimodal {
       col("checksum"),
       (lit(64) + octet_length(col("payload")) % 193).as("width"),
       (lit(64) + (octet_length(col("payload")) * 31) % 193).as("height"))
+
+  /** Frame-sampling plan for video payloads: `n` byte offsets spaced
+    * uniformly through the payload (the seek table a real demuxer would
+    * refine). Pure array arithmetic — the sampling SCHEDULE is computed
+    * at scan speed for the whole corpus; only the sampled offsets ever
+    * reach the (expensive, per-partition) decode stage.
+    */
+  def frameSampleOffsets(byteLen: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => floor((byteLen.cast("long") * i) / lit(n.toDouble)).cast("long"))
 
   /** Deterministic fake codec — REPLACE with a real decoder (e.g. javacv /
     * ImageIO behind a thread-local) in production. Mirrors the arithmetic
