@@ -34,6 +34,12 @@ object Tables {
     * operators filter THIS form so the range predicate reaches the parquet
     * scan as a plain long comparison — `timestamp_micros(ts div 1000) > X`
     * is opaque to the reader and would scan the full table at 100 TB.
+    *
+    * The `nanosAsLong` conf set here is deliberate, not an oversight:
+    * `SparkEntry.queries`/`entry` are invoked by arbitrary driver sessions
+    * that have not pre-configured it, and the flag is write-once-true
+    * (never toggled back), so repeated sets are idempotent and safe under
+    * concurrent readers.
     */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
