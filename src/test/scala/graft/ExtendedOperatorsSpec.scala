@@ -37,6 +37,50 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(truePos.toDouble / nExact >= 0.6, s"recall $truePos/$nExact < 0.6")
   }
 
+  test("df cap bounds shingle fan-out: boilerplate-only pairs drop, true dups stay") {
+    import spark.implicits._
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = ((1L to 8L).map(i => (i, s"$boiler unique$i only$i words$i")) ++
+      Seq((100L, s"$boiler same tail here"), (101L, s"$boiler same tail here")))
+      .toDF("doc_id", "text")
+    // Uncapped: every pair shares the 8 boilerplate trigrams and passes 0.4.
+    val uncapped = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4,
+      maxPostings = 1000)
+    assert(uncapped.count() > 1, "test corpus should produce boilerplate pairs")
+    // Capped at 5 (< boilerplate df of 10): only the genuinely identical
+    // pair survives, with Jaccard 1.0 over its informative shingles.
+    val capped = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4,
+      maxPostings = 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)))
+    assert(capped.head.getDouble(3) == 1.0)
+  }
+
+  test("lsh-verified jaccard pairs equal the exact pairs on this corpus") {
+    // LSH candidate recall is full here (previous test) and verification is
+    // exact Jaccard, so the scale path must reproduce the exact pairs.
+    val exact = NearDup.ngramJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Queries.JaccardThreshold)
+      .select("doc_a", "doc_b")
+    val verified = NearDup.lshVerifiedJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Queries.JaccardThreshold)
+      .select("doc_a", "doc_b")
+    assert(exact.except(verified).count() == 0, "scale path missed an exact pair")
+    assert(verified.except(exact).count() == 0, "scale path emitted a false pair")
+  }
+
+  test("ANN recall@5 vs brute force: LSH and IVF both >= 0.8") {
+    val bf = Queries.annBruteForce(spark, sf).select("query_id", "neighbor_id")
+    val total = bf.count().toDouble
+    def recall(q: String): Double = {
+      val got = SparkEntry.queries(q)(spark, sf).select("query_id", "neighbor_id")
+      (total - bf.except(got).count()) / total
+    }
+    val rLsh = recall("q26_ann_lsh")
+    val rIvf = recall("q33_ann_ivf")
+    assert(rLsh >= 0.8, s"LSH recall@5 regressed to $rLsh")
+    assert(rIvf >= 0.8, s"IVF recall@5 regressed to $rIvf")
+  }
+
   test("ann lsh returns a subset of each query's candidates, ranked correctly") {
     val out = Queries.annLsh(spark, sf).collect()
     assert(out.nonEmpty)

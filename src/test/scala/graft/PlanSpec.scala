@@ -41,9 +41,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "query set should broadcast")
   }
 
-  test("q19: derived date dimension is broadcast") {
+  test("q19: one scan of orders, one of lineitem — dim attrs derived in place") {
     val p = plan("q19_star_date")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert("FileScan parquet".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q21: shingle posting lists are df-capped before the self-join") {
+    val p = plan("q21_dedup_ngram_jaccard")
+    assert(p.contains(s"<= ${Queries.JaccardMaxPostings}"),
+      "df cap filter missing from the pair pipeline")
+    assert(p.contains("LeftSemi"), "cap should apply via a semi-join on shingles")
   }
 
   test("aggregations use map-side partial aggregation") {
