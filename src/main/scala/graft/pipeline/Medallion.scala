@@ -1,9 +1,10 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Quality, Scd}
+import graft.sources.Snapshots
 
 /** Config-driven medallion pipeline: the reference's orchestration as a
   * library facility.
@@ -37,7 +38,13 @@ object Medallion {
       rules: Seq[Quality.Rule] = Seq.empty,
       scdType: Int = 1)
 
-  /** Outcome of one table's run. */
+  /** Outcome of one table's run. `extracted` = rows in the (low, high]
+    * slice; `cleaned` = slice rows passing the DQ expectations (what
+    * proceeds to the gold merge); `goldRows` = rows in the committed gold
+    * snapshot. All three come from `Observation` metrics collected DURING
+    * the gold write — a run triggers no counting actions of its own, so
+    * stats stay free at any data size.
+    */
   final case class RunResult(table: String, extracted: Long, cleaned: Long,
                              goldRows: Long, watermark: java.sql.Timestamp)
 
@@ -73,47 +80,40 @@ object Medallion {
     specs.map { spec =>
       val src = source(spec.name)
       val low = store.get(spec.name)
-      // bronze: the (low, high] slice only
+      val obsSlice = Observation()
+      val obsClean = Observation()
+      val obsGold  = Observation()
+      // bronze: the (low, high] slice only. The observe nodes piggyback
+      // row counts on the gold write — no separate count() scans.
       val slice = low.fold(src.filter(col(spec.seqCol) <= lit(highWatermark)))(wm =>
-        src.filter(col(spec.seqCol) > lit(wm) && col(spec.seqCol) <= lit(highWatermark)))
-      // silver: expectations + key dedup (latest within the slice)
-      val cleaned = Dedup.latestByKey(
-        Quality.enforce(slice, spec.rules),
-        spec.keys, (spec.seqCol +: spec.tieCols))
-      val extracted = slice.count()
+          src.filter(col(spec.seqCol) > lit(wm) && col(spec.seqCol) <= lit(highWatermark)))
+        .observe(obsSlice, count(lit(1)).as("n"))
+      // silver: expectations, then key dedup (latest within the slice)
+      // where SCD1 consumes a snapshot. SCD2 keeps every change row.
+      val enforced = Quality.enforce(slice, spec.rules)
+        .observe(obsClean, count(lit(1)).as("n"))
       val goldPath = s"$stateDir/gold/${spec.name}"
-      val goldExists = {
-        val p = new Path(goldPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
       // gold: SCD merge of the cleaned slice
       val merged =
-        if (!goldExists) {
+        if (!Snapshots.exists(spark, goldPath)) {
           if (spec.scdType == 2)
-            Scd.scd2FromChangelog(Quality.enforce(slice, spec.rules),
-              spec.keys, spec.seqCol, spec.tieCols)
-          else cleaned
+            Scd.scd2FromChangelog(enforced, spec.keys, spec.seqCol, spec.tieCols)
+          else Dedup.latestByKey(enforced, spec.keys, spec.seqCol +: spec.tieCols)
         } else {
-          val gold = spark.read.parquet(goldPath)
+          val gold = Snapshots.read(spark, goldPath)
           if (spec.scdType == 2)
-            Scd.scd2Merge(gold, Quality.enforce(slice, spec.rules),
-              spec.keys, spec.seqCol, spec.tieCols)
-          else Scd.scd1Merge(gold, cleaned, spec.keys, spec.seqCol +: spec.tieCols)
+            Scd.scd2Merge(gold, enforced, spec.keys, spec.seqCol, spec.tieCols)
+          else Scd.scd1Merge(gold,
+            Dedup.latestByKey(enforced, spec.keys, spec.seqCol +: spec.tieCols),
+            spec.keys, spec.seqCol +: spec.tieCols)
         }
-      swapWrite(merged, goldPath)
+      Snapshots.commit(merged.observe(obsGold, count(lit(1)).as("n")), goldPath)
       store.update(spec.name, highWatermark)
-      RunResult(spec.name, extracted, cleaned.count(),
-        spark.read.parquet(goldPath).count(), highWatermark)
+      // An observe node inside a provably-empty subtree is pruned by AQE
+      // and never fires; its count is then 0 by construction.
+      def n(o: Observation): Long =
+        o.get.getOrElse("n", 0L).asInstanceOf[Long]
+      RunResult(spec.name, n(obsSlice), n(obsClean), n(obsGold), highWatermark)
     }
-  }
-
-  private def swapWrite(df: DataFrame, target: String): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val targetPath = new Path(target)
-    val staging = new Path(target + "__staging")
-    val fs = targetPath.getFileSystem(conf)
-    df.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(targetPath, true)
-    fs.rename(staging, targetPath)
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.Medallion
 import graft.pipeline.Medallion.TableSpec
+import graft.sources.Snapshots
 
 /** The config-driven medallion runner: watermark-bounded extraction,
   * silver cleaning, gold SCD merges — across two incremental runs.
@@ -39,14 +40,14 @@ class PipelineSpec extends AnyFunSuite {
       "second run extracts ONLY rows beyond the stored watermark")
 
     // gold converges to the direct batch operators over the full changelog
-    val scd1 = spark.read.parquet(s"$state/gold/events_scd1")
+    val scd1 = Snapshots.read(spark, s"$state/gold/events_scd1")
       .select(eventCols.map(col): _*)
     val expScd1 = Queries.scd1Latest(spark, sf).select(eventCols.map(col): _*)
     assert(scd1.except(expScd1).count() == 0 && expScd1.except(scd1).count() == 0)
 
     val scd2Cols = Seq("user_id", "event_id", "event_type", "value",
       "effective_from", "effective_to", "is_current")
-    val scd2 = spark.read.parquet(s"$state/gold/events_scd2")
+    val scd2 = Snapshots.read(spark, s"$state/gold/events_scd2")
       .select(scd2Cols.map(col): _*)
     val expScd2 = Queries.scd2Build(spark, sf).select(scd2Cols.map(col): _*)
     assert(scd2.except(expScd2).count() == 0 && expScd2.except(scd2).count() == 0)
@@ -54,7 +55,7 @@ class PipelineSpec extends AnyFunSuite {
     // a third run with the same high watermark is a no-op extraction
     val r3 = Medallion.run(spark, specs, source, state, end)
     assert(r3.forall(_.extracted == 0), "same-watermark rerun extracts nothing")
-    val scd1b = spark.read.parquet(s"$state/gold/events_scd1")
+    val scd1b = Snapshots.read(spark, s"$state/gold/events_scd1")
       .select(eventCols.map(col): _*)
     assert(scd1b.except(expScd1).count() == 0 && expScd1.except(scd1b).count() == 0)
   }
@@ -67,7 +68,55 @@ class PipelineSpec extends AnyFunSuite {
       rules = Seq(operators.Quality.Rule("value_positive", col("value") < 0))))
     val end = new java.sql.Timestamp(4102444800000L)
     Medallion.run(spark, specs, (_: String) => ev, state, end)
-    val gold = spark.read.parquet(s"$state/gold/ev")
+    val gold = Snapshots.read(spark, s"$state/gold/ev")
     assert(gold.filter(col("value") < 0).count() == 0)
+  }
+
+  test("snapshot commit is crash-safe: a reader always sees a complete snapshot") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_snap").toString + "/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), target)
+    assert(Snapshots.read(spark, target).count() == 2)
+
+    // Crash window 1: new snapshot staged, manifest NOT yet published —
+    // readers still resolve the old, complete snapshot.
+    val v2 = Snapshots.writeSnapshot(Seq((1L, "a2")).toDF("id", "v"), target)
+    assert(Snapshots.read(spark, target).count() == 2,
+      "reader must not see an unpublished snapshot")
+
+    // Crash window 2: published but not yet garbage-collected — readers
+    // resolve the NEW snapshot even with stale files still present.
+    Snapshots.publish(spark, target, v2)
+    assert(Snapshots.read(spark, target).count() == 1)
+    assert(Snapshots.read(spark, target).filter(col("v") === "a2").count() == 1)
+
+    // GC removes the stale version; the store keeps working.
+    Snapshots.gc(spark, target)
+    assert(Snapshots.read(spark, target).count() == 1)
+    // A crashed attempt's orphan (window 1 rerun) is simply overwritten.
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), target)
+    assert(Snapshots.read(spark, target).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("a medallion run triggers no counting actions beyond its writes") {
+    val state = Files.createTempDirectory("graft_medallion_jobs").toString
+    val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
+    val specs = Seq(TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
+      tieCols = Seq("event_id"), scdType = 1))
+    val end = new java.sql.Timestamp(4102444800000L)
+    Medallion.run(spark, specs, (_: String) => ev, state, end) // warm: gold exists
+
+    def maxJobId: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val before = maxJobId
+    val r = Medallion.run(spark, specs, (_: String) => ev, state, end)
+    val jobs = maxJobId - before
+    // Stats come from Observation metrics on the single gold write; the
+    // only other jobs are tiny state ops (watermark read/append, gold
+    // snapshot read, parquet footer reads) — none scale with the data.
+    // Before this bound, three extra full count() scans ran per table.
+    assert(jobs <= 8, s"medallion run fired $jobs jobs")
+    assert(r.head.extracted == 0 && r.head.goldRows > 0,
+      "observation stats should still be populated")
   }
 }

@@ -103,7 +103,7 @@ class StreamingSpec extends AnyFunSuite {
     run()
     half2.write.mode("append").parquet(src)
     run()
-    val got = spark.read.parquet(target).select(eventCols.map(col): _*)
+    val got = graft.sources.Snapshots.read(spark, target).select(eventCols.map(col): _*)
     val exp = Queries.scd1Latest(spark, sf).select(eventCols.map(col): _*)
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }
@@ -186,7 +186,7 @@ class StreamingSpec extends AnyFunSuite {
     run()
     half2.write.mode("append").parquet(src)
     run()
-    val got = spark.read.parquet(target).select(outCols.map(col): _*)
+    val got = graft.sources.Snapshots.read(spark, target).select(outCols.map(col): _*)
     val exp = Queries.scd2Build(spark, sf).select(outCols.map(col): _*)
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }
