@@ -4,23 +4,25 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Connected components by iterative min-label propagation — the step
-  * that turns near-duplicate PAIRS into dedup decisions: each component
-  * keeps one canonical document (its minimum id), everything else is a
-  * duplicate of it.
+/** Connected components by min-label propagation WITH pointer jumping —
+  * the step that turns near-duplicate PAIRS into dedup decisions: each
+  * component keeps one canonical document (its minimum id), everything
+  * else is a duplicate of it.
   *
   * Algorithm: every node starts labeled with itself; each round, a node
-  * takes the minimum label among itself and its neighbors. Labels only
-  * decrease, so the sum of labels is a monotone convergence witness — the
-  * loop stops when one round leaves the sum unchanged (fixpoint), after
-  * O(component diameter) rounds. Near-dup graphs are overwhelmingly tiny
-  * cliques/chains, so 2–4 rounds in practice.
+  * takes the minimum of its label, its neighbors' labels, AND its label's
+  * own label (path halving — labels are node ids, so `label(label(u))` is
+  * one equi-join of the label table with itself). Plain neighbor-min
+  * needs O(diameter) rounds — a 100-hop chain takes 100 rounds; the jump
+  * halves every label path per round, giving O(log diameter) like the
+  * large-star/small-star family but with one extra node-sized join per
+  * round instead of re-materializing the edge set. Labels only decrease,
+  * so the sum of labels is a monotone convergence witness — the loop
+  * stops when one round leaves the sum unchanged (fixpoint).
   *
-  * Scale: each round is one join + one aggregation on the edge list —
-  * all-distributed, nothing driver-side except the 1-row convergence
-  * check. For planet-scale graphs with long chains, switch to the
-  * large-star/small-star variant (same primitives, fewer rounds); the
-  * interface is unchanged.
+  * Scale: each round is two joins + one aggregation, all keyed on node
+  * ids — fully distributed, nothing driver-side except the 1-row
+  * convergence check.
   */
 object Components {
 
@@ -28,7 +30,14 @@ object Components {
     * column; `edges`: `src`/`dst` pairs (either orientation).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    ccWithRounds(nodes, edges, maxIter)._1
+
+  /** As `connectedComponents`, also reporting the rounds to fixpoint
+    * (exercised by the convergence-rate property spec).
+    */
+  private[graft] def ccWithRounds(nodes: DataFrame, edges: DataFrame,
+                                  maxIter: Int): (DataFrame, Int) = {
     // Persist the RAW edge list before mirroring: the union references
     // `edges` twice, and without the persist an expensive upstream (e.g.
     // the Jaccard pair pipeline) would be computed twice into the cache.
@@ -49,9 +58,16 @@ object Components {
     while (!converged && it < maxIter) {
       val nbrMin = bidir.join(labels, bidir("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("step"))
+      // Pointer jump (path halving): follow the stepped label to ITS
+      // label. Every label value is a node id, so the parent lookup is an
+      // equi-join against the same round's label table.
+      val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
+      val next = stepped.join(parents, stepped("step") === parents("p_id"), "left")
+        .select(stepped("id"),
+          least(col("step"), coalesce(col("p_label"), col("step"))).as("label"))
         .localCheckpoint(true)
       val s = BigDecimal(next.agg(sum("label")).head().getLong(0))
       labels = next
@@ -61,6 +77,6 @@ object Components {
     }
     bidir.unpersist()
     e0.unpersist()
-    labels
+    (labels, it)
   }
 }

@@ -36,4 +36,22 @@ object StarSchema {
     }
     joined.select((factCols ++ dims.flatMap(_.cols)).map(col): _*)
   }
+
+  /** A dimension by TABLE NAME, for the SQL-text form of the same config. */
+  final case class DimRef(table: String, cols: Seq[String], factKey: String,
+                          dimKey: String)
+
+  /** Render the star config as ANSI SQL text — the reference renders its
+    * config to a SQL string before running it (reference: local_spotify_dab/
+    * Jinja/jinja_notebook.py:203-296), and SQL-surface users (the
+    * `graft_*` function audience) want that text for inspection, review,
+    * or execution elsewhere. Semantically identical to `compose` over the
+    * same tables: `spark.sql(renderSql(...))` and the DataFrame path
+    * produce the same rows (asserted in InfraSpec).
+    */
+  def renderSql(factTable: String, factCols: Seq[String], dims: Seq[DimRef]): String = {
+    val select = (factCols ++ dims.flatMap(_.cols)).mkString(", ")
+    val joins = dims.map(d => s"JOIN ${d.table} ON ${d.factKey} = ${d.dimKey}")
+    (s"SELECT $select" +: s"FROM $factTable" +: joins).mkString("\n")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -72,5 +73,78 @@ object Sources {
     val clean = parsed.filter(col(RescueCol).isNull).drop(RescueCol)
     val quarantine = parsed.filter(col(RescueCol).isNotNull)
     (clean, quarantine)
+  }
+
+  // ---- Schema evolution (Autoloader `addNewColumns` analog) -----------------
+  // Reference: Silver_Dimensions.py:316 — `cloudFiles.schemaLocation` tracks
+  // the evolving schema across runs and new columns are admitted into it.
+  // Here the tracked schema lives in a tiny JSON file; each batch's observed
+  // columns are merged in (new top-level fields appended nullable, existing
+  // fields keep their established type — a type CHANGE is not evolution and
+  // still lands in `_rescued_data`).
+
+  /** Persistent evolving-schema state (`schemaLocation` analog). */
+  final class SchemaStore(spark: SparkSession, path: String) {
+    private def fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def load(): Option[StructType] = {
+      val p = new Path(path)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+      }
+    }
+
+    def save(schema: StructType): Unit = {
+      val p = new Path(path)
+      val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not persist schema at $path")
+    }
+  }
+
+  /** Merge an observed batch schema into the established one: established
+    * fields keep their position and type; unseen top-level fields are
+    * appended (nullable — earlier data simply lacks them).
+    */
+  def evolveSchema(base: StructType, incoming: StructType): StructType = {
+    val known = base.fieldNames.toSet
+    StructType(base.fields ++
+      incoming.fields.filterNot(f => known(f.name) || f.name == RescueCol)
+        .map(_.copy(nullable = true)))
+  }
+
+  /** Project `df` onto `target`: present columns pass through, columns the
+    * batch predates become typed nulls — how historical rows are
+    * null-padded when read alongside evolved data.
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.map { f =>
+      if (present(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** JSON-lines read that EVOLVES the tracked schema: the batch's observed
+    * columns (one schema-inference pass over the new files only — the same
+    * cost Autoloader pays to detect new columns) are merged into the
+    * store, then the batch is read against the widened schema with the
+    * usual rescue contract. Returns rows in the evolved schema; batches
+    * written before a column existed read back null-padded via `alignTo`.
+    */
+  def jsonEvolving(spark: SparkSession, path: String, store: SchemaStore): DataFrame = {
+    val observed = spark.read.json(path).schema
+    val evolved = store.load().fold(
+      StructType(observed.fields.filterNot(_.name == RescueCol).map(_.copy(nullable = true))))(
+      base => evolveSchema(base, observed))
+    store.save(evolved)
+    jsonWithRescue(spark, path, evolved)
   }
 }

@@ -40,6 +40,44 @@ class InfraSpec extends AnyFunSuite {
     assert(quarantine.count() == 1)
   }
 
+  test("schema evolution admits new columns; earlier rows read null-padded") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val store = new Sources.SchemaStore(spark, s"$dir/_schema")
+
+    // batch 1: two columns
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      """{"id": 1, "name": "a"}""" + "\n" + """{"id": 2, "name": "b"}""")
+    val b1 = Sources.jsonEvolving(spark, s"$dir/b1.json", store)
+    assert(b1.schema.fieldNames.toSeq == Seq("id", "name", Sources.RescueCol))
+    Sources.splitRescued(b1)._1.write.mode("append").parquet(s"$dir/target")
+
+    // batch 2: a new `score` column arrives — admitted, not rescued
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      """{"id": 3, "name": "c", "score": 9}""")
+    val b2 = Sources.jsonEvolving(spark, s"$dir/b2.json", store)
+    assert(b2.schema.fieldNames.contains("score"), "new column should be admitted")
+    val (clean2, quarantine2) = Sources.splitRescued(b2)
+    assert(quarantine2.count() == 0, "an evolved column must not be quarantined")
+    clean2.write.mode("append").parquet(s"$dir/target")
+
+    // the store carries the merged schema; old rows align as null-padded
+    val evolved = store.load().get
+    assert(evolved.fieldNames.toSeq == Seq("id", "name", "score"))
+    val all = Sources.alignTo(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/target"), evolved)
+    assert(all.count() == 3)
+    assert(all.filter(col("score").isNull).count() == 2, "old rows null-padded")
+    assert(all.filter(col("id") === 3 && col("score") === 9).count() == 1)
+
+    // a type CHANGE on an established column is rescue, not evolution
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b3.json"),
+      """{"id": "not-a-number", "name": "d"}""")
+    val b3 = Sources.jsonEvolving(spark, s"$dir/b3.json", store)
+    assert(Sources.splitRescued(b3)._2.count() == 1)
+    assert(store.load().get.fieldNames.toSeq == Seq("id", "name", "score"),
+      "type conflict must not alter the established schema")
+  }
+
   test("graft kernels are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
@@ -61,6 +99,24 @@ class InfraSpec extends AnyFunSuite {
                 graft_simhash(graft_ngrams(split(text, ' '), 3)) AS sim
          FROM docs_v LIMIT 3""").collect()
     assert(sig.forall(r => r.getSeq[Long](0).length == functions.Lsh.K))
+  }
+
+  test("rendered star-join SQL matches the DataFrame composition (q09 config)") {
+    import graft.operators.StarSchema
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    Tables.part(spark, sf).createOrReplaceTempView("part_v")
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier_v")
+    val sql = StarSchema.renderSql("lineitem_v",
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Seq(
+        StarSchema.DimRef("part_v", Seq("p_name", "p_brand"),
+          factKey = "l_partkey", dimKey = "p_partkey"),
+        StarSchema.DimRef("supplier_v", Seq("s_name"),
+          factKey = "l_suppkey", dimKey = "s_suppkey")))
+    val viaSql = spark.sql(sql)
+    val viaDf = Queries.starCompose(spark, sf)
+    assert(viaSql.columns.toSeq == viaDf.columns.toSeq)
+    assert(viaSql.except(viaDf).count() == 0 && viaDf.except(viaSql).count() == 0)
   }
 
   test("extensions entry point injects without error") {

@@ -121,4 +121,17 @@ class RandomizedSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == members)
   }
+
+  test("pointer jumping converges in O(log d) rounds on a deep chain") {
+    // A 100-hop chain is the worst case for plain neighbor-min propagation
+    // (one hop per round => ~100 rounds, silently wrong at maxIter=25);
+    // with path halving the label distance shrinks geometrically.
+    val n = 100
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val (labels, rounds) = Components.ccWithRounds(
+      spark.range(n).select(col("id")), chain, maxIter = 25)
+    assert(labels.filter(col("label") =!= 0L).count() == 0,
+      "every chain node must resolve to the minimum id")
+    assert(rounds <= 12, s"expected O(log d) convergence, took $rounds rounds")
+  }
 }
