@@ -62,6 +62,10 @@ object SparkEntry {
     "q44_text_normalize"      -> (Queries.textNormalize _),
     "q45_multimodal_frames"   -> (Queries.multimodalFrames _),
     "q46_token_histogram"     -> (Queries.tokenHistogram _),
+    "q47_text_repetition"     -> (Queries.textRepetition _),
+    "q48_quality_filter"      -> (Queries.qualityFilter _),
+    "q49_source_mix"          -> (Queries.sourceMix _),
+    "q50_dedup_prefix"        -> (Queries.dedupPrefix _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -617,6 +621,81 @@ object Queries {
       Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
       "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
       .orderBy("user_id", "session_seq")
+
+  /** Word bigrams of `ws`, NON-distinct (order and multiplicity kept) —
+    * repetition signals need the duplicates the shingle sets drop.
+    */
+  private def wordBigrams(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 1), i =>
+      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+
+  // --- q47: repetition signals (duplicated-bigram fraction per doc) -----------
+  // The Gopher-style repetition filter input: heavily self-repeating docs
+  // are low-quality training data. Zero shuffles — pure projection.
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir)
+      .filter(size(ws) >= 2) // guard: sequence(1, n) descends for n < 1
+      .select(col("doc_id"),
+        (size(ws) - 1).as("n_bigrams"),
+        (size(ws) - 1 - size(array_distinct(wordBigrams(ws)))).as("n_dup_bigrams"))
+      .withColumn("rep_ratio",
+        col("n_dup_bigrams").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  // --- q48: composite quality gate (the C4/Gopher filter pass) ----------------
+  val QfMinWords = 30
+  val QfMaxWords = 90
+  val QfMaxRep = 0.06
+  val QfMinStop = 0.01
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val enStops = TextAnalysis.LangProfiles.head._2
+    Tables.documents(spark, dir)
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), size(ws).as("n_words"),
+        ((size(ws) - 1 - size(array_distinct(wordBigrams(ws)))).cast("double") /
+          (size(ws) - 1)).as("rep_ratio"),
+        (TextAnalysis.stopwordCount(ws, enStops).cast("double") / size(ws)).as("stop_ratio"))
+      .filter(col("n_words").between(QfMinWords, QfMaxWords) &&
+        col("rep_ratio") <= QfMaxRep && col("stop_ratio") >= QfMinStop)
+      .orderBy("doc_id")
+  }
+
+  // --- q49: corpus mixing report (token share per source × language) ----------
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.words(col("text")))
+    val per = Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(nTok.cast("long")).as("total_tokens"))
+    // the global window runs over the aggregated frame (|sources|x|langs|
+    // rows), not the corpus — same shape as q36's share-of-total
+    per.withColumn("token_share",
+        col("total_tokens").cast("double") /
+          sum("total_tokens").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy("source", "lang")
+  }
+
+  // --- q50: prefix-fingerprint dedup (leading-content duplicate groups) -------
+  // Templated/mirrored documents share openings long before they share
+  // full text; grouping on a fingerprint of the first k words is the
+  // cheap first-pass dedup of crawl pipelines (one hash-agg shuffle, no
+  // content comparison).
+  val PrefixWords = 10
+
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(
+          array_join(slice(ws, 1, PrefixWords), " ")).as("prefix_fp"))
+      .groupBy("prefix_fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "prefix_fp", "dup_count")
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -1213,6 +1292,55 @@ object Oracles {
                  COUNT(*) AS n_events,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           FROM s GROUP BY 1, 2""",
+
+    "q47_text_repetition" ->
+      s"""SELECT doc_id,
+                 CAST(len(ws) - 1 AS INT) AS n_bigrams,
+                 CAST(len(ws) - 1 - len(list_distinct(bg)) AS INT) AS n_dup_bigrams,
+                 CAST(len(ws) - 1 - len(list_distinct(bg)) AS DOUBLE) / (len(ws) - 1)
+                   AS rep_ratio
+          FROM (SELECT doc_id, ws,
+                       list_transform(generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1]) AS bg
+                FROM (SELECT doc_id, $ws AS ws FROM documents))
+          WHERE len(ws) >= 2""",
+
+    "q48_quality_filter" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""SELECT doc_id, n_words, rep_ratio, stop_ratio FROM (
+            SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_words,
+                   CAST(len(ws) - 1 - len(list_distinct(bg)) AS DOUBLE) / (len(ws) - 1)
+                     AS rep_ratio,
+                   CAST(len(list_filter(ws, w -> w IN $enStops)) AS DOUBLE) / len(ws)
+                     AS stop_ratio
+            FROM (SELECT doc_id, ws,
+                         list_transform(generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1]) AS bg
+                  FROM (SELECT doc_id, $ws AS ws FROM documents))
+            WHERE len(ws) >= 2)
+          WHERE n_words BETWEEN ${Queries.QfMinWords} AND ${Queries.QfMaxWords}
+            AND rep_ratio <= ${Queries.QfMaxRep}
+            AND stop_ratio >= ${Queries.QfMinStop}"""
+    },
+
+    "q49_source_mix" ->
+      s"""WITH per AS (
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(len($ws) AS BIGINT)) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY 1, 2)
+          SELECT source, lang, n_docs, total_tokens,
+                 CAST(total_tokens AS DOUBLE) /
+                   CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share
+          FROM per""",
+
+    "q50_dedup_prefix" ->
+      s"""SELECT MIN(doc_id) AS doc_id, prefix_fp, COUNT(*) AS dup_count
+          FROM (SELECT doc_id,
+                       ${fpSql(s"array_to_string(($ws)[1:${Queries.PrefixWords}], ' ')")}
+                         AS prefix_fp
+                FROM documents)
+          GROUP BY prefix_fp""",
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,
