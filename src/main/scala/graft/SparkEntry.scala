@@ -452,7 +452,9 @@ object Queries {
     val docs = Tables.documents(spark, dir)
     val w = docs.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
     val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = w.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // df derived FROM tf (one row per doc×term already), not from a second
+    // explode of the corpus — halves the scan+shuffle volume
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
