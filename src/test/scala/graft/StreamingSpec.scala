@@ -170,6 +170,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSel.except(expected).count() == 0 && expected.except(gotSel).count() == 0)
   }
 
+  test("streaming near-dup dedup accumulates a signature index across batches") {
+    val dir = tmp()
+    val (src, cp) = (s"$dir/src", s"$dir/cp")
+    val (idxPath, corpusPath) = (s"$dir/index", s"$dir/corpus")
+    val docs = Tables.documents(spark, sf)
+    val mid = 250L
+    val t = Queries.JaccardThreshold
+    def run(): Unit =
+      IngestPipeline.boundedFileStream(spark, src, docs.schema)
+        .writeStream
+        .foreachBatch(StreamingNearDup.dedupSink(idxPath, corpusPath,
+          "doc_id", "text", Queries.JaccardN, t) _)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    docs.filter(col("doc_id") < mid).write.mode("append").parquet(src)
+    run()
+    docs.filter(col("doc_id") >= mid).write.mode("append").parquet(src)
+    run()
+
+    // Expected: replay the sink's documented drop rule with the batch
+    // operators — drop d when a pair (p, d) exists with p in the same
+    // batch, or p admitted to the index by an earlier batch.
+    val pairs = operators.NearDup.minHashLshPairs(docs, "doc_id", "text", Queries.JaccardN)
+      .filter(col("est_jaccard") >= t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partners = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val admitted = scala.collection.mutable.Set[Long]()
+    for (batch <- Seq(allIds.filter(_ < mid), allIds.filter(_ >= mid)); d <- batch) {
+      val ps = partners.getOrElse(d, Set.empty)
+      val sameBatch = if (d < mid) ps.exists(_ < mid) else ps.exists(_ >= mid)
+      if (!sameBatch && !ps.exists(admitted)) admitted += d
+    }
+    val got = graft.sources.Snapshots.read(spark, corpusPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == admitted.toSet,
+      s"corpus mismatch: extra=${got -- admitted}, missing=${admitted.toSet -- got}")
+    assert(got.size < allIds.length, "planted near-dups should have been dropped")
+    // index holds exactly the admitted docs' signatures
+    assert(graft.sources.Snapshots.read(spark, idxPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == got)
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
