@@ -62,6 +62,7 @@ object SparkEntry {
     "q44_text_normalize"      -> (Queries.textNormalize _),
     "q45_multimodal_frames"   -> (Queries.multimodalFrames _),
     "q46_token_histogram"     -> (Queries.tokenHistogram _),
+    "q51_dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
     "q47_text_repetition"     -> (Queries.textRepetition _),
     "q48_quality_filter"      -> (Queries.qualityFilter _),
     "q49_source_mix"          -> (Queries.sourceMix _),
@@ -329,6 +330,12 @@ object Queries {
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     NearDup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+
+  // --- q51: embedding near-dup via hyperplane-band candidates (scale path) ----
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingLshPairs(Tables.embeddings(spark, dir), "vec_id",
       "embedding", CosineThreshold)
       .orderBy("vec_a", "vec_b")
 
@@ -1017,6 +1024,32 @@ object Oracles {
                    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
           WHERE cos >= ${Queries.CosineThreshold}""",
+
+    "q51_dedup_embedding_lsh" -> {
+      import graft.functions.Lsh._
+      s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+          bits AS (SELECT vec_id,
+                          list_transform(generate_series(0, ${Planes - 1}), p ->
+                            CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), i ->
+                                   (CAST(((p*$Dim+i) * 2654435761) % $TwoPow32 AS DOUBLE)
+                                      / 4294967296.0 - 0.5)
+                                   * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y) >= 0
+                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+                   FROM e),
+          bands AS (SELECT vec_id, t,
+                           list_reduce(bits[t*$RowsRp+1 : t*$RowsRp+$RowsRp],
+                             (x,y) -> x*2+y) AS key
+                    FROM bits, (SELECT unnest(generate_series(0, ${BandsRp - 1})) AS t) bt),
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM bands a JOIN bands b
+                     ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cos FROM (
+            SELECT vec_a, vec_b,
+                   ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+            FROM cand JOIN e ea ON vec_a = ea.vec_id
+                      JOIN e eb ON vec_b = eb.vec_id)
+          WHERE cos >= ${Queries.CosineThreshold}"""
+    },
 
     "q25_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
