@@ -631,12 +631,15 @@ object Queries {
       "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
       .orderBy("user_id", "session_seq")
 
-  /** Word bigrams of `ws`, NON-distinct (order and multiplicity kept) —
-    * repetition signals need the duplicates the shingle sets drop.
+  /** Duplicated-bigram count: total bigrams (size-1) minus DISTINCT
+    * bigrams via the codegen DistinctNGrams kernel — the duplicate COUNT
+    * never needs the non-distinct bigram array itself. (Building that
+    * array with a `transform` HOF re-inlines the upstream `split` into
+    * every lambda element after CollapseProject — measured 6.7s for 5k
+    * docs; the kernel form is one pass, ~0.2s.)
     */
-  private def wordBigrams(ws: Column): Column =
-    transform(sequence(lit(1), size(ws) - 1), i =>
-      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+  private def dupBigrams(ws: Column): Column =
+    size(ws) - 1 - size(graft.plans.SignatureExprs.distinctNGrams(ws, 2))
 
   // --- q47: repetition signals (duplicated-bigram fraction per doc) -----------
   // The Gopher-style repetition filter input: heavily self-repeating docs
@@ -644,10 +647,10 @@ object Queries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
     Tables.documents(spark, dir)
-      .filter(size(ws) >= 2) // guard: sequence(1, n) descends for n < 1
+      .filter(size(ws) >= 2)
       .select(col("doc_id"),
         (size(ws) - 1).as("n_bigrams"),
-        (size(ws) - 1 - size(array_distinct(wordBigrams(ws)))).as("n_dup_bigrams"))
+        dupBigrams(ws).as("n_dup_bigrams"))
       .withColumn("rep_ratio",
         col("n_dup_bigrams").cast("double") / col("n_bigrams"))
       .orderBy("doc_id")
@@ -665,8 +668,7 @@ object Queries {
     Tables.documents(spark, dir)
       .filter(size(ws) >= 2)
       .select(col("doc_id"), size(ws).as("n_words"),
-        ((size(ws) - 1 - size(array_distinct(wordBigrams(ws)))).cast("double") /
-          (size(ws) - 1)).as("rep_ratio"),
+        (dupBigrams(ws).cast("double") / (size(ws) - 1)).as("rep_ratio"),
         (TextAnalysis.stopwordCount(ws, enStops).cast("double") / size(ws)).as("stop_ratio"))
       .filter(col("n_words").between(QfMinWords, QfMaxWords) &&
         col("rep_ratio") <= QfMaxRep && col("stop_ratio") >= QfMinStop)
