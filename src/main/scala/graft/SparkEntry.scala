@@ -67,6 +67,8 @@ object SparkEntry {
     "q48_quality_filter"      -> (Queries.qualityFilter _),
     "q49_source_mix"          -> (Queries.sourceMix _),
     "q50_dedup_prefix"        -> (Queries.dedupPrefix _),
+    "q52_shard_pack"          -> (Queries.shardPack _),
+    "q53_top_ngrams"          -> (Queries.topNgrams _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -706,6 +708,44 @@ object Queries {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "prefix_fp", "dup_count")
       .orderBy("doc_id")
+  }
+
+  // --- q52: token-budget shard packing (training-shard assignment) ------------
+  // Documents pack sequentially into ~ShardTokens shards WITHIN each
+  // source: shard = tokens-before-this-doc div budget. Per-source (not
+  // global) ordering keeps the cumulative window parallel across sources —
+  // a single global cumsum would serialize the corpus through one
+  // partition at 100 TB.
+  val ShardTokens = 500
+
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.words(col("text"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      // integer division on both engines (div / //): no float boundary
+      .withColumn("shard", expr(s"(cum - n_tokens) div $ShardTokens"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("source", "shard")
+  }
+
+  // --- q53: corpus-wide top n-grams by document frequency ---------------------
+  // Boilerplate discovery: the n-grams the near-dup df cap would drop.
+  // Distinct-per-doc n-grams (codegen kernel) so the count IS document
+  // frequency; map-side partial agg absorbs hot n-grams.
+  val TopNgramsK = 20
+
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(explode(graft.plans.SignatureExprs.distinctNGrams(ws, 2)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(TopNgramsK)
   }
 }
 
@@ -1378,6 +1418,28 @@ object Oracles {
                          AS prefix_fp
                 FROM documents)
           GROUP BY prefix_fp""",
+
+    "q52_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+          SELECT source, (CAST(cum AS BIGINT) - n_tokens) // ${Queries.ShardTokens} AS shard,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+          FROM c GROUP BY 1, 2""",
+
+    "q53_top_ngrams" ->
+      s"""SELECT ngram, COUNT(*) AS df
+          FROM (SELECT unnest(list_distinct(list_transform(
+                         generate_series(1, len($ws) - 1),
+                         i -> ($ws)[i] || ' ' || ($ws)[i+1]))) AS ngram
+                FROM documents)
+          GROUP BY ngram
+          ORDER BY df DESC, ngram
+          LIMIT ${Queries.TopNgramsK}""",
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,
