@@ -81,6 +81,23 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(rIvf >= 0.8, s"IVF recall@5 regressed to $rIvf")
   }
 
+  test("shard packing covers every document with contiguous bounded shards") {
+    val shards = Queries.shardPack(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(shards.map(_.getLong(2)).sum == docs.count(), "every doc lands in a shard")
+    val maxDocTokens = docs
+      .select(max(size(functions.TextAnalysis.words(col("text"))))).head().getInt(0)
+    shards.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length), s"$src shards not contiguous: ${ids.toSeq}")
+      // start-offset packing can overrun the budget by at most one document
+      rows.foreach { r =>
+        assert(r.getLong(3) < Queries.ShardTokens + maxDocTokens,
+          s"$src shard ${r.getLong(1)} too large: ${r.getLong(3)}")
+      }
+    }
+  }
+
   test("ann lsh returns a subset of each query's candidates, ranked correctly") {
     val out = Queries.annLsh(spark, sf).collect()
     assert(out.nonEmpty)

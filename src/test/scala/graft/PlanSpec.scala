@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "cap should apply via a semi-join on shingles")
   }
 
+  test("q52: shard cumsum windows partition by source, never a global order") {
+    val p = plan("q52_shard_pack")
+    assert(p.contains("windowspecdefinition(source"),
+      "packing window must be per-source")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
