@@ -100,18 +100,23 @@ object Snapshots {
       throw new java.io.IOException(s"could not publish manifest $v at $target")
   }
 
-  /** Step 3: delete snapshots and manifests below the current version. */
+  /** Step 3: delete snapshots and manifests older than the PREVIOUS
+    * version. Retaining one superseded snapshot (so the store is bounded
+    * at two) gives in-flight readers that resolved the old manifest just
+    * before a commit a grace window — the same reason transaction-log
+    * table formats retain superseded files for a spell.
+    */
   def gc(spark: SparkSession, target: String): Unit =
     currentVersion(spark, target).foreach { cur =>
       val fs = fsOf(spark, target)
       fs.listStatus(new Path(target)).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("snap-") && n.stripPrefix("snap-").toLong < cur)
+        if (n.startsWith("snap-") && n.stripPrefix("snap-").toLong < cur - 1)
           fs.delete(st.getPath, true)
       }
       fs.listStatus(manifestPath(target)).foreach { st =>
         val n = st.getPath.getName
-        if ((n.forall(_.isDigit) && n.toLong < cur) || n.startsWith(".tmp-"))
+        if ((n.forall(_.isDigit) && n.toLong < cur - 1) || n.startsWith(".tmp-"))
           fs.delete(st.getPath, false)
       }
     }

@@ -90,12 +90,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, target).count() == 1)
     assert(Snapshots.read(spark, target).filter(col("v") === "a2").count() == 1)
 
-    // GC removes the stale version; the store keeps working.
+    // GC retains the immediately-previous snapshot (grace for in-flight
+    // readers) and the store keeps working.
     Snapshots.gc(spark, target)
     assert(Snapshots.read(spark, target).count() == 1)
-    // A crashed attempt's orphan (window 1 rerun) is simply overwritten.
+    // A crashed attempt's orphan (window 1 rerun) is simply overwritten,
+    // and retention stays bounded at current + previous.
     Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), target)
     assert(Snapshots.read(spark, target).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val snaps = new java.io.File(target).listFiles.map(_.getName)
+      .filter(_.startsWith("snap-")).sorted.toSeq
+    assert(snaps == Seq("snap-00000002", "snap-00000003"),
+      s"expected bounded current+previous retention, found $snaps")
   }
 
   test("a medallion run triggers no counting actions beyond its writes") {
