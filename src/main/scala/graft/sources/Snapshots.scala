@@ -1,44 +1,72 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Crash-safe parquet snapshot store: a manifest-pointer commit protocol
-  * with never-zero live copies.
+  * with never-zero live copies, in two flavors:
   *
-  * The reference's gold layer gets this from Delta's transaction log
-  * (reference: local_spotify_dab/src/gold/spotify_etl/transformations/
-  * FactStream.py:96-105 — `create_auto_cdc_flow` over Delta tables). The
-  * parquet-only analog here borrows the same idea at its minimum viable
-  * size: data files are immutable, and a tiny monotonically-numbered
-  * manifest file is the single commit point.
+  *  - '''whole-table''' (`commit`): every commit writes a complete snapshot
+  *    dir. Right for small state tables (watermarks, streaming indexes).
+  *  - '''bucketed''' (`writeBucketSnapshot`/`publishBuckets`): the table is
+  *    hash-partitioned into a fixed number of key buckets and the manifest
+  *    maps each bucket to the snapshot dir that last rewrote it. A commit
+  *    writes ONLY the touched buckets and carries every other bucket
+  *    forward by reference — the write side of an incremental merge is
+  *    O(touched buckets), not O(table). This is the transaction-log idea
+  *    the reference's gold layer gets from Delta
+  *    (reference: local_spotify_dab/src/gold/spotify_etl/transformations/
+  *    DimArtist.py:96-101 `stored_as_scd_type=2`; FactStream.py:96-105 —
+  *    `create_auto_cdc_flow` commits only changed files via the Delta log).
   *
   * Layout under `target/`:
   * {{{
-  *   _manifests/00000007     # text file, content = "snap-00000007"
-  *   snap-00000007/...       # a complete parquet snapshot
+  *   _manifests/00000007        # commit point (see formats below)
+  *   snap-00000007/...          # whole-table: a complete parquet snapshot
+  *   snap-00000007/graft_bucket=3/...   # bucketed: one dir per rewritten bucket
   * }}}
   *
-  * Commit protocol (`commit` = the three steps in order):
-  *  1. `writeSnapshot` — write the new snapshot dir `snap-<v+1>`. Readers
-  *     are unaffected: the manifest still points at `<v>`.
-  *  2. `publish` — create manifest `<v+1>` (written to a dot-temp file
-  *     and renamed into place; a single-file rename/PUT is the atom).
-  *     THIS is the commit point: readers resolve `max(manifest)` and see
-  *     the new snapshot, old readers of `<v>` are undisturbed.
-  *  3. `gc` — delete snapshots and manifests below the current version.
+  * Manifest formats (the file content):
+  *  - whole-table: a single line `snap-00000007`.
+  *  - bucketed: a header `buckets=<N>` then one line per non-empty bucket
+  *    `<bucket>\t<relative dir>\t<rows>`. Row counts ride in the manifest
+  *    so readers and stats never need a data scan.
   *
-  * A crash between any two steps leaves a fully-readable store: before
-  * publish the old snapshot is current (the orphaned `snap-<v+1>` is
-  * overwritten by the next attempt); after publish the new one is, and
-  * the stale files are garbage-collected by the next commit. Unlike
-  * delete-then-rename stage-and-swap there is NO window with zero live
-  * copies, and nothing relies on directory-rename atomicity — which
-  * object stores do not provide.
+  * Commit protocol (both flavors, the three steps in order):
+  *  1. write the new snapshot dir `snap-<v+1>` — readers unaffected;
+  *  2. publish manifest `<v+1>` (staged to a dot-temp file, renamed into
+  *     place; the single-file rename/PUT is the atom);
+  *  3. gc — delete snapshot dirs referenced by NEITHER the current nor the
+  *     previous manifest (the previous is retained as a grace window for
+  *     in-flight readers), and manifests below `current - 1`.
+  *
+  * A crash between any two steps leaves a fully-readable store; nothing
+  * relies on directory-rename atomicity (object stores don't provide it).
+  * Bucketed gc is reference-based, so a bucket dir written ten commits ago
+  * but still referenced stays live; `compactBuckets` folds a store that
+  * has accumulated many referenced roots back into a single snapshot dir.
   */
 object Snapshots {
 
   private val ManifestDir = "_manifests"
+
+  /** Partition column bucketed writes group by; never part of the logical
+    * schema (it lives in directory names only and is re-derived from the
+    * business key on every commit).
+    */
+  val BucketCol = "graft_bucket"
+
+  /** One manifest entry of a bucketed store. `dir` is relative to the
+    * store root, e.g. `snap-00000007/graft_bucket=3`.
+    */
+  final case class BucketEntry(bucket: Int, dir: String, rows: Long)
+
+  /** Deterministic bucket of a business key — stable across runs, engines
+    * and partitionings, so the same key always lands in the same bucket.
+    */
+  def bucketOf(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,19 +91,73 @@ object Snapshots {
   def exists(spark: SparkSession, target: String): Boolean =
     currentVersion(spark, target).isDefined
 
-  /** Read the current snapshot (the one the highest manifest points at). */
+  private def manifestContent(spark: SparkSession, target: String, v: Long): String = {
+    val fs = fsOf(spark, target)
+    val in = fs.open(new Path(manifestPath(target), fmt(v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Parsed manifest: Left(snapDirName) for whole-table,
+    * Right((numBuckets, entries)) for bucketed.
+    */
+  private def parseManifest(content: String): Either[String, (Int, Seq[BucketEntry])] = {
+    val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.headOption.exists(_.startsWith("buckets="))) {
+      val n = lines.head.stripPrefix("buckets=").toInt
+      val entries = lines.tail.map { l =>
+        val Array(b, dir, rows) = l.split("\t")
+        BucketEntry(b.toInt, dir, rows.toLong)
+      }.toSeq
+      Right((n, entries))
+    } else Left(lines.head)
+  }
+
+  private def readManifest(spark: SparkSession, target: String,
+                           v: Long): Either[String, (Int, Seq[BucketEntry])] =
+    parseManifest(manifestContent(spark, target, v))
+
+  /** Bucket layout of the current manifest: (numBuckets, entries). None if
+    * no commit has been published; throws on a whole-table store.
+    */
+  def currentBuckets(spark: SparkSession, target: String): Option[(Int, Seq[BucketEntry])] =
+    currentVersion(spark, target).map { v =>
+      readManifest(spark, target, v) match {
+        case Right(be) => be
+        case Left(_) =>
+          throw new IllegalStateException(s"$target is a whole-table store, not bucketed")
+      }
+    }
+
+  /** Total rows of the current bucketed snapshot — straight from manifest
+    * metadata, no data scan.
+    */
+  def totalRows(spark: SparkSession, target: String): Long =
+    currentBuckets(spark, target).map(_._2.map(_.rows).sum).getOrElse(0L)
+
+  /** Read the current snapshot (either flavor): the set of dirs the
+    * highest manifest points at.
+    */
   def read(spark: SparkSession, target: String): DataFrame = {
     val v = currentVersion(spark, target).getOrElse(
       throw new IllegalStateException(s"no published snapshot at $target"))
-    val fs = fsOf(spark, target)
-    val in = fs.open(new Path(manifestPath(target), fmt(v)))
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    spark.read.parquet(new Path(target, name).toString)
+    readManifest(spark, target, v) match {
+      case Left(name) => spark.read.parquet(new Path(target, name).toString)
+      case Right((_, entries)) => readEntries(spark, target, entries)
+    }
   }
 
-  /** Step 1: write the next version's snapshot dir (invisible to readers).
-    * Returns the version it is staged as.
+  /** Read a subset of a bucketed store by its manifest entries. Only the
+    * listed bucket dirs are opened — file-level pruning by construction.
+    */
+  def readEntries(spark: SparkSession, target: String,
+                  entries: Seq[BucketEntry]): DataFrame = {
+    require(entries.nonEmpty, "readEntries needs at least one bucket entry")
+    spark.read.parquet(entries.map(e => new Path(target, e.dir).toString): _*)
+  }
+
+  /** Step 1 (whole-table): write the next version's complete snapshot dir
+    * (invisible to readers). Returns the version it is staged as.
     */
   def writeSnapshot(df: DataFrame, target: String): Long = {
     val spark = df.sparkSession
@@ -85,47 +167,148 @@ object Snapshots {
     v
   }
 
+  /** Step 1 (bucketed): write ONLY the touched buckets' data. `df` must
+    * carry `BucketCol`; each bucket lands in `snap-<v+1>/graft_bucket=<b>`
+    * via a partitioned write (one job, no extra shuffle beyond the plan's
+    * own). Readers are unaffected until publish.
+    */
+  def writeBucketSnapshot(df: DataFrame, target: String): Long = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, target).getOrElse(0L) + 1
+    df.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(new Path(target, s"snap-${fmt(v)}").toString)
+    v
+  }
+
   /** Step 2 — the commit point: publish version `v` by creating its
     * manifest. The content is staged in a dot-file (readers ignore those)
     * and renamed into place so no reader can observe a half-written
     * manifest.
     */
-  def publish(spark: SparkSession, target: String, v: Long): Unit = {
+  def publish(spark: SparkSession, target: String, v: Long): Unit =
+    publishContent(spark, target, v, s"snap-${fmt(v)}")
+
+  /** Step 2 (bucketed): publish version `v` with new entries for the
+    * `touched` buckets (row counts from the caller's Observation — no data
+    * scan here) and every other bucket carried forward by reference from
+    * the previous manifest. Returns total rows of the published snapshot.
+    *
+    * `numBuckets` is pinned by the first bucketed commit; changing it would
+    * silently mis-route carried keys, so a mismatch throws.
+    */
+  def publishBuckets(spark: SparkSession, target: String, v: Long, numBuckets: Int,
+                     touched: Seq[Int], rowsByBucket: Map[Int, Long]): Long = {
+    val prev = currentVersion(spark, target)
+      .map(pv => readManifest(spark, target, pv)) match {
+      case Some(Left(_)) =>
+        throw new IllegalStateException(s"$target already holds a whole-table store")
+      case Some(Right((n, entries))) =>
+        require(n == numBuckets,
+          s"bucket count is pinned at $n for $target, got $numBuckets")
+        entries
+      case None => Seq.empty
+    }
+    val touchedSet = touched.toSet
+    val carried = prev.filterNot(e => touchedSet(e.bucket))
+    val fresh = touched.flatMap { b =>
+      val rows = rowsByBucket.getOrElse(b, 0L)
+      // a touched bucket with zero surviving rows simply drops out of the
+      // manifest (its stale dir becomes unreferenced garbage)
+      if (rows > 0) Some(BucketEntry(b, s"snap-${fmt(v)}/$BucketCol=$b", rows)) else None
+    }
+    val entries = (carried ++ fresh).sortBy(_.bucket)
+    val content = (s"buckets=$numBuckets" +:
+      entries.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
+    publishContent(spark, target, v, content)
+    entries.map(_.rows).sum
+  }
+
+  private def publishContent(spark: SparkSession, target: String, v: Long,
+                             content: String): Unit = {
     val fs = fsOf(spark, target)
     val dir = manifestPath(target)
     val tmp = new Path(dir, s".tmp-${fmt(v)}")
     val out = fs.create(tmp, true)
-    try out.write(s"snap-${fmt(v)}".getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(dir, fmt(v))))
       throw new java.io.IOException(s"could not publish manifest $v at $target")
   }
 
-  /** Step 3: delete snapshots and manifests older than the PREVIOUS
-    * version. Retaining one superseded snapshot (so the store is bounded
-    * at two) gives in-flight readers that resolved the old manifest just
-    * before a commit a grace window — the same reason transaction-log
-    * table formats retain superseded files for a spell.
+  /** Snapshot roots (snap-XXXXXXXX dir names) referenced by manifest `v`. */
+  private def rootsOf(spark: SparkSession, target: String, v: Long): Set[String] =
+    readManifest(spark, target, v) match {
+      case Left(name) => Set(name)
+      case Right((_, entries)) => entries.map(_.dir.takeWhile(_ != '/')).toSet
+    }
+
+  /** Step 3: delete snapshot dirs referenced by NEITHER the current nor
+    * the previous manifest, and manifests below `current - 1`. Retaining
+    * the previous manifest's references gives in-flight readers that
+    * resolved it just before a commit a grace window — the same reason
+    * transaction-log table formats retain superseded files for a spell.
+    * Reference-based liveness keeps bucketed carry-forward dirs alive for
+    * as long as any retained manifest points at them.
     */
   def gc(spark: SparkSession, target: String): Unit =
     currentVersion(spark, target).foreach { cur =>
       val fs = fsOf(spark, target)
+      val prevV = cur - 1
+      val live = rootsOf(spark, target, cur) ++
+        (if (prevV >= 1 && fs.exists(new Path(manifestPath(target), fmt(prevV))))
+          rootsOf(spark, target, prevV)
+        else Set.empty[String])
       fs.listStatus(new Path(target)).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("snap-") && n.stripPrefix("snap-").toLong < cur - 1)
-          fs.delete(st.getPath, true)
+        if (n.startsWith("snap-") && !live(n)) fs.delete(st.getPath, true)
       }
       fs.listStatus(manifestPath(target)).foreach { st =>
         val n = st.getPath.getName
-        if ((n.forall(_.isDigit) && n.toLong < cur - 1) || n.startsWith(".tmp-"))
+        if ((n.forall(_.isDigit) && n.toLong < prevV) || n.startsWith(".tmp-"))
           fs.delete(st.getPath, false)
       }
     }
 
-  /** Full commit: stage, publish, collect garbage. */
+  /** Full whole-table commit: stage, publish, collect garbage. */
   def commit(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
     val v = writeSnapshot(df, target)
     publish(spark, target, v)
     gc(spark, target)
   }
+
+  /** Number of distinct snapshot roots the current bucketed manifest
+    * references — the store's fragmentation measure.
+    */
+  def referencedRoots(spark: SparkSession, target: String): Int =
+    currentBuckets(spark, target)
+      .map(_._2.map(_.dir.takeWhile(_ != '/')).toSet.size).getOrElse(0)
+
+  /** Fold a fragmented bucketed store back into a single snapshot root:
+    * read every live bucket, rewrite all of them into `snap-<v+1>`, and
+    * publish a manifest whose entries all point there (row counts carry
+    * over — the data is unchanged). Readers stay consistent throughout
+    * (same protocol). Cost is one full-table rewrite; callers amortize it
+    * with `maybeCompact`.
+    */
+  def compactBuckets(spark: SparkSession, target: String): Unit =
+    currentBuckets(spark, target).foreach { case (numBuckets, entries) =>
+      if (entries.nonEmpty) {
+        // each bucket dir re-tagged with its bucket id so one partitioned
+        // write routes every row back to the same bucket
+        val full = entries.map { e =>
+          readEntries(spark, target, Seq(e)).withColumn(BucketCol, lit(e.bucket))
+        }.reduce(_ unionByName _)
+        val v = writeBucketSnapshot(full, target)
+        publishBuckets(spark, target, v, numBuckets,
+          touched = entries.map(_.bucket),
+          rowsByBucket = entries.map(e => e.bucket -> e.rows).toMap)
+        gc(spark, target)
+      }
+    }
+
+  /** Compact when fragmentation crosses `maxRoots` referenced snapshot
+    * roots. O(1) manifest check per call; the rewrite runs only when due.
+    */
+  def maybeCompact(spark: SparkSession, target: String, maxRoots: Int): Unit =
+    if (referencedRoots(spark, target) > maxRoots) compactBuckets(spark, target)
 }

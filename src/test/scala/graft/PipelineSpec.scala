@@ -104,6 +104,99 @@ class PipelineSpec extends AnyFunSuite {
       s"expected bounded current+previous retention, found $snaps")
   }
 
+  test("incremental gold commit rewrites only touched buckets") {
+    val state = Files.createTempDirectory("graft_medallion_slice").toString
+    val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
+    val spec = TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
+      tieCols = Seq("event_id"), scdType = 2, buckets = 8)
+    val mid = new java.sql.Timestamp(
+      java.time.LocalDateTime.parse(Queries.SplitTs.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val end = new java.sql.Timestamp(4102444800000L)
+    val goldPath = s"$state/gold/ev"
+
+    // run 1: the full first half → initial build writes its buckets in v1
+    Medallion.run(spark, Seq(spec), (_: String) => ev, state, mid)
+    assert(Snapshots.currentVersion(spark, goldPath).contains(1L))
+
+    // run 2's slice touches a SINGLE user → a single gold bucket
+    val u = ev.filter(col("ts") > lit(mid)).select("user_id").head.get(0)
+    val src2 = ev.filter(col("ts") <= lit(mid) || col("user_id") === lit(u))
+    Medallion.run(spark, Seq(spec), (_: String) => src2, state, end)
+    val touchedBucket = ev.filter(col("user_id") === lit(u)).limit(1)
+      .select(Snapshots.bucketOf(Seq("user_id"), 8).as("b")).head.getInt(0)
+
+    // file-listing diff: the v2 snapshot dir holds ONLY the touched bucket,
+    // and the manifest carries every other bucket forward from v1
+    val (nb, entries) = Snapshots.currentBuckets(spark, goldPath).get
+    assert(nb == 8)
+    val fresh = entries.filter(_.dir.startsWith("snap-00000002"))
+    assert(fresh.map(_.bucket) == Seq(touchedBucket),
+      s"expected only bucket $touchedBucket rewritten, got ${fresh.map(_.bucket)}")
+    assert(entries.filterNot(_.dir.startsWith("snap-00000002"))
+      .forall(_.dir.startsWith("snap-00000001")), "untouched buckets carried by reference")
+    val v2Dirs = new java.io.File(s"$goldPath/snap-00000002").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(v2Dirs == Seq(s"${Snapshots.BucketCol}=$touchedBucket"),
+      s"v2 snapshot should contain only the touched bucket dir, found $v2Dirs")
+
+    // readers still see one consistent snapshot = the from-scratch rebuild
+    val scd2Cols = Seq("user_id", "event_id", "event_type", "value",
+      "effective_from", "effective_to", "is_current")
+    val gold = Snapshots.read(spark, goldPath).select(scd2Cols.map(col): _*)
+    val expected = operators.Scd
+      .scd2FromChangelog(src2, Seq("user_id"), "ts", Seq("event_id"))
+      .select(scd2Cols.map(col): _*)
+    assert(gold.except(expected).count() == 0 && expected.except(gold).count() == 0)
+    assert(Snapshots.totalRows(spark, goldPath) == expected.count(),
+      "manifest row counts must equal the data")
+
+    // run 3, same watermark: empty slice → NO new snapshot version at all
+    Medallion.run(spark, Seq(spec), (_: String) => src2, state, end)
+    assert(Snapshots.currentVersion(spark, goldPath).contains(2L),
+      "an empty slice must not write or publish anything")
+  }
+
+  test("watermark store stays compacted: N runs leave one row per table") {
+    val state = Files.createTempDirectory("graft_medallion_wm").toString
+    val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
+    val specs = Seq(TableSpec("a", keys = Seq("user_id"), seqCol = "ts",
+      tieCols = Seq("event_id")), TableSpec("b", keys = Seq("user_id"),
+      seqCol = "ts", tieCols = Seq("event_id")))
+    (1 to 4).foreach { i =>
+      val hi = new java.sql.Timestamp(1704067200000L + i * 86400000L)
+      Medallion.run(spark, specs, (_: String) => ev, state, hi)
+    }
+    val wm = Snapshots.read(spark, s"$state/_watermarks")
+    assert(wm.count() == 2, "one row per table after 4 runs")
+    assert(wm.groupBy("table_name").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("fragmented bucketed store compacts back into one root") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_compact").toString + "/t"
+    def commitOne(bucket: Int, ids: Seq[Long]): Unit = {
+      val df = ids.toDF("id").withColumn(Snapshots.BucketCol, lit(bucket))
+      val v = Snapshots.writeBucketSnapshot(df, target)
+      Snapshots.publishBuckets(spark, target, v, numBuckets = 4,
+        touched = Seq(bucket), rowsByBucket = Map(bucket -> ids.size.toLong))
+      Snapshots.gc(spark, target)
+    }
+    commitOne(0, Seq(1L, 2L))
+    commitOne(1, Seq(10L))
+    commitOne(2, Seq(20L, 21L))
+    assert(Snapshots.referencedRoots(spark, target) == 3)
+    Snapshots.compactBuckets(spark, target)
+    assert(Snapshots.referencedRoots(spark, target) == 1)
+    assert(Snapshots.read(spark, target).orderBy("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 10L, 20L, 21L))
+    assert(Snapshots.totalRows(spark, target) == 5)
+    // carried counts survive compaction per bucket
+    val entries = Snapshots.currentBuckets(spark, target).get._2
+    assert(entries.map(e => e.bucket -> e.rows).toMap ==
+      Map(0 -> 2L, 1 -> 1L, 2 -> 2L))
+  }
+
   test("a medallion run triggers no counting actions beyond its writes") {
     val state = Files.createTempDirectory("graft_medallion_jobs").toString
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
