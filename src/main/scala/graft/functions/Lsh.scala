@@ -153,25 +153,31 @@ object Lsh {
     * LCG at plan build, so nothing is broadcast and every executor codegen
     * sees constants.
     */
-  private lazy val planeVecs: Seq[Seq[Double]] =
-    (0 until Planes).map(p => (1 to Dim).map(i => lcgVal(p.toLong * Dim + i)))
+  private def planeVecs(planes: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (1 to Dim).map(i => lcgVal(p.toLong * Dim + i)))
 
   /** Sign bits of the embedding against each hyperplane (array of 0/1).
     * Each plane dot is a codegen'd VecDot against a literal coefficient
     * array — the whole signature stays inside whole-stage codegen.
+    *
+    * `planes` sizes the signature: band-key width must GROW with corpus
+    * size (collision rate per b-bit band is ~2^-b on unrelated vectors, so
+    * candidates are ~n²·bands/2^b — keep 2^b ≳ n/rows-per-bucket). The
+    * default is tuned to the small oracle corpus; a 100 TB run wants
+    * e.g. 64 planes = 4 bands × 16 bits.
     */
-  def planeBits(emb: Column): Column =
-    array((0 until Planes).map { p =>
-      val d = graft.plans.VectorExprs.dot(typedLit(planeVecs(p)), emb)
+  def planeBits(emb: Column, planes: Int = Planes): Column =
+    array((0 until planes).map { p =>
+      val d = graft.plans.VectorExprs.dot(typedLit(planeVecs(planes)(p)), emb)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
     }: _*)
 
-  /** Band codes over the sign bits (binary fold of each 4-bit slice). */
-  def planeBandKeys(bits: Column): Column =
-    transform(sequence(lit(0), lit(BandsRp - 1)), t =>
+  /** Band codes over the sign bits (binary fold of each `rows`-bit slice). */
+  def planeBandKeys(bits: Column, bands: Int = BandsRp, rows: Int = RowsRp): Column =
+    transform(sequence(lit(0), lit(bands - 1)), t =>
       struct(
         t.as("band"),
-        aggregate(slice(bits, t * lit(RowsRp) + 1, lit(RowsRp)),
+        aggregate(slice(bits, t * lit(rows) + 1, lit(rows)),
           lit(0L), (acc, v) => acc * 2 + v).as("key")))
 
   /** Multiprobe band keys: each band's base code plus its single-bit

@@ -59,6 +59,26 @@ class PlanSpec extends AnyFunSuite {
       "packing window must be per-source")
   }
 
+  test("q51: candidate pair dedup shuffles ids only — no vector payloads") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect);
+    // plan with it off — the exchange layout under test is the static one.
+    val exec = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q51_dedup_embedding_lsh")(spark, sf)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val pairDedup = exchanges.filter(_.outputPartitioning.toString.contains("vec_a"))
+    assert(pairDedup.nonEmpty, "expected a pair-dedup exchange on (vec_a, vec_b)")
+    pairDedup.foreach { e =>
+      assert(!e.child.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"pair dedup must not shuffle embedding arrays: ${e.child.output}")
+    }
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
