@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.Lsh
-import graft.plans.{DistinctNGrams, MinHashSig, PolyFingerprint, SimHash, VecDot}
+import graft.plans.{DistinctNGrams, MinHashSig, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
 
 /** SQL surface for the graft kernels: every custom expression is callable
   * from `spark.sql(...)` as `graft_*`, so SQL-first users of the library
@@ -29,7 +29,8 @@ object GraftFunctions {
     "graft_vec_dot"     -> (args => VecDot(args(0), args(1))),
     "graft_minhash"     -> (args => MinHashSig(args.head, Lsh.A, Lsh.B, Lsh.P)),
     "graft_simhash"     -> (args => SimHash(args.head, Lsh.GA, Lsh.GB, Lsh.TwoPow32, Lsh.SimBits)),
-    "graft_ngrams"      -> (args => DistinctNGrams(args(0), lit2Int(args(1), "graft_ngrams n"))))
+    "graft_ngrams"      -> (args => DistinctNGrams(args(0), lit2Int(args(1), "graft_ngrams n"))),
+    "graft_nfc_casefold" -> (args => NfcCaseFold(args.head)))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -69,6 +69,7 @@ object SparkEntry {
     "q50_dedup_prefix"        -> (Queries.dedupPrefix _),
     "q52_shard_pack"          -> (Queries.shardPack _),
     "q53_top_ngrams"          -> (Queries.topNgrams _),
+    "q54_text_unicode"        -> (Queries.textUnicode _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -746,6 +747,37 @@ object Queries {
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(TopNgramsK)
+  }
+
+  // --- q54: Unicode normalization layer (NFC + case fold + \p{L} tokens) ------
+  // The corpus is lowercase ASCII, so multilingual reality is injected as
+  // deterministic per-doc prefixes: mixed case, precomposed AND decomposed
+  // accents (Café = e + combining acute), Cyrillic, CJK, digits,
+  // punctuation. The normalize → tokenize pipeline is what q27/q29/q44/
+  // q46-class operators consume on real crawl text; the ASCII body rides
+  // the kernel's byte fast path. Only simple one-to-one case mappings are
+  // in the fixture (final sigma / dotted-I are full-vs-simple folding
+  // differences between engines — documented out of the contract).
+  val UnicodeSnippets: Seq[String] = Seq(
+    "Grüße aus MÜNCHEN im Frühjahr",
+    "École élémentaire: ça va très bien, Café ouvert",
+    "MAÑANA el niño COMERÁ paella",
+    "Привет МИР сказал Он",
+    "数据 管道 处理 文本 123 OK")
+
+  def textUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val snippet = UnicodeSnippets.zipWithIndex.tail.foldLeft(
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(UnicodeSnippets.head))) {
+      case (acc, (s, i)) => acc.when(pmod(col("doc_id"), lit(5)) === i, lit(s))
+    }
+    val toks = TextAnalysis.unicodeWords(col("norm_text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.normalized(concat(snippet, lit(" "), col("text"))).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .orderBy("doc_id")
   }
 }
 
@@ -1440,6 +1472,21 @@ object Oracles {
           GROUP BY ngram
           ORDER BY df DESC, ngram
           LIMIT ${Queries.TopNgramsK}""",
+
+    "q54_text_unicode" -> {
+      val cases = Queries.UnicodeSnippets.zipWithIndex
+        .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+      s"""WITH u AS (SELECT doc_id,
+                  (CASE doc_id % 5 $cases END) || ' ' || text AS utext
+           FROM documents),
+          n AS (SELECT doc_id, nfc_normalize(lower(utext)) AS norm_text FROM u)
+          SELECT doc_id, norm_text,
+                 CAST(len(regexp_extract_all(norm_text, '[\\pL\\pN]+')) AS INT)
+                   AS n_tokens,
+                 CAST(len(list_distinct(regexp_extract_all(norm_text, '[\\pL\\pN]+'))) AS INT)
+                   AS n_distinct
+          FROM n"""
+    },
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,

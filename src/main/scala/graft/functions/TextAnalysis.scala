@@ -20,9 +20,26 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens. The corpus is single-space separated; a production
-    * corpus would use `split(text, "\\s+")` — same plan shape.
+    * corpus would use `split(text, "\\s+")` — same plan shape. Multilingual
+    * crawl text goes through `normalized` + `unicodeWords` first (q54);
+    * this fast path assumes pre-normalized single-script input.
     */
   def words(text: Column): Column = split(text, " ")
+
+  /** Canonical text form for multilingual corpora: ROOT case fold + NFC
+    * composition (codegen kernel, ASCII byte fast path). Put this in front
+    * of any words/shingles/fingerprint pipeline fed by real crawl text —
+    * decomposed accents ("e"+U+0301) and case variants otherwise hash
+    * apart in every dedup operator.
+    */
+  def normalized(text: Column): Column = graft.plans.TextExprs.nfcCaseFold(text)
+
+  /** Unicode-aware tokens: maximal runs of letters/digits in any script
+    * (`\p{L}\p{N}` is the Java-regex/RE2 intersection, so the DuckDB
+    * oracle states the identical class). Apply to `normalized` text.
+    */
+  def unicodeWords(text: Column): Column =
+    regexp_extract_all(text, lit("[\\p{L}\\p{N}]+"), lit(0))
 
   /** Word n-gram shingles (overlapping windows of `n` words re-joined with
     * spaces). `sequence` + `element_at` keeps it a pure array expression.

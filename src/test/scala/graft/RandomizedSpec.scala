@@ -35,6 +35,28 @@ class RandomizedSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("NfcCaseFold matches the Java reference pipeline on mixed-script strings") {
+    val pieces = Seq("WORT", "Grüße", "ÉCOLE", "Café", "ПРИВЕТ", "数据",
+      "ärger", "mixed ASCII 123", "", "ümläut́s")
+    val cases = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ =>
+        if (rnd.nextBoolean()) pieces(rnd.nextInt(pieces.size)) else randWord())
+        .mkString(" ")
+    } ++ pieces
+    def ref(s: String): String = java.text.Normalizer.normalize(
+      s.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
+    val df = cases.map(s => (s, ref(s))).toDF("s", "expected")
+    val bad = df.select(
+      graft.plans.TextExprs.nfcCaseFold(col("s")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0)
+    // the decomposed accent really composes: both spellings hash together
+    val two = Seq("Café", "Café").toDF("s")
+      .select(graft.plans.TextExprs.nfcCaseFold(col("s")).as("n"))
+      .distinct().count()
+    assert(two == 1, "NFC must unify precomposed and decomposed accents")
+  }
+
   test("MinHashSig matches a reference implementation on random shingle sets") {
     def refSig(shingles: Seq[String]): Seq[Long] =
       (0 until Lsh.K).map { i =>
