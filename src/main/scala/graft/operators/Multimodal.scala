@@ -16,11 +16,12 @@ import graft.functions.TextAnalysis
   * `mapPartitions` so each task amortizes codec setup over its partition —
   * the Spark-native equivalent of a batched Pandas UDF.
   *
-  * The codec itself is STUBBED here (no media libraries in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the payload bytes. The partitioning, schema, and batch shape around it
-  * are real — swapping `decodeStub` for a JNI/javacv codec changes no
-  * plan shape.
+  * Codecs: `decodeWav` is a REAL container parser (pure-JDK RIFF/WAVE
+  * chunk walk) running through the plug-point; image/video decoding is
+  * STUBBED (`decodeStub` — no media libraries in this environment) with
+  * deterministic fake dimensions. The partitioning, schema, and batch
+  * shape are identical for both — swapping the stub for a JNI/javacv
+  * codec changes no plan shape.
   */
 object Multimodal {
 
@@ -91,5 +92,56 @@ object Multimodal {
           MediaMeta(id, mt, w, h, bytes.length.toLong)
         }
       }
+  }
+
+  /** Decoded RIFF/WAVE header fields. `duration_us` is derived from the
+    * data-chunk size and the declared byte rate.
+    */
+  final case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                           bits_per_sample: Int, data_bytes: Long,
+                           duration_us: Long)
+
+  /** A REAL decoder through the plug-point: minimal RIFF/WAVE container
+    * parse (magic check, chunk walk with word alignment, `fmt ` and `data`
+    * chunks) — pure JDK, so it actually runs in this environment, and it
+    * exercises exactly the byte-level work a javacv/ImageIO codec would do
+    * behind the same `mapPartitions` shape. Throws on a malformed payload
+    * (a production pipeline routes those to a quarantine sink).
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavMeta = {
+    def ascii(off: Int) = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE payload")
+    var pos = 12
+    var channels, rate, byteRate, bits = -1
+    var dataBytes = -1L
+    while (pos + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
+      val id = ascii(pos)
+      val size = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt ") {
+        channels = bb.getShort(pos + 10) & 0xFFFF
+        rate = bb.getInt(pos + 12)
+        byteRate = bb.getInt(pos + 16)
+        bits = bb.getShort(pos + 22) & 0xFFFF
+      } else if (id == "data") dataBytes = size
+      // chunks are 16-bit word aligned: odd sizes carry a pad byte
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    require(channels > 0 && byteRate > 0 && dataBytes >= 0,
+      s"doc $docId: missing fmt/data chunk")
+    WavMeta(docId, channels, rate, bits, dataBytes,
+      dataBytes * 1000000L / byteRate)
+  }
+
+  /** Batched WAV decode: one chunk-walking parser pass per payload inside
+    * `mapPartitions` — the audio instantiation of `decodeBatched`'s shape.
+    */
+  def decodeWavBatched(media: DataFrame): Dataset[WavMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
   }
 }

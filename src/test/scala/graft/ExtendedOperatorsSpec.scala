@@ -147,6 +147,48 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(decoded.except(meta).count() == 0 && meta.except(decoded).count() == 0)
   }
 
+  test("RIFF/WAVE codec through the batched plug-point recovers the written header") {
+    import spark.implicits._
+    def makeWav(channels: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val byteRate = rate * blockAlign
+      // a LIST chunk (with an odd size, exercising word-aligned skipping)
+      // sits between WAVE and fmt, as real encoders emit
+      val junk = Array.tabulate(7)(i => (i + 1).toByte)
+      val size = 4 + (8 + junk.length + 1) + (8 + 16) + (8 + dataLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(size).put("WAVE".getBytes)
+      bb.put("LIST".getBytes).putInt(junk.length).put(junk).put(0.toByte)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataLen).put(new Array[Byte](dataLen))
+      bb.array()
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      val channels = 1 + rnd.nextInt(2)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val bits = Seq(8, 16)(rnd.nextInt(2))
+      val dataLen = (100 + rnd.nextInt(400)) * channels * bits / 8
+      (i.toLong, channels, rate, bits, dataLen.toLong,
+        makeWav(channels, rate, bits, dataLen))
+    }
+    val df = rows.toDF("doc_id", "channels", "sample_rate", "bits_per_sample",
+      "data_bytes", "payload")
+    // decoded header fields must equal the columnar metadata written
+    // alongside the payload, row for row
+    val decoded = Multimodal.decodeWavBatched(df.select("doc_id", "payload")).toDF()
+    val meta = df.select(col("doc_id"), col("channels"), col("sample_rate"),
+      col("bits_per_sample"), col("data_bytes"),
+      (col("data_bytes") * 1000000L /
+        (col("sample_rate") * col("channels") * col("bits_per_sample") / 8))
+        .cast("long").as("duration_us"))
+    assert(decoded.count() == 50)
+    assert(decoded.except(meta).count() == 0 && meta.except(decoded).count() == 0)
+  }
+
   test("scd2Merge rebuilds only touched keys and matches a full rebuild") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts")
