@@ -62,6 +62,17 @@ object Snapshots {
     */
   final case class BucketEntry(bucket: Int, dir: String, rows: Long)
 
+  /** One segment of an append-only log store. `token` is the caller's
+    * commit token (e.g. a streaming batch id) — the replay-idempotency
+    * handle.
+    */
+  final case class LogSegment(dir: String, rows: Long, token: Long)
+
+  private sealed trait Manifest
+  private final case class WholeTable(dir: String) extends Manifest
+  private final case class Bucketed(numBuckets: Int, entries: Seq[BucketEntry]) extends Manifest
+  private final case class AppendLog(segments: Seq[LogSegment]) extends Manifest
+
   /** Deterministic bucket of a business key — stable across runs, engines
     * and partitionings, so the same key always lands in the same bucket.
     */
@@ -98,52 +109,75 @@ object Snapshots {
     finally in.close()
   }
 
-  /** Parsed manifest: Left(snapDirName) for whole-table,
-    * Right((numBuckets, entries)) for bucketed.
+  /** Manifest formats (by first line): `buckets=<n>` → bucketed,
+    * `log` → append-only log, anything else → whole-table snap dir name.
     */
-  private def parseManifest(content: String): Either[String, (Int, Seq[BucketEntry])] = {
+  private def parseManifest(content: String): Manifest = {
     val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
     if (lines.headOption.exists(_.startsWith("buckets="))) {
       val n = lines.head.stripPrefix("buckets=").toInt
-      val entries = lines.tail.map { l =>
+      Bucketed(n, lines.tail.map { l =>
         val Array(b, dir, rows) = l.split("\t")
         BucketEntry(b.toInt, dir, rows.toLong)
-      }.toSeq
-      Right((n, entries))
-    } else Left(lines.head)
+      }.toSeq)
+    } else if (lines.headOption.contains("log")) {
+      AppendLog(lines.tail.map { l =>
+        val Array(dir, rows, token) = l.split("\t")
+        LogSegment(dir, rows.toLong, token.toLong)
+      }.toSeq)
+    } else WholeTable(lines.head)
   }
 
-  private def readManifest(spark: SparkSession, target: String,
-                           v: Long): Either[String, (Int, Seq[BucketEntry])] =
+  private def readManifest(spark: SparkSession, target: String, v: Long): Manifest =
     parseManifest(manifestContent(spark, target, v))
 
   /** Bucket layout of the current manifest: (numBuckets, entries). None if
-    * no commit has been published; throws on a whole-table store.
+    * no commit has been published; throws on a non-bucketed store.
     */
   def currentBuckets(spark: SparkSession, target: String): Option[(Int, Seq[BucketEntry])] =
     currentVersion(spark, target).map { v =>
       readManifest(spark, target, v) match {
-        case Right(be) => be
-        case Left(_) =>
-          throw new IllegalStateException(s"$target is a whole-table store, not bucketed")
+        case Bucketed(n, entries) => (n, entries)
+        case _ =>
+          throw new IllegalStateException(s"$target is not a bucketed store")
       }
     }
 
-  /** Total rows of the current bucketed snapshot — straight from manifest
-    * metadata, no data scan.
+  /** Segments of the current log manifest. None if no commit has been
+    * published; throws on a non-log store.
+    */
+  def logSegments(spark: SparkSession, target: String): Option[Seq[LogSegment]] =
+    currentVersion(spark, target).map { v =>
+      readManifest(spark, target, v) match {
+        case AppendLog(segments) => segments
+        case _ => throw new IllegalStateException(s"$target is not a log store")
+      }
+    }
+
+  /** Total rows of the current bucketed/log snapshot — straight from
+    * manifest metadata, no data scan.
     */
   def totalRows(spark: SparkSession, target: String): Long =
-    currentBuckets(spark, target).map(_._2.map(_.rows).sum).getOrElse(0L)
+    currentVersion(spark, target).map { v =>
+      readManifest(spark, target, v) match {
+        case Bucketed(_, entries) => entries.map(_.rows).sum
+        case AppendLog(segments) => segments.map(_.rows).sum
+        case WholeTable(_) =>
+          throw new IllegalStateException(s"$target stores no row counts (whole-table)")
+      }
+    }.getOrElse(0L)
 
-  /** Read the current snapshot (either flavor): the set of dirs the
-    * highest manifest points at.
+  /** Read the current snapshot (any flavor): the set of dirs the highest
+    * manifest points at.
     */
   def read(spark: SparkSession, target: String): DataFrame = {
     val v = currentVersion(spark, target).getOrElse(
       throw new IllegalStateException(s"no published snapshot at $target"))
     readManifest(spark, target, v) match {
-      case Left(name) => spark.read.parquet(new Path(target, name).toString)
-      case Right((_, entries)) => readEntries(spark, target, entries)
+      case WholeTable(name) => spark.read.parquet(new Path(target, name).toString)
+      case Bucketed(_, entries) => readEntries(spark, target, entries)
+      case AppendLog(segments) =>
+        spark.read.parquet(segments.map(s => new Path(target, s.dir).toString): _*)
     }
   }
 
@@ -200,12 +234,12 @@ object Snapshots {
                      touched: Seq[Int], rowsByBucket: Map[Int, Long]): Long = {
     val prev = currentVersion(spark, target)
       .map(pv => readManifest(spark, target, pv)) match {
-      case Some(Left(_)) =>
-        throw new IllegalStateException(s"$target already holds a whole-table store")
-      case Some(Right((n, entries))) =>
+      case Some(Bucketed(n, entries)) =>
         require(n == numBuckets,
           s"bucket count is pinned at $n for $target, got $numBuckets")
         entries
+      case Some(_) =>
+        throw new IllegalStateException(s"$target already holds a non-bucketed store")
       case None => Seq.empty
     }
     val touchedSet = touched.toSet
@@ -237,8 +271,9 @@ object Snapshots {
   /** Snapshot roots (snap-XXXXXXXX dir names) referenced by manifest `v`. */
   private def rootsOf(spark: SparkSession, target: String, v: Long): Set[String] =
     readManifest(spark, target, v) match {
-      case Left(name) => Set(name)
-      case Right((_, entries)) => entries.map(_.dir.takeWhile(_ != '/')).toSet
+      case WholeTable(name) => Set(name)
+      case Bucketed(_, entries) => entries.map(_.dir.takeWhile(_ != '/')).toSet
+      case AppendLog(segments) => segments.map(_.dir.takeWhile(_ != '/')).toSet
     }
 
   /** Step 3: delete snapshot dirs referenced by NEITHER the current nor
@@ -311,4 +346,56 @@ object Snapshots {
     */
   def maybeCompact(spark: SparkSession, target: String, maxRoots: Int): Unit =
     if (referencedRoots(spark, target) > maxRoots) compactBuckets(spark, target)
+
+  /** Append-only commit: write ONLY `df` as a new log segment and publish
+    * a manifest carrying every previous segment forward by reference — the
+    * write side is O(batch) however large the table has grown. `token`
+    * makes redelivery a no-op (returns false): a segment with
+    * `token <=` the last committed token is already applied. The row count
+    * for the manifest comes from the new segment's parquet footers
+    * (metadata-only read, no data scan).
+    */
+  def appendCommit(df: DataFrame, target: String, token: Long): Boolean = {
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, target)
+      .map(v => readManifest(spark, target, v)) match {
+      case Some(AppendLog(segments)) => segments
+      case Some(_) =>
+        throw new IllegalStateException(s"$target already holds a non-log store")
+      case None => Seq.empty
+    }
+    if (prev.lastOption.exists(_.token >= token)) false
+    else {
+      val v = writeSnapshot(df, target)
+      val dir = s"snap-${fmt(v)}"
+      val rows = spark.read.parquet(new Path(target, dir).toString).count()
+      val segments = prev :+ LogSegment(dir, rows, token)
+      publishContent(spark, target, v,
+        ("log" +: segments.map(s => s"${s.dir}\t${s.rows}\t${s.token}")).mkString("\n"))
+      gc(spark, target)
+      true
+    }
+  }
+
+  /** Fold all log segments into one (data unchanged, token = the last
+    * committed token). One full rewrite — amortize with `maybeCompactLog`.
+    */
+  def compactLog(spark: SparkSession, target: String): Unit =
+    logSegments(spark, target).foreach { segments =>
+      if (segments.size > 1) {
+        val full = spark.read.parquet(
+          segments.map(s => new Path(target, s.dir).toString): _*)
+        val v = writeSnapshot(full, target)
+        publishContent(spark, target, v,
+          s"log\nsnap-${fmt(v)}\t${segments.map(_.rows).sum}\t${segments.last.token}")
+        gc(spark, target)
+      }
+    }
+
+  /** Compact when the log exceeds `maxSegments` (bounds read fan-in and
+    * small-file accumulation; O(1) manifest check per call).
+    */
+  def maybeCompactLog(spark: SparkSession, target: String, maxSegments: Int): Unit =
+    if (logSegments(spark, target).exists(_.size > maxSegments))
+      compactLog(spark, target)
 }

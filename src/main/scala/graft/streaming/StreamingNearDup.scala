@@ -21,48 +21,63 @@ import graft.sources.Snapshots
   *
   * Drop rule (deterministic, non-iterative): a batch document is dropped
   * when its estimated Jaccard reaches `threshold` against (a) any
-  * INDEXED document, or (b) any earlier-id document in the same batch.
-  * (b) is deliberately independent of the partner's own fate — the
-  * standard streaming-dedup simplification that avoids an in-batch
-  * convergence loop; chains over-drop slightly, never under-drop.
+  * INDEXED document from an EARLIER batch, or (b) any earlier-id document
+  * in the same batch. (b) is deliberately independent of the partner's
+  * own fate — the standard streaming-dedup simplification that avoids an
+  * in-batch convergence loop; chains over-drop slightly, never
+  * under-drop. Restricting (a) to earlier batches (the anti-join on the
+  * batch's own ids) keeps a crash-replayed batch — whose signatures may
+  * already sit in the index — on the same rule as its first attempt.
   *
-  * Replay idempotent: both the corpus and the index are committed
-  * through [[graft.sources.Snapshots]] as id-deduplicated unions, and
-  * self-matches (same doc_id) are excluded from the index rule, so a
-  * re-delivered batch re-derives the same state.
+  * Write side is O(batch), not O(state): both stores are append-only
+  * Snapshots logs — a batch commits only its admitted rows as a new
+  * segment, prior segments carry forward by manifest reference, and the
+  * batch id is the commit token that makes redelivery a no-op. Segment
+  * counts are bounded by periodic log compaction (amortized).
   */
 object StreamingNearDup {
 
+  /** Compact a store once its log exceeds this many segments: each batch
+    * adds one segment, so a compaction (one full state rewrite) runs every
+    * `MaxLogSegments` batches — amortized O(state/MaxLogSegments) per
+    * batch — and read fan-in stays bounded.
+    */
+  val MaxLogSegments = 32
+
   /** The sink. `indexPath` holds the signature index, `corpusPath` the
-    * admitted documents; both are Snapshots stores.
+    * admitted documents; both are append-only Snapshots log stores.
     */
   def dedupSink(indexPath: String, corpusPath: String, idCol: String,
                 textCol: String, n: Int, threshold: Double)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val sigs = NearDup.minHashSignatures(batch, idCol, textCol, n)
-    val inBatch = NearDup.minHashLshPairs(batch, idCol, textCol, n)
+    // a document re-sent in a LATER batch is already settled — only novel
+    // ids are processed (ids-only anti-join against the corpus)
+    val newDocs =
+      if (Snapshots.exists(spark, corpusPath))
+        batch.join(Snapshots.read(spark, corpusPath).select(idCol), Seq(idCol), "left_anti")
+      else batch
+    val sigs = NearDup.minHashSignatures(newDocs, idCol, textCol, n)
+    val inBatch = NearDup.minHashLshPairs(newDocs, idCol, textCol, n)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_b").as(idCol))
     val dropIds = (if (Snapshots.exists(spark, indexPath)) {
+      val ownIds = newDocs.select(col(idCol).as("index_id"))
       val vsIndex = NearDup.lshMatches(sigs, Snapshots.read(spark, indexPath), idCol)
-        .filter(col("est_jaccard") >= threshold && col("index_id") =!= col(idCol))
+        .filter(col("est_jaccard") >= threshold)
+        .join(ownIds, Seq("index_id"), "left_anti")
         .select(idCol)
       inBatch.unionByName(vsIndex)
     } else inBatch).distinct()
-    val kept = batch.join(dropIds, Seq(idCol), "left_anti")
-    val corpus =
-      if (Snapshots.exists(spark, corpusPath))
-        Snapshots.read(spark, corpusPath).unionByName(kept).dropDuplicates(idCol)
-      else kept
-    Snapshots.commit(corpus, corpusPath)
+    val kept = newDocs.join(dropIds, Seq(idCol), "left_anti")
     // index admits only matchable documents (those with a signature);
-    // shingle-less docs live in the corpus but can never collide
+    // shingle-less docs live in the corpus but can never collide.
+    // Index commits FIRST: a crash between the two commits replays into
+    // the batch-aware drop rule above and converges to the same state.
     val keptSigs = sigs.join(dropIds, Seq(idCol), "left_anti")
-    val index =
-      if (Snapshots.exists(spark, indexPath))
-        Snapshots.read(spark, indexPath).unionByName(keptSigs).dropDuplicates(idCol)
-      else keptSigs
-    Snapshots.commit(index, indexPath)
+    Snapshots.appendCommit(keptSigs, indexPath, batchId)
+    Snapshots.appendCommit(kept, corpusPath, batchId)
+    Snapshots.maybeCompactLog(spark, indexPath, MaxLogSegments)
+    Snapshots.maybeCompactLog(spark, corpusPath, MaxLogSegments)
   }
 }

@@ -215,6 +215,64 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == got)
   }
 
+  test("streaming near-dup state stays ~128 B/doc and per-batch writes stay flat over 24 batches") {
+    import spark.implicits._
+    val dir = tmp()
+    val (idxPath, corpusPath) = (s"$dir/index", s"$dir/corpus")
+    val vocab = (0 until 5000).map(i => s"w$i")
+    def batchDocs(b: Int, size: Int): org.apache.spark.sql.DataFrame = {
+      val rows = (0 until size).map { j =>
+        val id = b.toLong * size + j
+        val rnd = new scala.util.Random(id)
+        (id, (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      rows.toDF("doc_id", "text")
+    }
+    def storeBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.startsWith("snap-") || f.getName.endsWith(".parquet")) f.length
+        else f.length
+      graft.sources.Snapshots.logSegments(spark, path).get.map { s =>
+        walk(new java.io.File(s"$path/${s.dir}"))
+      }.sum
+    }
+    val batches = 24
+    val size = 300
+    val stats = (0 until batches).map { b =>
+      val t0 = System.nanoTime()
+      StreamingNearDup.dedupSink(idxPath, corpusPath, "doc_id", "text",
+        Queries.JaccardN, Queries.JaccardThreshold)(batchDocs(b, size), b.toLong)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val seg = graft.sources.Snapshots.logSegments(spark, idxPath).get.last
+      val segBytes = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+        walk(new java.io.File(s"$idxPath/${seg.dir}"))
+      }
+      (secs, segBytes)
+    }
+    val docs = batches.toLong * size
+    assert(graft.sources.Snapshots.totalRows(spark, idxPath) == docs,
+      "unique random docs must all be admitted")
+    // state footprint: signatures are 16 longs + id ≈ 136 B raw; parquet
+    // encoding + footers must stay within ~4x of that, however many
+    // batches accumulated
+    val bytesPerDoc = storeBytes(idxPath).toDouble / docs
+    assert(bytesPerDoc < 550.0, f"index grew to $bytesPerDoc%.0f B/doc")
+    // the WRITE side is O(batch): the bytes a batch commits do not grow
+    // with the index (deterministic — file sizes, not wall time)
+    val segs = stats.map(_._2)
+    assert(segs.last < segs(1) * 2,
+      s"per-batch segment bytes grew with index size: first=${segs(1)} last=${segs.last}")
+    // smoke guard on compute growth: late batches may pay the (tiny,
+    // growing) index scan but nothing super-linear — generous bound so
+    // box load can't flake the suite
+    val early = stats.slice(2, 8).map(_._1).sum / 6
+    val late = stats.slice(batches - 6, batches).map(_._1).sum / 6
+    assert(late < early * 5, f"per-batch time grew: early=$early%.2fs late=$late%.2fs")
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
