@@ -99,7 +99,6 @@ object Medallion {
       val low = store.get(spec.name)
       val obsSlice = Observation()
       val obsClean = Observation()
-      val obsGold  = Observation()
       // bronze: the (low, high] slice only; the observe nodes piggyback
       // row counts on the actions the run performs anyway.
       val slice = low.fold(src.filter(col(spec.seqCol) <= lit(highWatermark)))(wm =>
@@ -110,61 +109,26 @@ object Medallion {
       val enforced = Quality.enforce(slice, spec.rules)
         .observe(obsClean, count(lit(1)).as("n"))
       val goldPath = s"$stateDir/gold/${spec.name}"
-      val bucket = Snapshots.bucketOf(spec.keys, spec.buckets)
-
-      // Which gold buckets does this slice touch? One slice-proportional
-      // probe (distinct over ≤ `buckets` values) — the partition-pruning
-      // decision that makes both the gold read and the commit O(slice).
-      // The probe also fires the slice/clean observations.
-      val touched = enforced.select(bucket.as(Snapshots.BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
+      // Bucketed gold merge: the read prunes to touched buckets, the
+      // commit rewrites only them (Snapshots.mergeCommitBuckets — its
+      // probe action also fires the slice/clean observations).
+      val goldRows = Snapshots.mergeCommitBuckets(
+          enforced, goldPath, spec.keys, spec.buckets)(
+          init = e =>
+            if (spec.scdType == 2)
+              Scd.scd2FromChangelog(e, spec.keys, spec.seqCol, spec.tieCols)
+            else Dedup.latestByKey(e, spec.keys, spec.seqCol +: spec.tieCols))(
+          merge = (gold, e) =>
+            if (spec.scdType == 2)
+              Scd.scd2Merge(gold, e, spec.keys, spec.seqCol, spec.tieCols)
+            else Scd.scd1Merge(gold,
+              Dedup.latestByKey(e, spec.keys, spec.seqCol +: spec.tieCols),
+              spec.keys, spec.seqCol +: spec.tieCols))
+      Snapshots.maybeCompact(spark, goldPath, CompactAfterRoots)
+      store.update(spec.name, highWatermark)
       def n(o: Observation): Long =
         o.get.getOrElse("n", 0L).asInstanceOf[Long]
-
-      val current = Snapshots.currentBuckets(spark, goldPath)
-      if (touched.isEmpty) {
-        // empty slice: gold is untouched — zero write amplification (and a
-        // first run with no data publishes nothing at all)
-        store.update(spec.name, highWatermark)
-        RunResult(spec.name, n(obsSlice), n(obsClean),
-          current.map(_._2.map(_.rows).sum).getOrElse(0L), highWatermark)
-      } else {
-        val touchedEntries = current.toSeq.flatMap(_._2)
-          .filter(e => touched.contains(e.bucket))
-        // gold merge over the touched buckets only; keys sharing a bucket
-        // with a touched key ride through the merge's untouched path and
-        // rewrite into the same bucket.
-        val merged =
-          if (touchedEntries.isEmpty) {
-            if (spec.scdType == 2)
-              Scd.scd2FromChangelog(enforced, spec.keys, spec.seqCol, spec.tieCols)
-            else Dedup.latestByKey(enforced, spec.keys, spec.seqCol +: spec.tieCols)
-          } else {
-            val gold = Snapshots.readEntries(spark, goldPath, touchedEntries)
-            if (spec.scdType == 2)
-              Scd.scd2Merge(gold, enforced, spec.keys, spec.seqCol, spec.tieCols)
-            else Scd.scd1Merge(gold,
-              Dedup.latestByKey(enforced, spec.keys, spec.seqCol +: spec.tieCols),
-              spec.keys, spec.seqCol +: spec.tieCols)
-          }
-        // Per-bucket row counts for the manifest ride the SAME observe as
-        // the total — `touched` is known at plan time, so the counts are
-        // conditional aggregates in one pass, not extra count() actions.
-        val perBucket = touched.map(b =>
-          count(when(col(Snapshots.BucketCol) === b, 1)).as(s"b_$b"))
-        val staged = merged.withColumn(Snapshots.BucketCol, bucket)
-          .observe(obsGold, count(lit(1)).as("n"), perBucket: _*)
-        val v = Snapshots.writeBucketSnapshot(staged, goldPath)
-        val metrics = obsGold.get
-        val rowsByBucket = touched.map(b =>
-          b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
-        val goldRows = Snapshots.publishBuckets(spark, goldPath, v, spec.buckets,
-          touched, rowsByBucket)
-        Snapshots.gc(spark, goldPath)
-        Snapshots.maybeCompact(spark, goldPath, CompactAfterRoots)
-        store.update(spec.name, highWatermark)
-        RunResult(spec.name, n(obsSlice), n(obsClean), goldRows, highWatermark)
-      }
+      RunResult(spec.name, n(obsSlice), n(obsClean), goldRows, highWatermark)
     }
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Crash-safe parquet snapshot store: a manifest-pointer commit protocol
@@ -346,6 +346,56 @@ object Snapshots {
     */
   def maybeCompact(spark: SparkSession, target: String, maxRoots: Int): Unit =
     if (referencedRoots(spark, target) > maxRoots) compactBuckets(spark, target)
+
+  /** The bucketed read-merge-write commit both the medallion gold layer
+    * and the streaming SCD sinks run on: prune the stored table to the
+    * buckets `updates` touches, apply `merge(storedSubset, updates)` —
+    * or `init(updates)` where no stored bucket exists yet — and commit
+    * ONLY those buckets, every other bucket carried forward by manifest
+    * reference. Both the read and the write are O(touched buckets).
+    *
+    * Mechanics per commit, all slice-proportional:
+    *  1. one probe action over `updates` (distinct over ≤ numBuckets
+    *     values) decides the pruning — an empty slice commits NOTHING;
+    *  2. per-bucket manifest row counts ride an `Observation` on the
+    *     write itself (conditional aggregates over the known touched
+    *     list — no extra count actions);
+    *  3. publish + reference-based gc as usual.
+    *
+    * Returns total rows now in the store (from manifest metadata).
+    */
+  def mergeCommitBuckets(updates: DataFrame, target: String, keys: Seq[String],
+                         numBuckets: Int)
+                        (init: DataFrame => DataFrame)
+                        (merge: (DataFrame, DataFrame) => DataFrame): Long = {
+    val spark = updates.sparkSession
+    val bucket = bucketOf(keys, numBuckets)
+    val touched = updates.select(bucket.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val current = currentBuckets(spark, target)
+    if (touched.isEmpty) current.map(_._2.map(_.rows).sum).getOrElse(0L)
+    else {
+      val touchedEntries = current.toSeq.flatMap(_._2)
+        .filter(e => touched.contains(e.bucket))
+      // keys sharing a bucket with a touched key ride through the merge's
+      // untouched path and rewrite into the same bucket
+      val merged =
+        if (touchedEntries.isEmpty) init(updates)
+        else merge(readEntries(spark, target, touchedEntries), updates)
+      val obs = Observation()
+      val perBucket = touched.map(b =>
+        count(when(col(BucketCol) === b, 1)).as(s"b_$b"))
+      val staged = merged.withColumn(BucketCol, bucket)
+        .observe(obs, count(lit(1)).as("n"), perBucket: _*)
+      val v = writeBucketSnapshot(staged, target)
+      val metrics = obs.get
+      val rowsByBucket = touched.map(b =>
+        b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
+      val total = publishBuckets(spark, target, v, numBuckets, touched, rowsByBucket)
+      gc(spark, target)
+      total
+    }
+  }
 
   /** Append-only commit: write ONLY `df` as a new log segment and publish
     * a manifest carrying every previous segment forward by reference — the
