@@ -46,13 +46,21 @@ object Components {
     val bidir = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Only nodes INCIDENT to an edge can ever change label: iterate over
+    // that subgraph and pass every isolated node through with label = id
+    // at the end. In a near-dup corpus the pair subgraph is a sliver of
+    // the corpus, so each round shuffles O(|pairs|), not O(|corpus|) —
+    // at a billion documents the rounds never touch the billion.
+    val touched = bidir.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round's plan references the previous labels TWICE (probe side
     // and neighbor-min side), so lineage doubles per iteration — an eager
     // localCheckpoint truncates it to a leaf each round, keeping plan
     // size O(1) regardless of graph diameter.
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labels = touched.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    var prevSum = BigDecimal(labels.agg(sum("label")).head().getLong(0))
+    var prevSum = BigDecimal(
+      labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -69,14 +77,19 @@ object Components {
         .select(stepped("id"),
           least(col("step"), coalesce(col("p_label"), col("step"))).as("label"))
         .localCheckpoint(true)
-      val s = BigDecimal(next.agg(sum("label")).head().getLong(0))
+      val s = BigDecimal(
+        next.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
       labels = next
       converged = s == prevSum
       prevSum = s
       it += 1
     }
+    val all = labels.unionByName(
+      nodes.select(col("id")).join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+    touched.unpersist()
     bidir.unpersist()
     e0.unpersist()
-    (labels, it)
+    (all, it)
   }
 }
