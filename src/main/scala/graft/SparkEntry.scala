@@ -70,6 +70,8 @@ object SparkEntry {
     "q52_shard_pack"          -> (Queries.shardPack _),
     "q53_top_ngrams"          -> (Queries.topNgrams _),
     "q54_text_unicode"        -> (Queries.textUnicode _),
+    "q55_pii_redact"          -> (Queries.piiRedact _),
+    "q56_decontaminate"       -> (Queries.decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -779,6 +781,59 @@ object Queries {
         size(array_distinct(toks)).as("n_distinct"))
       .orderBy("doc_id")
   }
+
+  // --- q55: PII detection + redaction (crawl-pipeline scrubbing pass) ---------
+  // The corpus carries no contact data, so PII is injected as deterministic
+  // per-doc suffixes; the regexes live in the POSIX-ish Java/RE2
+  // intersection so the DuckDB oracle applies the identical patterns.
+  // Reference analog: the silver layer's regex email validation UDF
+  // (reference: local_spotify_dab/utilities/utils.py `is_valid_email`) —
+  // generalized from validate-a-column to scrub-free-text.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  val PiiSnippets: Seq[String] = Seq(
+    " contact me at john.doe@example.com or admin@site.org today",
+    " call 555-0192 now or fax 844-2210 later",
+    "")
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val snippet = when(pmod(col("doc_id"), lit(3)) === 0, lit(PiiSnippets(0)))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(PiiSnippets(1)))
+      .otherwise(lit(PiiSnippets(2)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), snippet).as("utext"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("utext"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("clean_text"),
+        regexp_count(col("utext"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("utext"), lit(PhoneRe)).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  // --- q56: benchmark decontamination by n-gram collision ---------------------
+  // The GPT-3/Llama decontamination pass: flag training documents sharing
+  // any n-gram with a held-out evaluation set. Eval docs are drawn from
+  // the table itself (a leaked benchmark); eval n-grams are a broadcast
+  // semi-side, so the training corpus is scanned once and never shuffled.
+  // n = 4 because the synthetic docs are 10-99 words — production uses
+  // 13-grams, same plan shape.
+  val DecontamN = 4
+  val DecontamEvalIds: Seq[Long] = Seq(2L, 5L, 8L)
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.SignatureExprs.distinctNGrams(
+          TextAnalysis.words(col("text")), DecontamN)).as("gram"))
+    val evalGrams = grams.filter(col("doc_id").isin(DecontamEvalIds: _*))
+      .select(col("gram"), col("doc_id").as("eval_id")).distinct()
+    grams.filter(!col("doc_id").isin(DecontamEvalIds: _*))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("eval_id")
+      .agg(count_distinct(col("doc_id")).as("n_flagged"),
+        count(lit(1)).as("n_contaminated_ngrams"))
+      .orderBy("eval_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -1486,6 +1541,41 @@ object Oracles {
                  CAST(len(list_distinct(regexp_extract_all(norm_text, '[\\pL\\pN]+'))) AS INT)
                    AS n_distinct
           FROM n"""
+    },
+
+    "q55_pii_redact" -> {
+      // DuckDB regular string literals keep backslashes, so the Java-side
+      // pattern interpolates verbatim
+      val em = Queries.EmailRe
+      s"""WITH u AS (SELECT doc_id,
+                  text || (CASE doc_id % 3 WHEN 0 THEN '${Queries.PiiSnippets(0)}'
+                                           WHEN 1 THEN '${Queries.PiiSnippets(1)}'
+                                           ELSE '' END) AS utext
+           FROM documents)
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(utext, '$em', '<EMAIL>', 'g'),
+                                '${Queries.PhoneRe}', '<PHONE>', 'g') AS clean_text,
+                 CAST(len(regexp_extract_all(utext, '$em')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(utext, '${Queries.PhoneRe}')) AS INT)
+                   AS n_phones
+          FROM u"""
+    },
+
+    "q56_decontaminate" -> {
+      val ids = Queries.DecontamEvalIds.mkString("(", ",", ")")
+      val n = Queries.DecontamN
+      val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(ws) - ${n - 1}), i -> $gram))) AS gram
+                FROM w WHERE len(ws) >= $n),
+          ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g
+                 WHERE doc_id IN $ids),
+          hits AS (SELECT eval_id, g.doc_id FROM ev JOIN g USING (gram)
+                   WHERE g.doc_id NOT IN $ids)
+          SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
+                 count(*) AS n_contaminated_ngrams
+          FROM hits GROUP BY 1"""
     },
 
     "q31_multimodal_meta" ->
