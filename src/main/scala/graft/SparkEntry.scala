@@ -72,6 +72,7 @@ object SparkEntry {
     "q54_text_unicode"        -> (Queries.textUnicode _),
     "q55_pii_redact"          -> (Queries.piiRedact _),
     "q56_decontaminate"       -> (Queries.decontaminate _),
+    "q57_lang_mix_weights"    -> (Queries.langMixWeights _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -834,6 +835,30 @@ object Queries {
         count(lit(1)).as("n_contaminated_ngrams"))
       .orderBy("eval_id")
   }
+
+  // --- q57: temperature-based language mixing weights -------------------------
+  // The mT5/XLM-R multilingual sampling recipe: sample language l with
+  // probability ∝ (tokens_l)^α so low-resource languages are upweighted.
+  // α = 0.5 keeps every float op exactly rounded (sqrt + one division);
+  // the normalizer is a SEQUENTIAL fold over the per-language values in
+  // lang order — never a partition-order-dependent float SUM — so the
+  // weights are bit-identical on any cluster and in the oracle.
+  def langMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.words(col("text"))).cast("long")
+    val per = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("lang_tokens"))
+    val z = per.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("lang"), col("lang_tokens")))),
+          x => sqrt(x.getField("lang_tokens").cast("double"))),
+        lit(0.0), (a, x) => a + x).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        (sqrt(col("lang_tokens").cast("double")) / col("z")).as("weight"))
+      .orderBy("lang")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -1577,6 +1602,20 @@ object Oracles {
                  count(*) AS n_contaminated_ngrams
           FROM hits GROUP BY 1"""
     },
+
+    "q57_lang_mix_weights" ->
+      s"""WITH per AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(len($ws) AS BIGINT)) AS BIGINT) AS lang_tokens
+            FROM documents GROUP BY 1),
+          z AS (SELECT list_reduce(
+                  list_transform(list(lang_tokens ORDER BY lang),
+                    t -> sqrt(CAST(t AS DOUBLE))),
+                  (a, b) -> a + b) AS z
+                FROM per)
+          SELECT lang, n_docs, lang_tokens,
+                 sqrt(CAST(lang_tokens AS DOUBLE)) / z AS weight
+          FROM per, z""",
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,
