@@ -17,34 +17,44 @@ object Tables {
 
   /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark cannot
     * map to its microsecond TimestampType directly. Read it as raw nanos
-    * (legacy nanosAsLong) and truncate to micros with integer division —
-    * exactly the truncation DuckDB applies when it reads the same file into
-    * its microsecond TIMESTAMP, so both engines see identical instants.
-    * (Plain `/ 1000` would round-trip through double and lose precision:
-    * epoch-nanos ≈ 1.7e18 > 2^53.)
+    * and truncate to micros with integer division — exactly the truncation
+    * DuckDB applies when it reads the same file into its microsecond
+    * TIMESTAMP, so both engines see identical instants. (Plain `/ 1000`
+    * would round-trip through double and lose precision: epoch-nanos
+    * ≈ 1.7e18 > 2^53.)
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     eventsRawNanos(spark, dir)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+
+  /** Explicit read schema for events: declaring `ts` as LongType lets the
+    * parquet reader hand back the raw nanos WITHOUT the global
+    * `spark.sql.legacy.parquet.nanosAsLong` flag — no session conf is
+    * mutated, so the accessor is safe under any caller session and
+    * concurrent readers.
+    */
+  private val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
 
   /** `events` with `ts` still raw epoch-nanos (LongType). Time-window
     * operators filter THIS form so the range predicate reaches the parquet
     * scan as a plain long comparison — `timestamp_micros(ts div 1000) > X`
     * is opaque to the reader and would scan the full table at 100 TB.
-    *
-    * The `nanosAsLong` conf set here is deliberate, not an oversight:
-    * `SparkEntry.queries`/`entry` are invoked by arbitrary driver sessions
-    * that have not pre-configured it, and the flag is write-once-true
-    * (never toggled back), so repeated sets are idempotent and safe under
-    * concurrent readers.
     */
-  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-  }
+  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")

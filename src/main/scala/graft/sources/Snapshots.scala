@@ -370,31 +370,36 @@ object Snapshots {
                         (merge: (DataFrame, DataFrame) => DataFrame): Long = {
     val spark = updates.sparkSession
     val bucket = bucketOf(keys, numBuckets)
-    val touched = updates.select(bucket.as(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val current = currentBuckets(spark, target)
-    if (touched.isEmpty) current.map(_._2.map(_.rows).sum).getOrElse(0L)
-    else {
-      val touchedEntries = current.toSeq.flatMap(_._2)
-        .filter(e => touched.contains(e.bucket))
-      // keys sharing a bucket with a touched key ride through the merge's
-      // untouched path and rewrite into the same bucket
-      val merged =
-        if (touchedEntries.isEmpty) init(updates)
-        else merge(readEntries(spark, target, touchedEntries), updates)
-      val obs = Observation()
-      val perBucket = touched.map(b =>
-        count(when(col(BucketCol) === b, 1)).as(s"b_$b"))
-      val staged = merged.withColumn(BucketCol, bucket)
-        .observe(obs, count(lit(1)).as("n"), perBucket: _*)
-      val v = writeBucketSnapshot(staged, target)
-      val metrics = obs.get
-      val rowsByBucket = touched.map(b =>
-        b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
-      val total = publishBuckets(spark, target, v, numBuckets, touched, rowsByBucket)
-      gc(spark, target)
-      total
-    }
+    // the slice feeds two actions (the probe and the write); persist it so
+    // the source is scanned once, spilling to disk for oversized batches
+    val u = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = u.select(bucket.as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val current = currentBuckets(spark, target)
+      if (touched.isEmpty) current.map(_._2.map(_.rows).sum).getOrElse(0L)
+      else {
+        val touchedEntries = current.toSeq.flatMap(_._2)
+          .filter(e => touched.contains(e.bucket))
+        // keys sharing a bucket with a touched key ride through the merge's
+        // untouched path and rewrite into the same bucket
+        val merged =
+          if (touchedEntries.isEmpty) init(u)
+          else merge(readEntries(spark, target, touchedEntries), u)
+        val obs = Observation()
+        val perBucket = touched.map(b =>
+          count(when(col(BucketCol) === b, 1)).as(s"b_$b"))
+        val staged = merged.withColumn(BucketCol, bucket)
+          .observe(obs, count(lit(1)).as("n"), perBucket: _*)
+        val v = writeBucketSnapshot(staged, target)
+        val metrics = obs.get
+        val rowsByBucket = touched.map(b =>
+          b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
+        val total = publishBuckets(spark, target, v, numBuckets, touched, rowsByBucket)
+        gc(spark, target)
+        total
+      }
+    } finally u.unpersist()
   }
 
   /** Append-only commit: write ONLY `df` as a new log segment and publish
