@@ -73,6 +73,7 @@ object SparkEntry {
     "q55_pii_redact"          -> (Queries.piiRedact _),
     "q56_decontaminate"       -> (Queries.decontaminate _),
     "q57_lang_mix_weights"    -> (Queries.langMixWeights _),
+    "q58_shard_manifest"      -> (Queries.shardManifest _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -859,6 +860,30 @@ object Queries {
         (sqrt(col("lang_tokens").cast("double")) / col("z")).as("weight"))
       .orderBy("lang")
   }
+
+  // --- q58: per-shard document manifest with stream offsets -------------------
+  // The index file a sequence-packing job ships with each training shard:
+  // which documents it holds and at which token offset each begins in the
+  // source's concatenated stream. Same per-source window as q52 (never a
+  // global order); the manifest string is built from a SORTED struct list,
+  // so grouping-order nondeterminism cannot leak into the output.
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.words(col("text"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"off div $ShardTokens"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("off")))),
+            x => concat(x.getField("doc_id").cast("string"), lit("@"),
+              x.getField("off").cast("string"))),
+          ";").as("manifest"))
+      .orderBy("source", "shard")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -1616,6 +1641,19 @@ object Oracles {
           SELECT lang, n_docs, lang_tokens,
                  sqrt(CAST(lang_tokens AS DOUBLE)) / z AS weight
           FROM per, z""",
+
+    "q58_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS off
+                FROM t)
+          SELECT source, off // ${Queries.ShardTokens} AS shard,
+                 COUNT(*) AS n_docs,
+                 string_agg(CAST(doc_id AS VARCHAR) || '@' || CAST(off AS VARCHAR),
+                            ';' ORDER BY doc_id) AS manifest
+          FROM c GROUP BY 1, 2""",
 
     "q31_multimodal_meta" ->
       s"""SELECT doc_id,
