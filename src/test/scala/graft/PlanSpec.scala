@@ -79,6 +79,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q56: eval grams broadcast; eval-side scan prunes on doc_id") {
+    val p = plan("q56_decontaminate")
+    assert(p.contains("BroadcastExchange"), "eval grams must broadcast")
+    assert(!p.contains("SortMergeJoin"), "gram join must not shuffle the corpus")
+    assert(p.contains("In(doc_id"), "eval-id filter should reach the parquet scan")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
