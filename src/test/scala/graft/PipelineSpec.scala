@@ -197,6 +197,63 @@ class PipelineSpec extends AnyFunSuite {
       Map(0 -> 2L, 1 -> 1L, 2 -> 2L))
   }
 
+  test("random batch folds through bucketed commits equal one global latest-wins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val target = Files.createTempDirectory("graft_bucket_prop").toString + "/t"
+    val batches = (0 until 6).map { b =>
+      (0 until 400).map { i =>
+        (rnd.nextInt(150).toLong, (b * 1000 + i).toLong, rnd.nextDouble())
+      }.toDF("k", "seq", "v")
+    }
+    batches.foreach { b =>
+      Snapshots.mergeCommitBuckets(b, target, Seq("k"), numBuckets = 8)(
+        operators.Dedup.latestByKey(_, Seq("k"), Seq("seq")))(
+        (base, u) => operators.Scd.scd1Merge(base, u, Seq("k"), Seq("seq")))
+    }
+    val got = Snapshots.read(spark, target)
+    val global = operators.Dedup.latestByKey(
+      batches.reduce(_ unionByName _), Seq("k"), Seq("seq"))
+    assert(got.except(global).count() == 0 && global.except(got).count() == 0)
+    assert(Snapshots.totalRows(spark, target) == global.count(),
+      "manifest counts must track the data through every fold")
+    // compaction preserves the converged state
+    Snapshots.compactBuckets(spark, target)
+    val after = Snapshots.read(spark, target)
+    assert(after.except(global).count() == 0 && global.except(after).count() == 0)
+    assert(Snapshots.referencedRoots(spark, target) == 1)
+  }
+
+  test("bucketed commit is crash-safe across both windows") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_bucket_crash").toString + "/t"
+    def commitKv(rows: Seq[(Long, String)]): Unit =
+      Snapshots.mergeCommitBuckets(rows.toDF("id", "v"), target, Seq("id"), 4)(
+        identity)((base, u) => base.unionByName(u))
+    commitKv(Seq((1L, "a"), (2L, "b"), (9L, "c")))
+    val before = Snapshots.read(spark, target).collect().map(_.getLong(0)).toSet
+
+    // Crash window 1: bucket snapshot staged, manifest NOT published —
+    // readers still resolve the previous manifest's buckets.
+    val staged = Seq((1L, "a2")).toDF("id", "v")
+      .withColumn(Snapshots.BucketCol, Snapshots.bucketOf(Seq("id"), 4))
+    val v2 = Snapshots.writeBucketSnapshot(staged, target)
+    assert(Snapshots.read(spark, target).collect().map(_.getLong(0)).toSet == before,
+      "unpublished bucket snapshot must be invisible")
+
+    // Crash window 2: published, gc not yet run — readers already see the
+    // new bucket layout, stale dirs are inert.
+    val b1 = staged.select(Snapshots.bucketOf(Seq("id"), 4)).head.getInt(0)
+    Snapshots.publishBuckets(spark, target, v2, 4, Seq(b1), Map(b1 -> 1L))
+    val afterPublish = Snapshots.read(spark, target)
+    assert(afterPublish.filter(col("v") === "a2").count() == 1)
+    // the replaced bucket's other keys are gone with it (the staged write
+    // is the bucket's full new content), every other bucket is untouched
+    Snapshots.gc(spark, target)
+    assert(Snapshots.read(spark, target).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == afterPublish.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
   test("a medallion run triggers no counting actions beyond its writes") {
     val state = Files.createTempDirectory("graft_medallion_jobs").toString
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
