@@ -75,8 +75,15 @@ object Medallion {
         .filter(col("table_name") === table)
         .head(1).headOption.map(_.getTimestamp(1))
 
-    def update(table: String, wm: java.sql.Timestamp): Unit = {
-      val fresh = Seq((table, wm)).toDF("table_name", "watermark")
+    def update(table: String, wm: java.sql.Timestamp): Unit =
+      updateAll(Map(table -> wm))
+
+    /** One commit for a whole run's watermarks (max wins per table). Safe
+      * at run granularity: gold merges are replay-idempotent, so a crash
+      * before the batched commit just re-merges the same slices.
+      */
+    def updateAll(wms: Map[String, java.sql.Timestamp]): Unit = {
+      val fresh = wms.toSeq.toDF("table_name", "watermark")
       val all =
         if (!Snapshots.exists(spark, path)) fresh
         else Snapshots.read(spark, path).unionByName(fresh)
@@ -94,7 +101,7 @@ object Medallion {
           source: String => DataFrame, stateDir: String,
           highWatermark: java.sql.Timestamp): Seq[RunResult] = {
     val store = new WatermarkStore(spark, s"$stateDir/_watermarks")
-    specs.map { spec =>
+    val results = specs.map { spec =>
       val src = source(spec.name)
       val low = store.get(spec.name)
       val obsSlice = Observation()
@@ -125,10 +132,13 @@ object Medallion {
               Dedup.latestByKey(e, spec.keys, spec.seqCol +: spec.tieCols),
               spec.keys, spec.seqCol +: spec.tieCols))
       Snapshots.maybeCompact(spark, goldPath, CompactAfterRoots)
-      store.update(spec.name, highWatermark)
       def n(o: Observation): Long =
         o.get.getOrElse("n", 0L).asInstanceOf[Long]
       RunResult(spec.name, n(obsSlice), n(obsClean), goldRows, highWatermark)
     }
+    // one watermark commit for the whole run (merges are idempotent, so
+    // run-granular watermark durability loses nothing on a crash)
+    store.updateAll(specs.map(_.name -> highWatermark).toMap)
+    results
   }
 }

@@ -202,14 +202,19 @@ object Snapshots {
   }
 
   /** Step 1 (bucketed): write ONLY the touched buckets' data. `df` must
-    * carry `BucketCol`; each bucket lands in `snap-<v+1>/graft_bucket=<b>`
-    * via a partitioned write (one job, no extra shuffle beyond the plan's
-    * own). Readers are unaffected until publish.
+    * carry `BucketCol`; each bucket lands in `snap-<v+1>/graft_bucket=<b>`.
+    * A rebalance hint keyed on the bucket routes each bucket's rows
+    * together (AQE sizes the output partitions), so file count per bucket
+    * tracks bucket bytes instead of upstream-tasks × buckets — without it
+    * every one of N shuffle tasks opens a file in every touched bucket,
+    * the small-file explosion table formats run OPTIMIZE to undo.
+    * Readers are unaffected until publish.
     */
   def writeBucketSnapshot(df: DataFrame, target: String): Long = {
     val spark = df.sparkSession
     val v = currentVersion(spark, target).getOrElse(0L) + 1
-    df.write.mode("overwrite").partitionBy(BucketCol)
+    df.hint("rebalance", BucketCol)
+      .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(new Path(target, s"snap-${fmt(v)}").toString)
     v
   }
