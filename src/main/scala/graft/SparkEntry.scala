@@ -774,13 +774,16 @@ object Queries {
       when(pmod(col("doc_id"), lit(5)) === 0, lit(UnicodeSnippets.head))) {
       case (acc, (s, i)) => acc.when(pmod(col("doc_id"), lit(5)) === i, lit(s))
     }
-    val toks = TextAnalysis.unicodeWords(col("norm_text"))
+    // tokens staged in their own projection: referenced twice below, and
+    // CollapseProject keeps a non-cheap expression with two references —
+    // the regex runs once per row, not per consumer
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.normalized(concat(snippet, lit(" "), col("text"))).as("norm_text"))
+      .withColumn("toks", TextAnalysis.unicodeWords(col("norm_text")))
       .select(col("doc_id"), col("norm_text"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"))
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
       .orderBy("doc_id")
   }
 

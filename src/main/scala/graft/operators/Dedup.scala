@@ -27,7 +27,7 @@ object Dedup {
     * compared lexicographically (put a unique id last for determinism).
     */
   def latestByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payloadCols = df.columns.filterNot(keys.contains)
+    val payloadCols = df.columns.filterNot(keys.contains).toIndexedSeq
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payloadCols.map(col): _*), ord).as("__winner"))
