@@ -99,6 +99,10 @@ class InfraSpec extends AnyFunSuite {
                 graft_simhash(graft_ngrams(split(text, ' '), 3)) AS sim
          FROM docs_v LIMIT 3""").collect()
     assert(sig.forall(r => r.getSeq[Long](0).length == functions.Lsh.K))
+    // unicode normalization kernel from SQL
+    val folded = spark.sql("SELECT graft_nfc_casefold('Grüße MÜNCHEN') AS s")
+      .head.getString(0)
+    assert(folded == "grüße münchen")
   }
 
   test("rendered star-join SQL matches the DataFrame composition (q09 config)") {
