@@ -99,7 +99,8 @@ object Medallion {
     */
   def run(spark: SparkSession, specs: Seq[TableSpec],
           source: String => DataFrame, stateDir: String,
-          highWatermark: java.sql.Timestamp): Seq[RunResult] = {
+          highWatermark: java.sql.Timestamp,
+          compactAfterRoots: Int = CompactAfterRoots): Seq[RunResult] = {
     val store = new WatermarkStore(spark, s"$stateDir/_watermarks")
     val results = specs.map { spec =>
       val src = source(spec.name)
@@ -131,7 +132,7 @@ object Medallion {
             else Scd.scd1Merge(gold,
               Dedup.latestByKey(e, spec.keys, spec.seqCol +: spec.tieCols),
               spec.keys, spec.seqCol +: spec.tieCols))
-      Snapshots.maybeCompact(spark, goldPath, CompactAfterRoots)
+      Snapshots.maybeCompact(spark, goldPath, compactAfterRoots)
       def n(o: Observation): Long =
         o.get.getOrElse("n", 0L).asInstanceOf[Long]
       RunResult(spec.name, n(obsSlice), n(obsClean), goldRows, highWatermark)

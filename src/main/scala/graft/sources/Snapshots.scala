@@ -46,6 +46,15 @@ import org.apache.spark.sql.functions._
   * Bucketed gc is reference-based, so a bucket dir written ten commits ago
   * but still referenced stays live; `compactBuckets` folds a store that
   * has accumulated many referenced roots back into a single snapshot dir.
+  *
+  * Concurrency contract: ONE writer per store (readers unlimited) — the
+  * same usage shape as the reference's per-table Delta streams. The
+  * manifest rename is a conflict detector of last resort (a second
+  * publish of the same version fails rather than corrupting the pointer),
+  * but two concurrent commits may stage into the same snapshot dir before
+  * either publishes, so cross-process write coordination must come from
+  * the orchestrator, exactly as it does for the reference's per-table
+  * pipelines.
   */
 object Snapshots {
 

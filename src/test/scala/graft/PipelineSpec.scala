@@ -254,6 +254,32 @@ class PipelineSpec extends AnyFunSuite {
       == afterPublish.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("8-run incremental soak converges, compacting gold in-pipeline") {
+    val state = Files.createTempDirectory("graft_medallion_soak").toString
+    val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
+    val spec = TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
+      tieCols = Seq("event_id"), scdType = 2, buckets = 4)
+    // slice the changelog into 8 daily windows; compaction threshold low
+    // enough to trigger mid-soak (each run adds one snapshot root)
+    val bounds = (1 to 8).map(i =>
+      new java.sql.Timestamp(1704067200000L + i * 4L * 86400000L))
+    bounds.foreach(hi =>
+      Medallion.run(spark, Seq(spec), (_: String) => ev, state, hi,
+        compactAfterRoots = 3))
+    val goldPath = s"$state/gold/ev"
+    assert(Snapshots.referencedRoots(spark, goldPath) <= 4,
+      "in-pipeline compaction must bound store fragmentation")
+    val scd2Cols = Seq("user_id", "event_id", "event_type", "value",
+      "effective_from", "effective_to", "is_current")
+    val gold = Snapshots.read(spark, goldPath).select(scd2Cols.map(col): _*)
+    val expected = operators.Scd.scd2FromChangelog(
+      ev.filter(col("ts") <= lit(bounds.last)), Seq("user_id"), "ts", Seq("event_id"))
+      .select(scd2Cols.map(col): _*)
+    assert(gold.except(expected).count() == 0 && expected.except(gold).count() == 0,
+      "8 incremental folds must equal the from-scratch rebuild")
+    assert(Snapshots.totalRows(spark, goldPath) == expected.count())
+  }
+
   test("a medallion run triggers no counting actions beyond its writes") {
     val state = Files.createTempDirectory("graft_medallion_jobs").toString
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
