@@ -186,7 +186,12 @@ object Snapshots {
       case WholeTable(name) => spark.read.parquet(new Path(target, name).toString)
       case Bucketed(_, entries) => readEntries(spark, target, entries)
       case AppendLog(segments) =>
-        spark.read.parquet(segments.map(s => new Path(target, s.dir).toString): _*)
+        // zero-row segments (empty batches committed for their token) hold
+        // no files, so they can't contribute schema — skip them
+        val live = segments.filter(_.rows > 0)
+        require(live.nonEmpty, s"log store at $target holds no rows yet " +
+          "(only empty segments) — guard reads with totalRows > 0")
+        spark.read.parquet(live.map(s => new Path(target, s.dir).toString): _*)
     }
   }
 
@@ -409,6 +414,13 @@ object Snapshots {
         val metrics = obs.get
         val rowsByBucket = touched.map(b =>
           b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
+        // a merge emitting keys OUTSIDE the touched buckets would write
+        // rows no manifest entry points at — fail loudly, never silently
+        val written = metrics.getOrElse("n", 0L).asInstanceOf[Long]
+        require(written == rowsByBucket.values.sum,
+          s"merge produced $written rows but only ${rowsByBucket.values.sum} " +
+            s"land in the touched buckets $touched of $target — merge must " +
+            "not invent keys outside the update slice's buckets")
         val total = publishBuckets(spark, target, v, numBuckets, touched, rowsByBucket)
         gc(spark, target)
         total
@@ -451,12 +463,13 @@ object Snapshots {
     */
   def compactLog(spark: SparkSession, target: String): Unit =
     logSegments(spark, target).foreach { segments =>
-      if (segments.size > 1) {
+      val live = segments.filter(_.rows > 0)
+      if (segments.size > 1 && live.nonEmpty) {
         val full = spark.read.parquet(
-          segments.map(s => new Path(target, s.dir).toString): _*)
+          live.map(s => new Path(target, s.dir).toString): _*)
         val v = writeSnapshot(full, target)
         publishContent(spark, target, v,
-          s"log\nsnap-${fmt(v)}\t${segments.map(_.rows).sum}\t${segments.last.token}")
+          s"log\nsnap-${fmt(v)}\t${live.map(_.rows).sum}\t${segments.last.token}")
         gc(spark, target)
       }
     }

@@ -51,17 +51,21 @@ object StreamingNearDup {
                 textCol: String, n: Int, threshold: Double)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a store that exists but has only empty segments (every doc of every
+    // batch so far was dropped) has no schema to read — same as absent
+    def nonEmpty(path: String): Boolean =
+      Snapshots.exists(spark, path) && Snapshots.totalRows(spark, path) > 0
     // a document re-sent in a LATER batch is already settled — only novel
     // ids are processed (ids-only anti-join against the corpus)
     val newDocs =
-      if (Snapshots.exists(spark, corpusPath))
+      if (nonEmpty(corpusPath))
         batch.join(Snapshots.read(spark, corpusPath).select(idCol), Seq(idCol), "left_anti")
       else batch
     val sigs = NearDup.minHashSignatures(newDocs, idCol, textCol, n)
     val inBatch = NearDup.minHashLshPairs(newDocs, idCol, textCol, n)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_b").as(idCol))
-    val dropIds = (if (Snapshots.exists(spark, indexPath)) {
+    val dropIds = (if (nonEmpty(indexPath)) {
       val ownIds = newDocs.select(col(idCol).as("index_id"))
       val vsIndex = NearDup.lshMatches(sigs, Snapshots.read(spark, indexPath), idCol)
         .filter(col("est_jaccard") >= threshold)

@@ -254,6 +254,24 @@ class PipelineSpec extends AnyFunSuite {
       == afterPublish.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("log store survives empty segments at any position") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_log_empty").toString + "/t"
+    val empty = Seq((0L, "x")).toDF("id", "v").filter("id < 0")
+    // empty FIRST segment records its token; reads are guarded by totalRows
+    assert(Snapshots.appendCommit(empty, target, 0L))
+    assert(Snapshots.totalRows(spark, target) == 0)
+    assert(!Snapshots.appendCommit(empty, target, 0L), "same token replays as no-op")
+    assert(Snapshots.appendCommit(Seq((1L, "a")).toDF("id", "v"), target, 1L))
+    assert(Snapshots.appendCommit(empty, target, 2L))
+    assert(Snapshots.read(spark, target).count() == 1)
+    Snapshots.compactLog(spark, target)
+    assert(Snapshots.read(spark, target).count() == 1)
+    assert(Snapshots.totalRows(spark, target) == 1)
+    // the compacted token is the LAST committed one, so replays stay no-ops
+    assert(!Snapshots.appendCommit(empty, target, 2L))
+  }
+
   test("8-run incremental soak converges, compacting gold in-pipeline") {
     val state = Files.createTempDirectory("graft_medallion_soak").toString
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
