@@ -55,4 +55,21 @@ object Incremental {
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** Late-arrival audit: watermark CDC silently misses rows whose sequence
+    * value lands AT OR BELOW the stored watermark after extraction already
+    * passed it (a writer committing out of order) — the blind spot every
+    * `updated_at > last_cdc` pipeline shares, the reference's included.
+    * This measures it: rows in `arrivals` (e.g. today's raw landing data)
+    * whose seq is ≤ the watermark that extraction has already consumed
+    * past. Emits one row (n_late, min/max late seq) for a DQ gate; a
+    * nonzero count means the affected window needs a targeted re-extract
+    * (the predicate is pushed, so the audit reads only the late slice).
+    */
+  def lateArrivalAudit(arrivals: DataFrame, seqCol: String,
+                       consumedWatermark: Column): DataFrame =
+    arrivals.filter(col(seqCol) <= consumedWatermark)
+      .agg(count(lit(1)).as("n_late"),
+        min(col(seqCol)).as("earliest_late"),
+        max(col(seqCol)).as("latest_late"))
 }

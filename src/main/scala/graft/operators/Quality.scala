@@ -35,6 +35,23 @@ object Quality {
   def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame =
     rules.foldLeft(df)((d, r) => d.filter(!coalesce(r.violation, lit(false))))
 
+  /** Split into (clean, quarantine): quarantined rows carry a
+    * `failed_rules` array naming every rule they violate, so the
+    * quarantine sink is debuggable without re-running the rules — the DLT
+    * quarantine-table pattern next to `expect_all_or_drop`. All rules are
+    * evaluated once in a shared projection; both sides are filters over
+    * it (one scan each, or one total if the caller persists).
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val failed = filter(
+      array(rules.map(r =>
+        when(coalesce(r.violation, lit(false)), lit(r.name))): _*),
+      c => c.isNotNull)
+    val tagged = df.withColumn("failed_rules", failed)
+    (tagged.filter(size(col("failed_rules")) === 0).drop("failed_rules"),
+      tagged.filter(size(col("failed_rules")) > 0))
+  }
+
   /** Regex-validity flag (reference `is_valid_email` analog) as a codegen'd
     * expression, not a UDF. Pattern kept to the Java-regex ∩ RE2 subset.
     */

@@ -60,6 +60,32 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("quality split quarantines with per-row failure reasons") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val df = Seq((1L, 10.0), (2L, -5.0), (-3L, -1.0)).toDF("id", "v")
+    val rules = Seq(Quality.Rule("id_positive", col("id") <= 0),
+      Quality.Rule("v_non_negative", col("v") < 0))
+    val (clean, quarantine) = Quality.split(df, rules)
+    assert(clean.select("id").as[Long].collect().toSeq == Seq(1L))
+    val q = quarantine.select(col("id"), col("failed_rules")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(q == Map(2L -> Set("v_non_negative"),
+      -3L -> Set("id_positive", "v_non_negative")))
+    // split's clean side equals enforce
+    val enforced = Quality.enforce(df, rules)
+    assert(clean.except(enforced).count() == 0 && enforced.except(clean).count() == 0)
+  }
+
+  test("late-arrival audit counts rows behind the consumed watermark") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val arrivals = Seq((1L, 100L), (2L, 205L), (3L, 90L), (4L, 150L))
+      .toDF("id", "seq")
+    val r = Incremental.lateArrivalAudit(arrivals, "seq", lit(150L)).head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 90L && r.getLong(2) == 150L)
+  }
+
   test("incremental window extraction is bounded by the watermarks") {
     val out = Queries.incrementalExtract(spark, sf)
     val viol = out.filter(col("ts") <= lit(Queries.WmLow).cast("timestamp") ||
