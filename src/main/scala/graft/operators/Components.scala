@@ -84,9 +84,21 @@ object Components {
       prevSum = s
       it += 1
     }
-    val all = labels.unionByName(
-      nodes.select(col("id")).join(touched, Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("label")))
+    // Materialize the isolated-node side (label = id) BEFORE unpersisting
+    // the cached edge derivatives: the anti-join references `touched`,
+    // whose upstream is the caller's (possibly very expensive) pair
+    // pipeline. Without the eager checkpoint the caller's first action on
+    // the result would recompute that entire pipeline a second time after
+    // the caches below are dropped. One checkpointed pass over node ids
+    // here is O(|nodes|); the recompute it prevents is the dominant stage
+    // of the whole query.
+    val isolated = nodes.select(col("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    // `labels` and `isolated` are now both checkpointed leaves — the
+    // returned frame no longer references any of the cached inputs.
+    val all = labels.unionByName(isolated)
     touched.unpersist()
     bidir.unpersist()
     e0.unpersist()

@@ -144,6 +144,31 @@ class RandomizedSpec extends AnyFunSuite {
     assert(got == members)
   }
 
+  test("components result materializes without recomputing the edge source") {
+    // Regression guard: ccWithRounds persists its (possibly very
+    // expensive) edge input during the rounds and unpersists it before
+    // returning. The returned frame must reference only checkpointed
+    // leaves — if the isolated-node anti-join still points at the
+    // unpersisted caches, the caller's first action replays the whole
+    // edge pipeline one extra time. Count evaluations of the edge source
+    // with an accumulator planted in its lineage.
+    val acc = spark.sparkContext.longAccumulator("edgeEvals")
+    val parts = 4
+    val edgeRdd = spark.sparkContext
+      .parallelize((0 until 60).map(i => (i.toLong, (i + 1).toLong)), parts)
+      .mapPartitions { it => acc.add(1L); it }
+    val edges = spark.createDataFrame(edgeRdd).toDF("src", "dst")
+    val nodes = spark.range(200).select(col("id"))
+    val result = Components.connectedComponents(nodes, edges)
+    val during = acc.value
+    assert(during >= parts, "edge source must have been evaluated in the rounds")
+    assert(result.count() == 200)
+    assert(acc.value == during,
+      s"materializing the result re-evaluated the edge source " +
+        s"(${acc.value - during} extra partition evals) — the isolated-node " +
+        "side must be checkpointed before the caches are dropped")
+  }
+
   test("pointer jumping converges in O(log d) rounds on a deep chain") {
     // A 100-hop chain is the worst case for plain neighbor-min propagation
     // (one hop per round => ~100 rounds, silently wrong at maxIter=25);
