@@ -22,16 +22,19 @@ object Bench {
     // ±20-35%, which round-over-round comparisons then misread as
     // regressions; the median is stable at triple the (cheap) runtime.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.sorted.apply(1)
+      // A throwing query must not record its (fast) elapsed time as a
+      // valid sample — that reads as a speedup. -1 is the failure sentinel.
+      name -> (if (failed) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -794,11 +794,15 @@ object Queries {
   // Reference analog: the silver layer's regex email validation UDF
   // (reference: local_spotify_dab/utilities/utils.py `is_valid_email`) —
   // generalized from validate-a-column to scrub-free-text.
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  // Case classes spelled out ([a-zA-Z]) rather than (?i): both engines
+  // accept the explicit classes, whereas inline flags differ by dialect.
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  // Optional +1 country code, optional (area) / area- prefix, then the
+  // 3-4 local number: covers 555-0192, (555) 123-4567, +1-844-555-2210.
+  val PhoneRe = "(\\+1[-. ]?)?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}"
   val PiiSnippets: Seq[String] = Seq(
-    " contact me at john.doe@example.com or admin@site.org today",
-    " call 555-0192 now or fax 844-2210 later",
+    " contact me at John.Doe@Example.COM or admin@site.org today",
+    " call (555) 123-4567 or 555-0192 now, fax +1-844-555-2210 later",
     "")
 
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {

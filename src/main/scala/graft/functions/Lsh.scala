@@ -166,11 +166,13 @@ object Lsh {
     * default is tuned to the small oracle corpus; a 100 TB run wants
     * e.g. 64 planes = 4 bands × 16 bits.
     */
-  def planeBits(emb: Column, planes: Int = Planes): Column =
+  def planeBits(emb: Column, planes: Int = Planes): Column = {
+    val vecs = planeVecs(planes) // one LCG pass, not one per plane
     array((0 until planes).map { p =>
-      val d = graft.plans.VectorExprs.dot(typedLit(planeVecs(planes)(p)), emb)
+      val d = graft.plans.VectorExprs.dot(typedLit(vecs(p)), emb)
       when(d >= 0, lit(1L)).otherwise(lit(0L))
     }: _*)
+  }
 
   /** Band codes over the sign bits (binary fold of each `rows`-bit slice). */
   def planeBandKeys(bits: Column, bands: Int = BandsRp, rows: Int = RowsRp): Column =

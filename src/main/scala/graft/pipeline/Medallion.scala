@@ -69,11 +69,16 @@ object Medallion {
   final class WatermarkStore(spark: SparkSession, path: String) {
     import spark.implicits._
 
-    def get(table: String): Option[java.sql.Timestamp] =
-      if (!Snapshots.exists(spark, path)) None
-      else Snapshots.read(spark, path)
-        .filter(col("table_name") === table)
-        .head(1).headOption.map(_.getTimestamp(1))
+    def get(table: String): Option[java.sql.Timestamp] = snapshot().get(table)
+
+    /** The whole state in one read: one manifest resolution + one scan of
+      * the one-row-per-table state, regardless of how many tables the run
+      * covers. The collect is bounded by the table count, not the data.
+      */
+    def snapshot(): Map[String, java.sql.Timestamp] =
+      if (!Snapshots.exists(spark, path)) Map.empty
+      else Snapshots.read(spark, path).collect()
+        .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
 
     def update(table: String, wm: java.sql.Timestamp): Unit =
       updateAll(Map(table -> wm))
@@ -102,9 +107,11 @@ object Medallion {
           highWatermark: java.sql.Timestamp,
           compactAfterRoots: Int = CompactAfterRoots): Seq[RunResult] = {
     val store = new WatermarkStore(spark, s"$stateDir/_watermarks")
+    // resolve the watermark state ONCE per run, not once per table
+    val lows = store.snapshot()
     val results = specs.map { spec =>
       val src = source(spec.name)
-      val low = store.get(spec.name)
+      val low = lows.get(spec.name)
       val obsSlice = Observation()
       val obsClean = Observation()
       // bronze: the (low, high] slice only; the observe nodes piggyback
