@@ -22,24 +22,34 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `target/`:
   * {{{
-  *   _manifests/00000007        # commit point (see formats below)
-  *   snap-00000007/...          # whole-table: a complete parquet snapshot
-  *   snap-00000007/graft_bucket=3/...   # bucketed: one dir per rewritten bucket
+  *   _manifests/00000007               # commit point (see formats below)
+  *   snap-00000007-1a2b3c4d/...        # whole-table: a complete parquet snapshot
+  *   snap-00000007-1a2b3c4d/graft_bucket=3/...  # bucketed: one dir per rewritten bucket
   * }}}
   *
+  * Snapshot dir names carry the version they were staged FOR plus a
+  * writer-unique salt, so two concurrent writers never stage into the same
+  * directory (the Delta/Iceberg shape: data files are uniquely named, the
+  * numbered log entry is the only contended object). The manifest records
+  * exact dir names, so the salt never matters to readers.
+  *
   * Manifest formats (the file content):
-  *  - whole-table: a single line `snap-00000007`.
+  *  - whole-table: a single line naming the snapshot dir.
   *  - bucketed: a header `buckets=<N>` then one line per non-empty bucket
   *    `<bucket>\t<relative dir>\t<rows>`. Row counts ride in the manifest
   *    so readers and stats never need a data scan.
   *
   * Commit protocol (both flavors, the three steps in order):
-  *  1. write the new snapshot dir `snap-<v+1>` — readers unaffected;
-  *  2. publish manifest `<v+1>` (staged to a dot-temp file, renamed into
-  *     place; the single-file rename/PUT is the atom);
-  *  3. gc — delete snapshot dirs referenced by NEITHER the current nor the
-  *     previous manifest (the previous is retained as a grace window for
-  *     in-flight readers), and manifests below `current - 1`.
+  *  1. stage the new snapshot dir (salted name) — readers unaffected;
+  *  2. publish manifest `<v+1>` by compare-and-set: the content is staged
+  *     in a dot-temp file, renamed onto the version number only if that
+  *     version is still unclaimed, and read back to confirm this writer
+  *     won (filesystems whose rename overwrites can't fake a win because
+  *     salted dir names make every writer's content distinct);
+  *  3. gc — delete snapshot dirs referenced by NONE of the retained
+  *     manifests (`retainManifests` previous versions are kept as a grace
+  *     window for in-flight readers), and manifests below the retained
+  *     window.
   *
   * A crash between any two steps leaves a fully-readable store; nothing
   * relies on directory-rename atomicity (object stores don't provide it).
@@ -47,14 +57,16 @@ import org.apache.spark.sql.functions._
   * but still referenced stays live; `compactBuckets` folds a store that
   * has accumulated many referenced roots back into a single snapshot dir.
   *
-  * Concurrency contract: ONE writer per store (readers unlimited) — the
-  * same usage shape as the reference's per-table Delta streams. The
-  * manifest rename is a conflict detector of last resort (a second
-  * publish of the same version fails rather than corrupting the pointer),
-  * but two concurrent commits may stage into the same snapshot dir before
-  * either publishes, so cross-process write coordination must come from
-  * the orchestrator, exactly as it does for the reference's per-table
-  * pipelines.
+  * Concurrency contract: optimistic concurrency, the Delta shape
+  * (reference: local_spotify_dab/src/gold/spotify_etl/transformations/
+  * FactStream.py:96-105 — concurrent `create_auto_cdc_flow` streams are
+  * safe because the Delta log CAS-es each commit). A writer that loses the
+  * manifest CAS re-reads the current manifest and retries: carried-forward
+  * entries are re-derived, and if another writer changed a bucket this
+  * writer's merge was computed against, `mergeCommitBuckets` re-runs the
+  * merge against the new state before re-staging — both commits land, no
+  * bucket is lost. Losing writers' staged dirs become unreferenced garbage
+  * reaped by the next gc. Readers are unlimited and never block.
   */
 object Snapshots {
 
@@ -184,7 +196,13 @@ object Snapshots {
       throw new IllegalStateException(s"no published snapshot at $target"))
     readManifest(spark, target, v) match {
       case WholeTable(name) => spark.read.parquet(new Path(target, name).toString)
-      case Bucketed(_, entries) => readEntries(spark, target, entries)
+      case Bucketed(_, entries) =>
+        // a legally-published manifest can reference zero buckets (every
+        // touched bucket merged to zero rows, nothing carried) — mirror
+        // the log-store guard instead of failing inside readEntries
+        require(entries.nonEmpty, s"bucketed store at $target holds no rows " +
+          "(all buckets merged to empty) — guard reads with totalRows > 0")
+        readEntries(spark, target, entries)
       case AppendLog(segments) =>
         // zero-row segments (empty batches committed for their token) hold
         // no files, so they can't contribute schema — skip them
@@ -204,87 +222,158 @@ object Snapshots {
     spark.read.parquet(entries.map(e => new Path(target, e.dir).toString): _*)
   }
 
-  /** Step 1 (whole-table): write the next version's complete snapshot dir
-    * (invisible to readers). Returns the version it is staged as.
+  /** Bounded attempts for optimistic-concurrency loops: version CAS
+    * retries inside a publish, and full re-merge retries in
+    * `mergeCommitBuckets`. Contention beyond this indicates a misconfigured
+    * orchestrator (many writers hammering one store), not a transient race.
     */
-  def writeSnapshot(df: DataFrame, target: String): Long = {
-    val spark = df.sparkSession
+  val MaxCommitRetries = 8
+
+  private def newSalt(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def stagePath(spark: SparkSession, target: String): Path = {
     val v = currentVersion(spark, target).getOrElse(0L) + 1
-    df.write.mode("overwrite")
-      .parquet(new Path(target, s"snap-${fmt(v)}").toString)
-    v
+    // version prefix is informational (a CAS loser republishes the same
+    // dir at a later version); the salt is what prevents two concurrent
+    // writers from staging into one directory
+    new Path(target, s"snap-${fmt(v)}-${newSalt()}")
+  }
+
+  /** Step 1 (whole-table): stage the next complete snapshot dir (invisible
+    * to readers). Returns the staged dir name (relative to the store root).
+    */
+  def writeSnapshot(df: DataFrame, target: String): String = {
+    val p = stagePath(df.sparkSession, target)
+    df.write.mode("overwrite").parquet(p.toString)
+    p.getName
   }
 
   /** Step 1 (bucketed): write ONLY the touched buckets' data. `df` must
-    * carry `BucketCol`; each bucket lands in `snap-<v+1>/graft_bucket=<b>`.
+    * carry `BucketCol`; each bucket lands in `<staged dir>/graft_bucket=<b>`.
     * A rebalance hint keyed on the bucket routes each bucket's rows
     * together (AQE sizes the output partitions), so file count per bucket
     * tracks bucket bytes instead of upstream-tasks × buckets — without it
     * every one of N shuffle tasks opens a file in every touched bucket,
     * the small-file explosion table formats run OPTIMIZE to undo.
-    * Readers are unaffected until publish.
+    * Readers are unaffected until publish. Returns the staged dir name.
     */
-  def writeBucketSnapshot(df: DataFrame, target: String): Long = {
-    val spark = df.sparkSession
-    val v = currentVersion(spark, target).getOrElse(0L) + 1
+  def writeBucketSnapshot(df: DataFrame, target: String): String = {
+    val p = stagePath(df.sparkSession, target)
     df.hint("rebalance", BucketCol)
       .write.mode("overwrite").partitionBy(BucketCol)
-      .parquet(new Path(target, s"snap-${fmt(v)}").toString)
-    v
+      .parquet(p.toString)
+    p.getName
   }
 
-  /** Step 2 — the commit point: publish version `v` by creating its
-    * manifest. The content is staged in a dot-file (readers ignore those)
-    * and renamed into place so no reader can observe a half-written
-    * manifest.
+  /** Step 2 — the commit point (whole-table): claim the next version for
+    * the staged dir, retrying past versions claimed by concurrent writers.
+    * Returns the published version. Throws ConcurrentModificationException
+    * if the staged dir was reaped by a concurrent writer's gc before this
+    * writer won a version (the caller must re-stage — `commit` does).
     */
-  def publish(spark: SparkSession, target: String, v: Long): Unit =
-    publishContent(spark, target, v, s"snap-${fmt(v)}")
+  def publish(spark: SparkSession, target: String, stagedDir: String): Long = {
+    val fs = fsOf(spark, target)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      if (!fs.exists(new Path(target, stagedDir)))
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target was garbage-collected " +
+            "by a concurrent commit before publish — re-stage and retry")
+      val v = currentVersion(spark, target).getOrElse(0L) + 1
+      if (casPublish(spark, target, v, stagedDir)) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the publish race $MaxCommitRetries times at $target")
+  }
 
-  /** Step 2 (bucketed): publish version `v` with new entries for the
-    * `touched` buckets (row counts from the caller's Observation — no data
-    * scan here) and every other bucket carried forward by reference from
-    * the previous manifest. Returns total rows of the published snapshot.
+  /** Step 2 (bucketed): publish the staged dir's entries for the `touched`
+    * buckets (row counts from the caller — no data scan here) with every
+    * other bucket carried forward by reference from the manifest current
+    * AT PUBLISH TIME. Returns total rows of the published snapshot.
+    *
+    * Optimistic concurrency: losing the version CAS re-reads the current
+    * manifest and re-derives the carried entries, so a concurrent commit
+    * to OTHER buckets merges cleanly. If `expectedTouched` is given and
+    * the current manifest's entries for this writer's touched buckets no
+    * longer match it, the base this merge was computed against has moved —
+    * ConcurrentModificationException, and the caller must re-merge
+    * (`mergeCommitBuckets` does, bounded).
     *
     * `numBuckets` is pinned by the first bucketed commit; changing it would
     * silently mis-route carried keys, so a mismatch throws.
     */
-  def publishBuckets(spark: SparkSession, target: String, v: Long, numBuckets: Int,
-                     touched: Seq[Int], rowsByBucket: Map[Int, Long]): Long = {
-    val prev = currentVersion(spark, target)
-      .map(pv => readManifest(spark, target, pv)) match {
-      case Some(Bucketed(n, entries)) =>
-        require(n == numBuckets,
-          s"bucket count is pinned at $n for $target, got $numBuckets")
-        entries
-      case Some(_) =>
-        throw new IllegalStateException(s"$target already holds a non-bucketed store")
-      case None => Seq.empty
-    }
+  def publishBuckets(spark: SparkSession, target: String, stagedDir: String,
+                     numBuckets: Int, touched: Seq[Int],
+                     rowsByBucket: Map[Int, Long],
+                     expectedTouched: Option[Seq[BucketEntry]] = None): Long = {
+    val fs = fsOf(spark, target)
     val touchedSet = touched.toSet
-    val carried = prev.filterNot(e => touchedSet(e.bucket))
     val fresh = touched.flatMap { b =>
       val rows = rowsByBucket.getOrElse(b, 0L)
       // a touched bucket with zero surviving rows simply drops out of the
       // manifest (its stale dir becomes unreferenced garbage)
-      if (rows > 0) Some(BucketEntry(b, s"snap-${fmt(v)}/$BucketCol=$b", rows)) else None
+      if (rows > 0) Some(BucketEntry(b, s"$stagedDir/$BucketCol=$b", rows)) else None
     }
-    val entries = (carried ++ fresh).sortBy(_.bucket)
-    val content = (s"buckets=$numBuckets" +:
-      entries.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
-    publishContent(spark, target, v, content)
-    entries.map(_.rows).sum
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cur = currentVersion(spark, target)
+      val prev = cur.map(pv => readManifest(spark, target, pv)) match {
+        case Some(Bucketed(n, entries)) =>
+          require(n == numBuckets,
+            s"bucket count is pinned at $n for $target, got $numBuckets")
+          entries
+        case Some(_) =>
+          throw new IllegalStateException(s"$target already holds a non-bucketed store")
+        case None => Seq.empty
+      }
+      expectedTouched.foreach { exp =>
+        val now = prev.filter(e => touchedSet(e.bucket))
+        if (now.toSet != exp.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"buckets ${touched.mkString(",")} of $target changed under this " +
+              "merge (concurrent commit to the same buckets) — re-merge " +
+              "against the current snapshot and re-stage")
+      }
+      if (!fs.exists(new Path(target, stagedDir)))
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target was garbage-collected " +
+            "by a concurrent commit before publish — re-stage and retry")
+      val entries = (prev.filterNot(e => touchedSet(e.bucket)) ++ fresh).sortBy(_.bucket)
+      val content = (s"buckets=$numBuckets" +:
+        entries.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
+      if (casPublish(spark, target, cur.getOrElse(0L) + 1, content))
+        return entries.map(_.rows).sum
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the publish race $MaxCommitRetries times at $target")
   }
 
-  private def publishContent(spark: SparkSession, target: String, v: Long,
-                             content: String): Unit = {
+  /** The commit atom: claim version `v` with `content`. The content is
+    * staged in a salted dot-file (readers ignore those), renamed onto the
+    * version number only if it is still unclaimed, and read back to
+    * confirm THIS writer's content won — filesystems whose file rename
+    * silently overwrites (POSIX) cannot produce a false win, because
+    * salted snapshot dir names make every writer's content distinct.
+    * False (lost the race) means the caller must re-read the current
+    * manifest before retrying at a later version.
+    */
+  private def casPublish(spark: SparkSession, target: String, v: Long,
+                         content: String): Boolean = {
     val fs = fsOf(spark, target)
     val dir = manifestPath(target)
-    val tmp = new Path(dir, s".tmp-${fmt(v)}")
+    val tmp = new Path(dir, s".tmp-${fmt(v)}-${newSalt()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(dir, fmt(v))))
-      throw new java.io.IOException(s"could not publish manifest $v at $target")
+    val dst = new Path(dir, fmt(v))
+    val won =
+      try !fs.exists(dst) && fs.rename(tmp, dst) &&
+        manifestContent(spark, target, v) == content
+      catch { case _: java.io.IOException => false }
+    if (!won && fs.exists(tmp)) fs.delete(tmp, false)
+    won
   }
 
   /** Snapshot roots (snap-XXXXXXXX dir names) referenced by manifest `v`. */
@@ -295,39 +384,73 @@ object Snapshots {
       case AppendLog(segments) => segments.map(_.dir.takeWhile(_ != '/')).toSet
     }
 
-  /** Step 3: delete snapshot dirs referenced by NEITHER the current nor
-    * the previous manifest, and manifests below `current - 1`. Retaining
-    * the previous manifest's references gives in-flight readers that
-    * resolved it just before a commit a grace window — the same reason
-    * transaction-log table formats retain superseded files for a spell.
-    * Reference-based liveness keeps bucketed carry-forward dirs alive for
-    * as long as any retained manifest points at them.
+  /** Step 3: delete snapshot dirs referenced by NONE of the retained
+    * manifests, and manifests below the retained window.
+    * `retainManifests` previous versions (default 1) stay live as a grace
+    * window for in-flight readers that resolved a manifest just before a
+    * commit — the same reason transaction-log table formats retain
+    * superseded files for a configurable spell; widen it for deployments
+    * whose readers can lag more than one commit interval. Reference-based
+    * liveness keeps bucketed carry-forward dirs alive for as long as any
+    * retained manifest points at them.
+    *
+    * Two rules keep gc safe against concurrent writers without clocks:
+    * the candidate dirs are LISTED before liveness is resolved against the
+    * then-current version (a dir published mid-gc references roots this gc
+    * re-reads), and an unreferenced dir is deleted ONLY when the version
+    * embedded in its name has fallen below the retained window — a
+    * concurrent writer's in-flight staging dir always targets a version
+    * at or above current+1, so it can never be reaped mid-write. A
+    * crashed writer's abandoned dir ages out of the window after
+    * `retainManifests`+1 more commits — bounded, deterministic garbage.
     */
-  def gc(spark: SparkSession, target: String): Unit =
-    currentVersion(spark, target).foreach { cur =>
+  def gc(spark: SparkSession, target: String, retainManifests: Int = 1): Unit =
+    currentVersion(spark, target).foreach { cur0 =>
       val fs = fsOf(spark, target)
-      val prevV = cur - 1
-      val live = rootsOf(spark, target, cur) ++
-        (if (prevV >= 1 && fs.exists(new Path(manifestPath(target), fmt(prevV))))
-          rootsOf(spark, target, prevV)
-        else Set.empty[String])
-      fs.listStatus(new Path(target)).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("snap-") && !live(n)) fs.delete(st.getPath, true)
+      val snaps = fs.listStatus(new Path(target))
+        .map(_.getPath).filter(_.getName.startsWith("snap-"))
+      // a commit racing this gc publishes new roots after our liveness
+      // read; recompute against the advanced version before deleting
+      val cur = currentVersion(spark, target).getOrElse(cur0)
+      val keep = math.max(1L, cur - retainManifests)
+      val live = (keep to cur).iterator
+        .filter(v => fs.exists(new Path(manifestPath(target), fmt(v))))
+        .flatMap(v => rootsOf(spark, target, v)).toSet
+      def stagedFor(name: String): Long =
+        name.stripPrefix("snap-").takeWhile(_.isDigit) match {
+          case "" => -1L; case d => d.toLong
+        }
+      snaps.foreach { p =>
+        if (!live(p.getName) && stagedFor(p.getName) < keep) fs.delete(p, true)
       }
       fs.listStatus(manifestPath(target)).foreach { st =>
         val n = st.getPath.getName
-        if ((n.forall(_.isDigit) && n.toLong < prevV) || n.startsWith(".tmp-"))
+        val staleTmp = n.startsWith(".tmp-") && // crashed-writer leftovers;
+          n.stripPrefix(".tmp-").takeWhile(_.isDigit) // in-flight tmps aim
+            .toLongOption.exists(_ < keep)            // at versions > cur
+        if ((n.forall(_.isDigit) && n.toLong < keep) || staleTmp)
           fs.delete(st.getPath, false)
       }
     }
 
-  /** Full whole-table commit: stage, publish, collect garbage. */
-  def commit(df: DataFrame, target: String): Unit = {
+  /** Full whole-table commit: stage, publish (re-staging if a concurrent
+    * gc reaped the staged dir while the version race was lost), gc.
+    * Whole-table content is last-write-wins by design — it stores small
+    * state tables where the latest complete snapshot is the truth.
+    */
+  def commit(df: DataFrame, target: String, retainManifests: Int = 1): Unit = {
     val spark = df.sparkSession
-    val v = writeSnapshot(df, target)
-    publish(spark, target, v)
-    gc(spark, target)
+    var attempt = 0
+    var published = false
+    while (!published) {
+      val dir = writeSnapshot(df, target)
+      try { publish(spark, target, dir); published = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1; if (attempt >= MaxCommitRetries) throw e
+      }
+    }
+    gc(spark, target, retainManifests)
   }
 
   /** Number of distinct snapshot roots the current bucketed manifest
@@ -352,11 +475,18 @@ object Snapshots {
         val full = entries.map { e =>
           readEntries(spark, target, Seq(e)).withColumn(BucketCol, lit(e.bucket))
         }.reduce(_ unionByName _)
-        val v = writeBucketSnapshot(full, target)
-        publishBuckets(spark, target, v, numBuckets,
-          touched = entries.map(_.bucket),
-          rowsByBucket = entries.map(e => e.bucket -> e.rows).toMap)
-        gc(spark, target)
+        val staged = writeBucketSnapshot(full, target)
+        // compaction is optional maintenance: a concurrent commit that
+        // moves any bucket under it just cancels this pass (the staged
+        // dir becomes garbage for the next gc) — the next maybeCompact
+        // runs against the new state
+        try {
+          publishBuckets(spark, target, staged, numBuckets,
+            touched = entries.map(_.bucket),
+            rowsByBucket = entries.map(e => e.bucket -> e.rows).toMap,
+            expectedTouched = Some(entries))
+          gc(spark, target)
+        } catch { case _: java.util.ConcurrentModificationException => () }
       }
     }
 
@@ -383,11 +513,43 @@ object Snapshots {
     *
     * Returns total rows now in the store (from manifest metadata).
     */
+  /** Per-bucket manifest counts ride an `Observation` on the write itself
+    * up to this many touched buckets; beyond it, one conditional aggregate
+    * per bucket would pile thousands of expressions into a single observe
+    * node (codegen/driver blowup), so counts come from the staged files'
+    * parquet footers instead — a driver-side metadata read, still no data
+    * scan.
+    */
+  val ObservePerBucketLimit = 64
+
+  /** Sum of parquet footer row counts under `dir` (recursive) — metadata
+    * only, no data scan.
+    */
+  private def footerRows(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) 0L
+    else {
+      var sum = 0L
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try sum += r.getRecordCount finally r.close()
+        }
+      }
+      sum
+    }
+  }
+
   def mergeCommitBuckets(updates: DataFrame, target: String, keys: Seq[String],
-                         numBuckets: Int)
+                         numBuckets: Int, retainManifests: Int = 1)
                         (init: DataFrame => DataFrame)
                         (merge: (DataFrame, DataFrame) => DataFrame): Long = {
     val spark = updates.sparkSession
+    val fs = fsOf(spark, target)
     val bucket = bucketOf(keys, numBuckets)
     // the slice feeds two actions (the probe and the write); persist it so
     // the source is scanned once, spilling to disk for oversized batches
@@ -395,9 +557,15 @@ object Snapshots {
     try {
       val touched = u.select(bucket.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-      val current = currentBuckets(spark, target)
-      if (touched.isEmpty) current.map(_._2.map(_.rows).sum).getOrElse(0L)
-      else {
+      if (touched.isEmpty)
+        return currentBuckets(spark, target).map(_._2.map(_.rows).sum).getOrElse(0L)
+      // Optimistic concurrency: each attempt merges against the CURRENT
+      // manifest; a publish-time conflict on this writer's buckets (or a
+      // reaped staged dir) re-runs the merge against the new state, so
+      // concurrent writers to overlapping buckets both land.
+      var attempt = 0
+      while (true) {
+        val current = currentBuckets(spark, target)
         val touchedEntries = current.toSeq.flatMap(_._2)
           .filter(e => touched.contains(e.bucket))
         // keys sharing a bucket with a touched key ride through the merge's
@@ -405,26 +573,53 @@ object Snapshots {
         val merged =
           if (touchedEntries.isEmpty) init(u)
           else merge(readEntries(spark, target, touchedEntries), u)
+        val useObs = touched.size <= ObservePerBucketLimit
         val obs = Observation()
         val perBucket = touched.map(b =>
           count(when(col(BucketCol) === b, 1)).as(s"b_$b"))
-        val staged = merged.withColumn(BucketCol, bucket)
-          .observe(obs, count(lit(1)).as("n"), perBucket: _*)
-        val v = writeBucketSnapshot(staged, target)
-        val metrics = obs.get
-        val rowsByBucket = touched.map(b =>
-          b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
-        // a merge emitting keys OUTSIDE the touched buckets would write
-        // rows no manifest entry points at — fail loudly, never silently
-        val written = metrics.getOrElse("n", 0L).asInstanceOf[Long]
-        require(written == rowsByBucket.values.sum,
-          s"merge produced $written rows but only ${rowsByBucket.values.sum} " +
-            s"land in the touched buckets $touched of $target — merge must " +
-            "not invent keys outside the update slice's buckets")
-        val total = publishBuckets(spark, target, v, numBuckets, touched, rowsByBucket)
-        gc(spark, target)
-        total
+        val tagged = merged.withColumn(BucketCol, bucket)
+        val staged =
+          if (useObs) tagged.observe(obs, count(lit(1)).as("n"), perBucket: _*)
+          else tagged
+        val dir = writeBucketSnapshot(staged, target)
+        val rowsByBucket =
+          if (useObs) {
+            val metrics = obs.get
+            val byBucket = touched.map(b =>
+              b -> metrics.getOrElse(s"b_$b", 0L).asInstanceOf[Long]).toMap
+            // a merge emitting keys OUTSIDE the touched buckets would write
+            // rows no manifest entry points at — fail loudly, never silently
+            val written = metrics.getOrElse("n", 0L).asInstanceOf[Long]
+            require(written == byBucket.values.sum,
+              s"merge produced $written rows but only ${byBucket.values.sum} " +
+                s"land in the touched buckets $touched of $target — merge must " +
+                "not invent keys outside the update slice's buckets")
+            byBucket
+          } else {
+            // footer mode: counts from the written partition dirs; a stray
+            // bucket dir is the same invented-key defect, detected by name
+            val written = fs.listStatus(new Path(target, dir))
+              .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+              .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
+            val stray = written.filterNot(touched.contains)
+            require(stray.isEmpty,
+              s"merge wrote buckets $stray outside the touched set $touched " +
+                s"of $target — merge must not invent keys outside the update " +
+                "slice's buckets")
+            written.map(b =>
+              b -> footerRows(spark, new Path(target, s"$dir/$BucketCol=$b"))).toMap
+          }
+        try {
+          val total = publishBuckets(spark, target, dir, numBuckets, touched,
+            rowsByBucket, expectedTouched = Some(touchedEntries))
+          gc(spark, target, retainManifests)
+          return total
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1; if (attempt >= MaxCommitRetries) throw e
+        }
       }
+      0L // unreachable
     } finally u.unpersist()
   }
 
@@ -436,41 +631,59 @@ object Snapshots {
     * for the manifest comes from the new segment's parquet footers
     * (metadata-only read, no data scan).
     */
-  def appendCommit(df: DataFrame, target: String, token: Long): Boolean = {
+  def appendCommit(df: DataFrame, target: String, token: Long,
+                   retainManifests: Int = 1): Boolean = {
     val spark = df.sparkSession
-    val prev = currentVersion(spark, target)
+    val fs = fsOf(spark, target)
+    def segmentsNow(): Seq[LogSegment] = currentVersion(spark, target)
       .map(v => readManifest(spark, target, v)) match {
       case Some(AppendLog(segments)) => segments
       case Some(_) =>
         throw new IllegalStateException(s"$target already holds a non-log store")
       case None => Seq.empty
     }
-    if (prev.lastOption.exists(_.token >= token)) false
-    else {
-      val v = writeSnapshot(df, target)
-      val dir = s"snap-${fmt(v)}"
-      val rows = spark.read.parquet(new Path(target, dir).toString).count()
+    if (segmentsNow().lastOption.exists(_.token >= token)) return false
+    var dir = writeSnapshot(df, target)
+    // footer row count of the staged segment: metadata only, no data scan
+    var rows = footerRows(spark, new Path(target, dir))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val prev = segmentsNow() // re-read: a CAS loss means the log moved
+      if (prev.lastOption.exists(_.token >= token)) return false
+      if (!fs.exists(new Path(target, dir))) {
+        // a concurrent commit's gc reaped the staged segment — re-stage
+        dir = writeSnapshot(df, target)
+        rows = footerRows(spark, new Path(target, dir))
+      }
       val segments = prev :+ LogSegment(dir, rows, token)
-      publishContent(spark, target, v,
+      val ok = casPublish(spark, target,
+        currentVersion(spark, target).getOrElse(0L) + 1,
         ("log" +: segments.map(s => s"${s.dir}\t${s.rows}\t${s.token}")).mkString("\n"))
-      gc(spark, target)
-      true
+      if (ok) { gc(spark, target, retainManifests); return true }
+      attempt += 1
     }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the publish race $MaxCommitRetries times at $target")
   }
 
   /** Fold all log segments into one (data unchanged, token = the last
     * committed token). One full rewrite — amortize with `maybeCompactLog`.
     */
   def compactLog(spark: SparkSession, target: String): Unit =
-    logSegments(spark, target).foreach { segments =>
-      val live = segments.filter(_.rows > 0)
-      if (segments.size > 1 && live.nonEmpty) {
-        val full = spark.read.parquet(
-          live.map(s => new Path(target, s.dir).toString): _*)
-        val v = writeSnapshot(full, target)
-        publishContent(spark, target, v,
-          s"log\nsnap-${fmt(v)}\t${live.map(_.rows).sum}\t${segments.last.token}")
-        gc(spark, target)
+    currentVersion(spark, target).foreach { baseV =>
+      logSegments(spark, target).foreach { segments =>
+        val live = segments.filter(_.rows > 0)
+        if (segments.size > 1 && live.nonEmpty) {
+          val full = spark.read.parquet(
+            live.map(s => new Path(target, s.dir).toString): _*)
+          val dir = writeSnapshot(full, target)
+          // compaction is optional maintenance: publish only if the log
+          // has not moved since we read it (a lost CAS just abandons the
+          // staged dir to the next gc — never clobbers a concurrent append)
+          val ok = casPublish(spark, target, baseV + 1,
+            s"log\n$dir\t${live.map(_.rows).sum}\t${segments.last.token}")
+          if (ok) gc(spark, target)
+        }
       }
     }
 

@@ -80,13 +80,13 @@ class PipelineSpec extends AnyFunSuite {
 
     // Crash window 1: new snapshot staged, manifest NOT yet published —
     // readers still resolve the old, complete snapshot.
-    val v2 = Snapshots.writeSnapshot(Seq((1L, "a2")).toDF("id", "v"), target)
+    val staged2 = Snapshots.writeSnapshot(Seq((1L, "a2")).toDF("id", "v"), target)
     assert(Snapshots.read(spark, target).count() == 2,
       "reader must not see an unpublished snapshot")
 
     // Crash window 2: published but not yet garbage-collected — readers
     // resolve the NEW snapshot even with stale files still present.
-    Snapshots.publish(spark, target, v2)
+    Snapshots.publish(spark, target, staged2)
     assert(Snapshots.read(spark, target).count() == 1)
     assert(Snapshots.read(spark, target).filter(col("v") === "a2").count() == 1)
 
@@ -94,12 +94,13 @@ class PipelineSpec extends AnyFunSuite {
     // readers) and the store keeps working.
     Snapshots.gc(spark, target)
     assert(Snapshots.read(spark, target).count() == 1)
-    // A crashed attempt's orphan (window 1 rerun) is simply overwritten,
-    // and retention stays bounded at current + previous.
+    // A crashed attempt's orphan is reaped by the next commit's gc, and
+    // retention stays bounded at current + previous (dir names carry the
+    // version they were staged for plus a writer salt).
     Snapshots.commit(Seq((9L, "z")).toDF("id", "v"), target)
     assert(Snapshots.read(spark, target).collect().map(_.getLong(0)).toSeq == Seq(9L))
     val snaps = new java.io.File(target).listFiles.map(_.getName)
-      .filter(_.startsWith("snap-")).sorted.toSeq
+      .filter(_.startsWith("snap-")).map(_.take(13)).sorted.toSeq
     assert(snaps == Seq("snap-00000002", "snap-00000003"),
       s"expected bounded current+previous retention, found $snaps")
   }
@@ -135,7 +136,9 @@ class PipelineSpec extends AnyFunSuite {
       s"expected only bucket $touchedBucket rewritten, got ${fresh.map(_.bucket)}")
     assert(entries.filterNot(_.dir.startsWith("snap-00000002"))
       .forall(_.dir.startsWith("snap-00000001")), "untouched buckets carried by reference")
-    val v2Dirs = new java.io.File(s"$goldPath/snap-00000002").listFiles()
+    val v2Root = new java.io.File(goldPath).listFiles()
+      .filter(_.getName.startsWith("snap-00000002")).head
+    val v2Dirs = v2Root.listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(v2Dirs == Seq(s"${Snapshots.BucketCol}=$touchedBucket"),
       s"v2 snapshot should contain only the touched bucket dir, found $v2Dirs")
@@ -177,8 +180,8 @@ class PipelineSpec extends AnyFunSuite {
     val target = Files.createTempDirectory("graft_compact").toString + "/t"
     def commitOne(bucket: Int, ids: Seq[Long]): Unit = {
       val df = ids.toDF("id").withColumn(Snapshots.BucketCol, lit(bucket))
-      val v = Snapshots.writeBucketSnapshot(df, target)
-      Snapshots.publishBuckets(spark, target, v, numBuckets = 4,
+      val dir = Snapshots.writeBucketSnapshot(df, target)
+      Snapshots.publishBuckets(spark, target, dir, numBuckets = 4,
         touched = Seq(bucket), rowsByBucket = Map(bucket -> ids.size.toLong))
       Snapshots.gc(spark, target)
     }
@@ -237,14 +240,14 @@ class PipelineSpec extends AnyFunSuite {
     // readers still resolve the previous manifest's buckets.
     val staged = Seq((1L, "a2")).toDF("id", "v")
       .withColumn(Snapshots.BucketCol, Snapshots.bucketOf(Seq("id"), 4))
-    val v2 = Snapshots.writeBucketSnapshot(staged, target)
+    val d2 = Snapshots.writeBucketSnapshot(staged, target)
     assert(Snapshots.read(spark, target).collect().map(_.getLong(0)).toSet == before,
       "unpublished bucket snapshot must be invisible")
 
     // Crash window 2: published, gc not yet run — readers already see the
     // new bucket layout, stale dirs are inert.
     val b1 = staged.select(Snapshots.bucketOf(Seq("id"), 4)).head.getInt(0)
-    Snapshots.publishBuckets(spark, target, v2, 4, Seq(b1), Map(b1 -> 1L))
+    Snapshots.publishBuckets(spark, target, d2, 4, Seq(b1), Map(b1 -> 1L))
     val afterPublish = Snapshots.read(spark, target)
     assert(afterPublish.filter(col("v") === "a2").count() == 1)
     // the replaced bucket's other keys are gone with it (the staged write
@@ -252,6 +255,143 @@ class PipelineSpec extends AnyFunSuite {
     Snapshots.gc(spark, target)
     assert(Snapshots.read(spark, target).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       == afterPublish.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("two interleaved writers to disjoint buckets both land (OCC)") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_occ_disjoint").toString + "/t"
+    // base: two keys in two different buckets
+    val k = (0L until 16L).map(i => (i, s"base$i"))
+    Snapshots.mergeCommitBuckets(k.toDF("id", "v"), target, Seq("id"), 4)(
+      identity)((b, u) => b.unionByName(u))
+    val baseEntries = Snapshots.currentBuckets(spark, target).get._2
+
+    // writer A merges against v1 and STAGES, but does not publish yet
+    val bucketA = 0
+    val aRows = Seq((100L, "fromA")).toDF("id", "v")
+      .withColumn(Snapshots.BucketCol, lit(bucketA))
+    val aDir = Snapshots.writeBucketSnapshot(aRows, target)
+
+    // writer B commits bucket 1 FIRST (full commit incl. gc — the
+    // interleaving that used to clobber A's staged work)
+    val bucketB = 1
+    val bRows = Seq((101L, "fromB")).toDF("id", "v")
+      .withColumn(Snapshots.BucketCol, lit(bucketB))
+    val bDir = Snapshots.writeBucketSnapshot(bRows, target)
+    Snapshots.publishBuckets(spark, target, bDir, 4, Seq(bucketB),
+      Map(bucketB -> 1L),
+      expectedTouched = Some(baseEntries.filter(_.bucket == bucketB)))
+    Snapshots.gc(spark, target)
+
+    // B's gc must NOT reap A's still-unreferenced staged dir: its name
+    // embeds the version it was staged for (>= the retained window), so
+    // version-aware gc leaves in-flight staging untouched
+    assert(new java.io.File(s"$target/$aDir").isDirectory,
+      "a concurrent commit's gc must not reap another writer's fresh staging dir")
+
+    // A now publishes: loses the v2 race, re-derives carried entries from
+    // B's manifest, lands at v3 — nothing of B's commit is lost
+    Snapshots.publishBuckets(spark, target, aDir, 4, Seq(bucketA),
+      Map(bucketA -> 1L),
+      expectedTouched = Some(baseEntries.filter(_.bucket == bucketA)))
+    assert(Snapshots.currentVersion(spark, target).contains(3L))
+    val entries = Snapshots.currentBuckets(spark, target).get._2
+    assert(entries.find(_.bucket == bucketA).exists(_.dir.startsWith(aDir)))
+    assert(entries.find(_.bucket == bucketB).exists(_.dir.startsWith(bDir)))
+    val got = Snapshots.read(spark, target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100L) == "fromA" && got(101L) == "fromB",
+      "both writers' buckets must survive the interleaving")
+  }
+
+  test("concurrent commits to the SAME bucket re-merge instead of losing an update") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_occ_conflict").toString + "/t"
+    Snapshots.mergeCommitBuckets(Seq((1L, "base")).toDF("id", "v"), target,
+      Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+    val base = Snapshots.currentBuckets(spark, target).get._2
+    val b1 = Seq((1L, "x")).toDF("id", "v")
+      .select(Snapshots.bucketOf(Seq("id"), 4)).head.getInt(0)
+
+    // A stages a merge computed against v1's bucket content...
+    val aDir = Snapshots.writeBucketSnapshot(
+      Seq((1L, "fromA")).toDF("id", "v")
+        .withColumn(Snapshots.BucketCol, lit(b1)), target)
+    // ...then B rewrites the SAME bucket and publishes first
+    Snapshots.mergeCommitBuckets(Seq((1L, "fromB")).toDF("id", "v"), target,
+      Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+    // A's base moved: publish must refuse (the caller re-merges)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publishBuckets(spark, target, aDir, 4, Seq(b1),
+        Map(b1 -> 1L), expectedTouched = Some(base.filter(_.bucket == b1)))
+    }
+
+    // the high-level path retries internally: two racing threads, same
+    // bucket — both updates land, none lost
+    val t2 = Files.createTempDirectory("graft_occ_threads").toString + "/t"
+    Snapshots.mergeCommitBuckets(Seq((1L, "seed")).toDF("id", "v"), t2,
+      Seq("id"), 2)(identity)((b, u) => b.unionByName(u))
+    val writers = Seq("w1", "w2").map { tag =>
+      new Thread(() => {
+        Snapshots.mergeCommitBuckets(Seq((1L, tag)).toDF("id", "v"), t2,
+          Seq("id"), 2)(identity)((b, u) => b.unionByName(u))
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    val vals = Snapshots.read(spark, t2).select("v").as[String].collect().toSet
+    assert(vals == Set("seed", "w1", "w2"),
+      s"every concurrent writer's rows must survive, got $vals")
+    assert(Snapshots.totalRows(spark, t2) == 3)
+  }
+
+  test("a wide touched set takes the footer-count path and stays exact") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_footer").toString + "/t"
+    val n = 500
+    val df = (0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val buckets = 128 // > ObservePerBucketLimit distinct buckets touched
+    val total = Snapshots.mergeCommitBuckets(df, target, Seq("id"), buckets)(
+      identity)((b, u) => b.unionByName(u))
+    assert(total == n, "footer-derived manifest counts must equal the data")
+    assert(Snapshots.read(spark, target).count() == n)
+    // per-bucket manifest rows equal the true per-bucket distribution
+    val entries = Snapshots.currentBuckets(spark, target).get._2
+    val trueDist = df.groupBy(Snapshots.bucketOf(Seq("id"), buckets).as("b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(entries.map(e => e.bucket -> e.rows).toMap == trueDist)
+    assert(entries.size > Snapshots.ObservePerBucketLimit,
+      "fixture must actually exercise the footer path")
+  }
+
+  test("a store merged down to zero rows reads with a clear guard") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_empty_store").toString + "/t"
+    Snapshots.mergeCommitBuckets(Seq((1L, "a")).toDF("id", "v"), target,
+      Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+    // the next merge deletes every row of the only occupied bucket
+    Snapshots.mergeCommitBuckets(Seq((1L, "del")).toDF("id", "v"), target,
+      Seq("id"), 4)(identity)((b, _) => b.filter(lit(false)))
+    assert(Snapshots.totalRows(spark, target) == 0)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, target)
+    }
+    assert(e.getMessage.contains("holds no rows"),
+      s"expected the empty-store guard, got: ${e.getMessage}")
+  }
+
+  test("gc retains a configurable window of previous manifests") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_gc_retain").toString + "/t"
+    (1 to 3).foreach { i =>
+      val dir = Snapshots.writeSnapshot(Seq((i.toLong, "x")).toDF("id", "v"), target)
+      Snapshots.publish(spark, target, dir)
+    }
+    def liveSnaps = new java.io.File(target).listFiles
+      .map(_.getName).filter(_.startsWith("snap-")).toSeq
+    Snapshots.gc(spark, target, retainManifests = 2)
+    assert(liveSnaps.size == 3, "retain=2 keeps current + two previous roots")
+    Snapshots.gc(spark, target, retainManifests = 0)
+    assert(liveSnaps.size == 1, "retain=0 keeps only the current root")
   }
 
   test("log store survives empty segments at any position") {
