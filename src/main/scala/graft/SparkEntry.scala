@@ -74,6 +74,7 @@ object SparkEntry {
     "q56_decontaminate"       -> (Queries.decontaminate _),
     "q57_lang_mix_weights"    -> (Queries.langMixWeights _),
     "q58_shard_manifest"      -> (Queries.shardManifest _),
+    "q59_ann_ivf_trained"     -> (Queries.annIvfTrained _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -627,6 +628,23 @@ object Queries {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Ivf.annIvfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
       AnnQueryMaxId, IvfNProbe, AnnK)
+      .orderBy("query_id", "rank")
+
+  // --- q59: IVF ANN over a TRAINED k-means quantizer --------------------------
+  // The full production path: deterministic Lloyd training (id-order seeds so
+  // the SQL oracle replays them verbatim — no xxhash64 in DuckDB), quantizer
+  // assignment, then q33's probe/search shape over the trained lists. The
+  // oracle gates the TRAINING arithmetic bit-exactly (decimal sums, sequential
+  // dot folds, first-wins argmax); recall is gated separately by the
+  // clustered-corpus spec — on this isotropic corpus recall is pinned to the
+  // scan fraction whatever the quantizer (see q33's note).
+  val IvfTrainLists = 10
+  val IvfTrainIters = 2
+
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    Ivf.annIvfTrainedTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      AnnQueryMaxId, IvfTrainLists, IvfTrainIters, IvfNProbe, AnnK,
+      sampleFraction = 1.0, seedByHash = false)
       .orderBy("query_id", "rank")
 
   // --- q32: gap-based sessionization ------------------------------------------
@@ -1465,6 +1483,91 @@ object Oracles {
     "q33_ann_ivf" -> {
       import graft.functions.Lsh.Dim
       s"""WITH e AS (SELECT vec_id, embedding, label, $nrmSql AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM e WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce, nrm AS cn
+                FROM e WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          cent AS (
+            SELECT label, array_agg(CAST(s AS DOUBLE) ORDER BY i) AS centroid
+            FROM (SELECT label, i,
+                         SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS s
+                  FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                  WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                  GROUP BY 1, 2)
+            GROUP BY label),
+          pr AS (
+            SELECT query_id, qe, qn, label FROM (
+              SELECT query_id, qe, qn, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ccos DESC, label) AS lr
+              FROM (SELECT q.query_id, q.qe, q.qn, cent.label,
+                           ${dotSql("qe", "centroid")}
+                             / (q.qn * sqrt(${dotSql("centroid", "centroid")})) AS ccos
+                    FROM q, cent))
+            WHERE lr <= ${Queries.IvfNProbe}),
+          scored AS (
+            SELECT query_id, neighbor_id, ${dotSql("qe", "ce")} / (qn * cn) AS cos
+            FROM pr JOIN c USING (label))
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          WHERE rank <= ${Queries.AnnK}"""
+    },
+
+    "q59_ann_ivf_trained" -> {
+      import graft.functions.Lsh.Dim
+      val L = Queries.IvfTrainLists
+      // unit-normalize a centroid table (list, cent) — Scala-driver op order:
+      // left-fold sum of squares, sqrt, per-element divide; zero-norm keeps c
+      def unit(t: String) =
+        s"""SELECT list, CASE WHEN nrm = 0 THEN cent
+                              ELSE list_transform(cent, x -> x / nrm) END AS ucent
+            FROM (SELECT list, cent,
+                         sqrt(list_reduce(list_transform(cent, x -> x*x),
+                                          (a,b) -> a+b)) AS nrm
+                  FROM $t)"""
+      // argmax-cosine list per vector, ties to the LOWEST list id — ≡ Ivf
+      // .assignList's array_position(scores, array_max(scores)) first-wins
+      def assign(src: String, u: String) =
+        s"""SELECT vec_id, v, list FROM (
+              SELECT vec_id, v, list,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sc DESC, list) AS rn
+              FROM (SELECT s.vec_id, s.v, u.list,
+                           ${dotSql("u.ucent", "s.v")} AS sc
+                    FROM $src s, $u u))
+            WHERE rn = 1"""
+      // exact-decimal per-position sums; a list that loses all members keeps
+      // its previous centroid — ≡ Ivf.trainKMeans's refined.getOrElse
+      def refine(a: String, prev: String) =
+        s"""SELECT p.list, COALESCE(r.cent, p.cent) AS cent
+            FROM $prev p LEFT JOIN (
+              SELECT list, array_agg(CAST(s AS DOUBLE) ORDER BY i) AS cent
+              FROM (SELECT list, i, SUM(CAST(v[i] AS DECIMAL(20,10))) AS s
+                    FROM $a, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                    GROUP BY 1, 2)
+              GROUP BY list) r ON p.list = r.list"""
+      s"""WITH train AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS list,
+                        v AS cent
+                 FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT $L)),
+          u0 AS (${unit("c0")}),
+          a1 AS (${assign("train", "u0")}),
+          c1 AS (${refine("a1", "c0")}),
+          u1 AS (${unit("c1")}),
+          a2 AS (${assign("train", "u1")}),
+          c2 AS (${refine("a2", "c1")}),
+          u2 AS (${unit("c2")}),
+          allv AS (SELECT vec_id, embedding,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+          lab AS (${assign("allv", "u2")}),
+          e AS (SELECT a.vec_id, a.embedding, lab.list AS label, $nrmSql AS nrm
+                FROM allv a JOIN lab ON a.vec_id = lab.vec_id),
           q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
                 FROM e WHERE vec_id < ${Queries.AnnQueryMaxId}),
           c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce, nrm AS cn

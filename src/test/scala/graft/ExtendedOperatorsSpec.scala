@@ -108,6 +108,26 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered-corpus trained-IVF recall@5 = $recall")
   }
 
+  test("broadcast-join list assignment matches the literal-kernel path exactly") {
+    // The large-k path (plan-size O(1) in k) must assign every vector to the
+    // same list as the plan-literal path, including first-wins tie order.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.trainKMeans(emb, "vec_id", "embedding",
+      k = 10, iters = 2, seedByHash = false)
+    val lit = emb.select(col("vec_id"),
+      Ivf.assignList(col("embedding").cast("array<double>"), cents).as("list"))
+    val join = Ivf.assignListsByJoin(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", cents, "list").select("vec_id", "list")
+    assert(lit.except(join).count() == 0 && join.except(lit).count() == 0,
+      "join-path assignment diverged from literal path")
+    // plan stays O(1) in k: centroids ride one broadcast table, no per-list
+    // literal kernels in the generated plan
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("shard packing covers every document with contiguous bounded shards") {
     val shards = Queries.shardPack(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
