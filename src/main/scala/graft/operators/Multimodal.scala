@@ -17,11 +17,13 @@ import graft.functions.TextAnalysis
   * the Spark-native equivalent of a batched Pandas UDF.
   *
   * Codecs: `decodeWav` is a REAL container parser (pure-JDK RIFF/WAVE
-  * chunk walk) running through the plug-point; image/video decoding is
-  * STUBBED (`decodeStub` — no media libraries in this environment) with
-  * deterministic fake dimensions. The partitioning, schema, and batch
-  * shape are identical for both — swapping the stub for a JNI/javacv
-  * codec changes no plan shape.
+  * chunk walk) and `decodeImage` a REAL image decoder (pure-JDK
+  * `javax.imageio`, PNG/BMP/GIF/JPEG as the JDK ships them), both running
+  * through the plug-point; video decoding is STUBBED (`decodeStub` — no
+  * video libraries in this environment) with deterministic fake
+  * dimensions. The partitioning, schema, and batch shape are identical
+  * for all three — swapping the stub for a JNI/javacv codec changes no
+  * plan shape.
   */
 object Multimodal {
 
@@ -143,5 +145,63 @@ object Multimodal {
     media.select("doc_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
+  /** Decoded image fields. `px_sum` is the sum of all R+G+B channel bytes —
+    * a deterministic full-raster statistic proving the pixels (not just the
+    * header) were decoded; real feature extraction (resize, embedding
+    * preprocessing) slots in at the same point.
+    */
+  final case class ImageMeta(doc_id: Long, format: String, width: Int,
+                             height: Int, px_sum: Long, n_bytes: Long)
+
+  /** A REAL image decoder through the plug-point: pure-JDK `javax.imageio`
+    * (PNG, BMP, GIF, JPEG — the readers the JDK ships), so it actually runs
+    * in this environment. Dimensions come from the container header
+    * (`reader.getWidth(0)` parses the header only — the cheap path a
+    * metadata-only pipeline stops at) and the raster is then fully decoded
+    * for the pixel statistic. Throws on an unrecognized container (a
+    * production pipeline routes those to a quarantine sink, same contract
+    * as `decodeWav`).
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): ImageMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"doc $docId: unrecognized image container")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val (w, h) = (r.getWidth(0), r.getHeight(0))
+        val img = r.read(0)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(docId, r.getFormatName.toLowerCase, w, h, sum, bytes.length.toLong)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Batched image decode: one `javax.imageio` pass per payload inside
+    * `mapPartitions` — the image instantiation of `decodeBatched`'s shape.
+    * Reader lookup and disposal happen per payload (ImageIO readers are
+    * not thread-safe to share); the registry scan they amortize is
+    * class-level, so per-partition batching still pays off.
+    */
+  def decodeImageBatched(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
   }
 }

@@ -209,6 +209,42 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(decoded.except(meta).count() == 0 && meta.except(decoded).count() == 0)
   }
 
+  test("imageio codec through the batched plug-point recovers dimensions and pixels") {
+    import spark.implicits._
+    // deterministic rasters: pixel (x, y) of image i has a closed-form RGB,
+    // so the expected full-raster px_sum is computable without the decoder
+    def makeImage(i: Int, w: Int, h: Int, fmt: String): (Array[Byte], Long) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ((x * 7 + i) % 256, (y * 13 + i) % 256, (x + y) % 256)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sum += r + g + b
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      (bos.toByteArray, sum)
+    }
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 40).map { i =>
+      val (w, h) = (4 + rnd.nextInt(60), 4 + rnd.nextInt(60))
+      val fmt = if (i % 2 == 0) "png" else "bmp"
+      val (bytes, sum) = makeImage(i, w, h, fmt)
+      (i.toLong, fmt, w, h, sum, bytes.length.toLong, bytes)
+    }
+    val df = rows.toDF("doc_id", "format", "width", "height", "px_sum",
+      "n_bytes", "payload").repartition(6)
+    val decoded = Multimodal.decodeImageBatched(df.select("doc_id", "payload")).toDF()
+    val meta = df.select("doc_id", "format", "width", "height", "px_sum", "n_bytes")
+    assert(decoded.count() == 40)
+    assert(decoded.except(meta).count() == 0 && meta.except(decoded).count() == 0)
+    // non-image payloads fail loudly (the quarantine-sink contract)
+    intercept[Exception] {
+      Multimodal.decodeImage(99L, "not an image".getBytes)
+    }
+  }
+
   test("scd2Merge rebuilds only touched keys and matches a full rebuild") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts")
