@@ -459,4 +459,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.head.extracted == 0 && r.head.goldRows > 0,
       "observation stats should still be populated")
   }
+
+  test("end-to-end: landed files → bronze ingest → quarantine split → SCD2 gold") {
+    // The full reference pipeline shape in one walk: files arrive in a
+    // landing zone in two waves (Autoloader drops), a bounded file stream
+    // lifts each wave into bronze exactly once, the silver hop splits off
+    // a quarantine table with failure reasons, and the gold SCD2 merge
+    // folds only the watermark slice through bucketed commits.
+    import graft.operators.Quality
+    import graft.streaming.IngestPipeline
+
+    val root = Files.createTempDirectory("graft_e2e").toString
+    val landing = s"$root/landing"
+    val bronze = s"$root/bronze"
+    val state = s"$root/state"
+    val quarantine = s"$root/quarantine"
+
+    val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
+    val mid = new java.sql.Timestamp(
+      java.time.LocalDateTime.parse(Queries.SplitTs.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val end = new java.sql.Timestamp(4102444800000L)
+    val rules = Seq(Quality.Rule("no_error_events", col("event_type") === "error"))
+    val spec = TableSpec("events", keys = Seq("user_id"), seqCol = "ts",
+      tieCols = Seq("event_id"), scdType = 2, buckets = 4)
+
+    def ingestOnce(): Unit =
+      IngestPipeline.runOnce(
+        IngestPipeline.boundedFileStream(spark, landing, ev.schema),
+        identity, bronze, s"$root/_ckpt").awaitTermination()
+
+    // One wave: silver splits the bronze slice, quarantine accumulates
+    // with failure reasons, clean rows proceed to the gold merge.
+    def silverGold(low: Option[java.sql.Timestamp],
+                   hi: java.sql.Timestamp): Unit = {
+      val slice = spark.read.parquet(bronze).select(eventCols.map(col): _*)
+        .filter(col("ts") <= lit(hi))
+      val bounded = low.fold(slice)(wm => slice.filter(col("ts") > lit(wm)))
+      val (clean, bad) = Quality.split(bounded, rules)
+      bad.write.mode("append").parquet(quarantine)
+      Medallion.run(spark, Seq(spec), (_: String) => clean, state, hi)
+    }
+
+    ev.filter(col("ts") <= lit(mid)).write.mode("append").parquet(landing)
+    ingestOnce()
+    silverGold(None, mid)
+
+    ev.filter(col("ts") > lit(mid)).write.mode("append").parquet(landing)
+    ingestOnce()
+    silverGold(Some(mid), end)
+
+    // Bronze holds every landed row exactly once: the second ingest pass
+    // processed only the wave-2 files (checkpointed file tracking).
+    assert(spark.read.parquet(bronze).count() == ev.count(),
+      "each landed file must reach bronze exactly once")
+
+    // Quarantine holds exactly the violating rows, each carrying the
+    // failing rule's name; none of them reached gold.
+    val quar = spark.read.parquet(quarantine)
+    assert(quar.count() == ev.filter(col("event_type") === "error").count())
+    assert(quar.filter(!array_contains(col("failed_rules"), "no_error_events"))
+      .count() == 0, "quarantined rows must name the failed rule")
+    val goldPath = s"$state/gold/events"
+    val scd2Cols = Seq("user_id", "event_id", "event_type", "value",
+      "effective_from", "effective_to", "is_current")
+    val gold = Snapshots.read(spark, goldPath).select(scd2Cols.map(col): _*)
+    assert(gold.filter(col("event_type") === "error").count() == 0)
+
+    // Gold converges to the from-scratch SCD2 build over the clean changelog.
+    val expected = operators.Scd.scd2FromChangelog(
+      ev.filter(col("event_type") =!= "error"), Seq("user_id"), "ts",
+      Seq("event_id")).select(scd2Cols.map(col): _*)
+    assert(gold.except(expected).count() == 0 && expected.except(gold).count() == 0,
+      "two incremental waves must equal the from-scratch clean rebuild")
+    assert(Snapshots.totalRows(spark, goldPath) == expected.count())
+  }
 }
