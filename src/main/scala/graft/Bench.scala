@@ -11,17 +11,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QUERIES=q21_...,q22_... restricts the run (scaling
+    // studies on one table family); unset = the full surface.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warmup: run every query once at the smallest SF so JIT + codegen
     // compilation costs don't land on the first timed queries.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Median of 3 timed runs per query: single runs on this box swing
     // ±20-35%, which round-over-round comparisons then misread as
     // regressions; the median is stable at triple the (cheap) runtime.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Deterministic corpus scale-up for the second decade of the scaling
+  * curve. No sf1 dataset ships in this environment, so this derives an
+  * sf1-EQUIVALENT `documents`/`embeddings` pair from sf0.1 by replication
+  * under structure-preserving, collision-free transforms; every other
+  * table is copied through unchanged. Bench tooling — not part of the
+  * query surface.
+  *
+  * Why replication instead of fresh sampling: the scaling fit compares
+  * the SAME query at two corpus sizes, so the scaled corpus must keep
+  * the sf0.1 distributions (words/doc, near-dup density, df shape,
+  * embedding isotropy) while growing row count 10×. The transforms
+  * below make each replica internally IDENTICAL to the original and
+  * mutually non-colliding:
+  *
+  *  - documents: replica i > 0 suffixes every word with a replica tag.
+  *    Within-replica shingle/minhash/simhash/prefix structure is exactly
+  *    the original's (the transform is a vocabulary bijection), while
+  *    cross-replica n-gram collisions are impossible — 10× rows and 10×
+  *    the planted dup structure, no new hot shingles. `n_chars` is
+  *    recomputed so length-derived features stay consistent.
+  *  - embeddings: replica i > 0 applies a cyclic coordinate shift plus
+  *    per-coordinate sign flips — an orthogonal map, so norms and all
+  *    within-replica cosines are preserved exactly, while cross-replica
+  *    cosines sit at the isotropic noise floor of the corpus.
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> [factor=10]
+  */
+object ScaleGen {
+
+  /** doc_id / vec_id stride between replicas; far above any real id. */
+  val IdStride = 10000000L
+
+  def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      if (i == 0) df
+      else {
+        val tag = s"x$i"
+        val text = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(tag))), " ")
+        df.withColumn("doc_id", col("doc_id") + lit(i * IdStride))
+          .withColumn("text", text)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }.reduce(_.unionByName(_))
+
+  def scaleEmbeddings(df: DataFrame, factor: Int, dim: Int): DataFrame =
+    (0 until factor).map { i =>
+      if (i == 0) df
+      else {
+        val shift = (i * 7) % dim
+        // Deterministic ±1 per (replica, coordinate): a fixed LCG-style
+        // mix, no RNG state — reruns are bit-identical.
+        val rotated = (0 until dim).map { j =>
+          val sign = if ((((j * 2654435761L + i * 40503L) >>> 13) & 1L) == 0L) 1f else -1f
+          (col("embedding")((j + shift) % dim) * lit(sign)).cast(FloatType)
+        }
+        df.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
+          .withColumn("embedding", array(rotated: _*).cast(ArrayType(FloatType)))
+      }
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    scaleDocuments(Tables.documents(spark, src), factor)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    val dim = Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).first().getInt(0)
+    scaleEmbeddings(Tables.embeddings(spark, src), factor, dim)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    // Pass the remaining tables through so the dest dir is a complete SF
+    // directory any tool (Bench, Verify) can point at.
+    val srcDir = new java.io.File(src)
+    srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => Set("documents.parquet", "embeddings.parquet")(f.getName))
+      .foreach { f =>
+        val out = java.nio.file.Paths.get(dest, f.getName)
+        if (!java.nio.file.Files.exists(out)) {
+          if (f.isDirectory) {
+            spark.read.parquet(f.getPath).write.mode("overwrite")
+              .parquet(out.toString)
+          } else {
+            java.nio.file.Files.copy(f.toPath, out)
+          }
+        }
+      }
+    println(s"""{"scaled":"$src -> $dest","factor":$factor}""")
+    spark.stop()
+  }
+}
