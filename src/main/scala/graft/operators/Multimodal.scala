@@ -16,14 +16,13 @@ import graft.functions.TextAnalysis
   * `mapPartitions` so each task amortizes codec setup over its partition —
   * the Spark-native equivalent of a batched Pandas UDF.
   *
-  * Codecs: `decodeWav` is a REAL container parser (pure-JDK RIFF/WAVE
-  * chunk walk) and `decodeImage` a REAL image decoder (pure-JDK
-  * `javax.imageio`, PNG/BMP/GIF/JPEG as the JDK ships them), both running
-  * through the plug-point; video decoding is STUBBED (`decodeStub` — no
-  * video libraries in this environment) with deterministic fake
-  * dimensions. The partitioning, schema, and batch shape are identical
-  * for all three — swapping the stub for a JNI/javacv codec changes no
-  * plan shape.
+  * Codecs — all three modalities run REAL pure-JDK decoders through the
+  * plug-point: `decodeWav` (RIFF/WAVE chunk walk), `decodeImage`
+  * (`javax.imageio`: PNG/BMP/GIF/JPEG as the JDK ships them), and
+  * `decodeAvi` (RIFF/AVI demux — header parse, `movi` frame walk, sampled
+  * MJPEG frames decoded via `javax.imageio`). Codecs the JDK lacks (H.264
+  * etc.) would slot into the same `mapPartitions` shape via JNI/javacv —
+  * swapping the decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -175,20 +174,26 @@ object Multimodal {
         r.setInput(iis)
         val (w, h) = (r.getWidth(0), r.getHeight(0))
         val img = r.read(0)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-            x += 1
-          }
-          y += 1
-        }
-        ImageMeta(docId, r.getFormatName.toLowerCase, w, h, sum, bytes.length.toLong)
+        ImageMeta(docId, r.getFormatName.toLowerCase, w, h, rasterSum(img),
+          bytes.length.toLong)
       } finally r.dispose()
     } finally iis.close()
+  }
+
+  /** Sum of all R+G+B channel bytes over a decoded raster. */
+  private def rasterSum(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sum
   }
 
   /** Batched image decode: one `javax.imageio` pass per payload inside
@@ -203,5 +208,80 @@ object Multimodal {
     media.select("doc_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** Decoded video container fields. `n_frames` counts the video chunks
+    * actually present in the `movi` list (the demuxed truth, not the
+    * header's claim); `duration_us` derives from it and the header frame
+    * interval. `px_sum` accumulates the full-raster statistic over the
+    * SAMPLED frames only — proof the sampled frames' pixels were decoded.
+    */
+  final case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                             n_frames: Int, duration_us: Long,
+                             sampled_frames: Int, px_sum: Long, n_bytes: Long)
+
+  /** A REAL video demuxer through the plug-point: minimal RIFF/AVI parse
+    * (magic check, recursive LIST walk, `avih` main header, `movi` frame
+    * chunks) with every `sampleEvery`-th frame decoded as MJPEG via
+    * `javax.imageio` — pure JDK, so it actually runs in this environment.
+    * Frame sampling happens at the CONTAINER level: skipped frames are
+    * never decoded, only chunk-walked past, which is exactly how a
+    * production frame-sampler avoids paying full decode cost for a 1%
+    * sample (`frameSampleOffsets` computes such schedules corpus-wide).
+    * Codecs the JDK cannot decode (H.264 etc.) fail loudly at the frame
+    * decode — the quarantine-sink contract shared by all three codecs.
+    */
+  def decodeAvi(docId: Long, bytes: Array[Byte], sampleEvery: Int = 1): VideoMeta = {
+    def ascii(off: Int) = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "AVI ",
+      s"doc $docId: not a RIFF/AVI payload")
+    var width, height = -1
+    var usecPerFrame = -1L
+    var frames, sampled = 0
+    var pxSum = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = ascii(pos)
+        val size = (bb.getInt(pos + 4).toLong & 0xFFFFFFFFL).toInt
+        val body = pos + 8
+        require(body + size <= bytes.length, s"doc $docId: truncated chunk $id")
+        if (id == "LIST") walk(body + 4, body + size) // list type fourcc, then children
+        else if (id == "avih") {
+          usecPerFrame = bb.getInt(body).toLong & 0xFFFFFFFFL
+          width = bb.getInt(body + 32)
+          height = bb.getInt(body + 36)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          // a video frame chunk (##dc compressed / ##db uncompressed DIB)
+          if (frames % sampleEvery == 0) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(bytes, body, body + size)))
+            require(img != null, s"doc $docId: undecodable frame $frames")
+            pxSum += rasterSum(img)
+            sampled += 1
+          }
+          frames += 1
+        }
+        // chunks are 16-bit word aligned: odd sizes carry a pad byte
+        pos = body + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    require(width > 0 && usecPerFrame > 0, s"doc $docId: missing avih header")
+    VideoMeta(docId, width, height, frames, usecPerFrame * frames,
+      sampled, pxSum, bytes.length.toLong)
+  }
+
+  /** Batched video demux + sampled-frame decode: one container walk per
+    * payload inside `mapPartitions` — the video instantiation of
+    * `decodeBatched`'s shape.
+    */
+  def decodeAviBatched(media: DataFrame, sampleEvery: Int = 1): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAvi(id, bytes, sampleEvery) })
   }
 }
