@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores so ad-hoc runs measure the same thing as
+    // the driver's local[32] runs instead of a 4-core slice
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,8 +43,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are EXCLUDED from total (their -1 sentinel would make
+    // it nonsense), so name them explicitly — otherwise a broken query
+    // shrinks the total and reads as a fleet-wide speedup round-over-round
+    val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val fq = failures.mkString("[", ",", "]")
+    val total = if (failures.nonEmpty) -1.0 else results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,10 +42,13 @@ import org.apache.spark.sql.functions._
   * Commit protocol (both flavors, the three steps in order):
   *  1. stage the new snapshot dir (salted name) — readers unaffected;
   *  2. publish manifest `<v+1>` by compare-and-set: the content is staged
-  *     in a dot-temp file, renamed onto the version number only if that
-  *     version is still unclaimed, and read back to confirm this writer
-  *     won (filesystems whose rename overwrites can't fake a win because
-  *     salted dir names make every writer's content distinct);
+  *     in a dot-temp file and the version number claimed with an
+  *     atomic-if-absent primitive — `link(2)` on local filesystems (POSIX
+  *     rename overwrites, so it cannot claim), rename + content read-back
+  *     on HDFS-style stores (their rename refuses an existing target);
+  *     after the win the staged dir's existence is re-verified, and a
+  *     corrective manifest rolls back a commit whose dir a racing gc
+  *     reaped inside the check-to-claim window;
   *  3. gc — delete snapshot dirs referenced by NONE of the retained
   *     manifests (`retainManifests` previous versions are kept as a grace
   *     window for in-flight readers), and manifests below the retained
@@ -280,13 +283,49 @@ object Snapshots {
         throw new java.util.ConcurrentModificationException(
           s"staged snapshot $stagedDir at $target was garbage-collected " +
             "by a concurrent commit before publish — re-stage and retry")
-      val v = currentVersion(spark, target).getOrElse(0L) + 1
-      if (casPublish(spark, target, v, stagedDir)) return v
+      val cur = currentVersion(spark, target)
+      val v = cur.getOrElse(0L) + 1
+      if (casPublish(spark, target, v, stagedDir)) {
+        // a gc racing this publish can reap the staged dir in the window
+        // between the existence check above and the CAS win (needs
+        // ≥ retainManifests+2 concurrent commits inside that window).
+        // Verify AFTER the win; on failure roll the pointer back to the
+        // previous snapshot so no reader resolves the dead dir, then make
+        // the caller re-stage.
+        if (fs.exists(new Path(target, stagedDir))) return v
+        correctWholeTable(spark, target, v, cur)
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target was garbage-collected " +
+            "between the existence check and the version CAS — corrective " +
+            "manifest published; re-stage and retry")
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the publish race $MaxCommitRetries times at $target")
   }
+
+  /** Roll a whole-table store back to its pre-`broken` snapshot pointer
+    * after a post-win verify found the just-published dir reaped. A later
+    * commit (version > `broken`) fully supersedes a whole-table snapshot,
+    * so correction stops as soon as the store moved past the broken
+    * version; a previous manifest that already aged out means exactly
+    * that supersession happened.
+    */
+  private def correctWholeTable(spark: SparkSession, target: String,
+                                broken: Long, prevV: Option[Long]): Unit =
+    prevV.foreach { pv =>
+      try {
+        val prevContent = manifestContent(spark, target, pv)
+        var attempt = 0
+        while (attempt < MaxCommitRetries) {
+          val cv = currentVersion(spark, target).getOrElse(broken)
+          if (cv > broken) return
+          if (casPublish(spark, target, broken + 1, prevContent)) return
+          attempt += 1
+        }
+      } catch { case _: java.io.IOException => () }
+    }
 
   /** Step 2 (bucketed): publish the staged dir's entries for the `touched`
     * buckets (row counts from the caller — no data scan here) with every
@@ -343,20 +382,69 @@ object Snapshots {
       val entries = (prev.filterNot(e => touchedSet(e.bucket)) ++ fresh).sortBy(_.bucket)
       val content = (s"buckets=$numBuckets" +:
         entries.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
-      if (casPublish(spark, target, cur.getOrElse(0L) + 1, content))
-        return entries.map(_.rows).sum
+      if (casPublish(spark, target, cur.getOrElse(0L) + 1, content)) {
+        // post-win verify, same gc race as whole-table publish: on
+        // failure, point every touched bucket back at its pre-commit
+        // entry so no reader or re-merge ever resolves the dead dir
+        if (fs.exists(new Path(target, stagedDir)))
+          return entries.map(_.rows).sum
+        correctBuckets(spark, target, numBuckets, fresh, prev.filter(e => touchedSet(e.bucket)))
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target was garbage-collected " +
+            "between the existence check and the version CAS — corrective " +
+            "manifest published; re-merge and re-stage")
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the publish race $MaxCommitRetries times at $target")
   }
 
+  /** Replace `broken` bucket entries (a just-published commit whose staged
+    * dir a racing gc reaped) with their `prior` values wherever the
+    * CURRENT manifest still carries them. Later commits that already
+    * rewrote a broken bucket keep their own entry; a broken bucket with no
+    * prior entry simply drops out (it held no rows before this commit).
+    */
+  private def correctBuckets(spark: SparkSession, target: String, numBuckets: Int,
+                             broken: Seq[BucketEntry], prior: Seq[BucketEntry]): Unit = {
+    val brokenSet = broken.map(e => (e.bucket, e.dir)).toSet
+    val priorByBucket = prior.map(e => e.bucket -> e).toMap
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cv = currentVersion(spark, target).getOrElse(return)
+      val entriesNow = readManifest(spark, target, cv) match {
+        case Bucketed(_, es) => es
+        case _ => return
+      }
+      val (bad, good) = entriesNow.partition(e => brokenSet((e.bucket, e.dir)))
+      if (bad.isEmpty) return // every broken entry already superseded
+      val repaired = (good ++ bad.flatMap(e => priorByBucket.get(e.bucket))).sortBy(_.bucket)
+      val content = (s"buckets=$numBuckets" +:
+        repaired.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
+      if (casPublish(spark, target, cv + 1, content)) return
+      attempt += 1
+    }
+  }
+
   /** The commit atom: claim version `v` with `content`. The content is
-    * staged in a salted dot-file (readers ignore those), renamed onto the
-    * version number only if it is still unclaimed, and read back to
-    * confirm THIS writer's content won — filesystems whose file rename
-    * silently overwrites (POSIX) cannot produce a false win, because
-    * salted snapshot dir names make every writer's content distinct.
+    * fully staged in a salted dot-file (readers ignore those) and the
+    * version number is then claimed with an atomic-if-absent primitive,
+    * so the claim and the content land together and two writers can
+    * never both win one version:
+    *
+    *  - local filesystems: `link(2)` via `Files.createLink` — the kernel
+    *    rejects an existing target in the same syscall that publishes the
+    *    content. POSIX `rename(2)` is NOT usable here: it silently
+    *    replaces an existing target, so an exists-check+rename pair has a
+    *    lost-update window where a second writer overwrites the first
+    *    winner's commit.
+    *  - other filesystems (HDFS-style): `rename` already fails when the
+    *    destination exists (atomic claim); a content read-back guards any
+    *    remaining store whose rename overwrites — the salted snapshot dir
+    *    names make every writer's content distinct, so a read-back
+    *    mismatch always exposes a stomped commit.
+    *
     * False (lost the race) means the caller must re-read the current
     * manifest before retrying at a later version.
     */
@@ -365,14 +453,33 @@ object Snapshots {
     val fs = fsOf(spark, target)
     val dir = manifestPath(target)
     val tmp = new Path(dir, s".tmp-${fmt(v)}-${newSalt()}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
     val dst = new Path(dir, fmt(v))
+    val local = fs.getScheme == "file"
     val won =
-      try !fs.exists(dst) && fs.rename(tmp, dst) &&
-        manifestContent(spark, target, v) == content
-      catch { case _: java.io.IOException => false }
-    if (!won && fs.exists(tmp)) fs.delete(tmp, false)
+      try {
+        // the tmp staging itself can race a concurrent gc (a tmp aimed at
+        // an already-superseded version looks like a crashed-writer
+        // leftover and gets reaped mid-create) — any IO failure before
+        // the claim lands is a lost race, never an error
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        if (local) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          !fs.exists(dst) && fs.rename(tmp, dst) &&
+            manifestContent(spark, target, v) == content
+        }
+      } catch { case _: java.io.IOException => false }
+    // the link claim leaves tmp behind (dst shares its inode) — always
+    // drop it; on the rename path tmp survives only after a lost race
+    if (fs.exists(tmp)) fs.delete(tmp, false)
     won
   }
 
@@ -562,9 +669,14 @@ object Snapshots {
       // Optimistic concurrency: each attempt merges against the CURRENT
       // manifest; a publish-time conflict on this writer's buckets (or a
       // reaped staged dir) re-runs the merge against the new state, so
-      // concurrent writers to overlapping buckets both land.
+      // concurrent writers to overlapping buckets both land. The base
+      // bucket dirs are read LAZILY during the staged write, so a
+      // concurrent commit that rewrites them (and a gc that ages the old
+      // dirs out mid-write) surfaces as a FileNotFound-rooted failure
+      // from the write action — a conflict in disguise, retried the same
+      // way instead of killing the job on a transient race.
       var attempt = 0
-      while (true) {
+      while (true) try {
         val current = currentBuckets(spark, target)
         val touchedEntries = current.toSeq.flatMap(_._2)
           .filter(e => touched.contains(e.bucket))
@@ -609,18 +721,41 @@ object Snapshots {
             written.map(b =>
               b -> footerRows(spark, new Path(target, s"$dir/$BucketCol=$b"))).toMap
           }
-        try {
-          val total = publishBuckets(spark, target, dir, numBuckets, touched,
-            rowsByBucket, expectedTouched = Some(touchedEntries))
-          gc(spark, target, retainManifests)
-          return total
-        } catch {
-          case e: java.util.ConcurrentModificationException =>
-            attempt += 1; if (attempt >= MaxCommitRetries) throw e
-        }
+        val total = publishBuckets(spark, target, dir, numBuckets, touched,
+          rowsByBucket, expectedTouched = Some(touchedEntries))
+        gc(spark, target, retainManifests)
+        return total
+      } catch {
+        case e: Exception
+            if e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              fileNotFoundRooted(e) =>
+          attempt += 1; if (attempt >= MaxCommitRetries) throw e
       }
       0L // unreachable
     } finally u.unpersist()
+  }
+
+  /** True when `t`'s cause chain (or a wrapped task-failure message) is
+    * rooted in a missing file — how Spark and Hadoop surface a dir that a
+    * concurrent commit rewrote and gc'd while this writer was still
+    * reading it. The message patterns matter: the local filesystem shells
+    * out for permission bits and wraps a vanished file as a
+    * RuntimeException over an ExitCodeException ("No such file or
+    * directory"), with no FileNotFoundException anywhere in the chain.
+    */
+  private def fileNotFoundRooted(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("No such file or directory") || m.contains("does not exist")))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Append-only commit: write ONLY `df` as a new log segment and publish
@@ -635,35 +770,81 @@ object Snapshots {
                    retainManifests: Int = 1): Boolean = {
     val spark = df.sparkSession
     val fs = fsOf(spark, target)
-    def segmentsNow(): Seq[LogSegment] = currentVersion(spark, target)
-      .map(v => readManifest(spark, target, v)) match {
-      case Some(AppendLog(segments)) => segments
-      case Some(_) =>
-        throw new IllegalStateException(s"$target already holds a non-log store")
-      case None => Seq.empty
+    // the version and the segment list MUST come from ONE currentVersion
+    // resolution: deriving segments at version V but CASing at a freshly
+    // re-read version would let a concurrent append publish V+1 between
+    // the two reads and have its segment silently dropped from this
+    // writer's V+2 manifest (readers resolve max version — lost rows).
+    // With the pair read, a log that moved in between always loses the
+    // CAS and retries against the new state.
+    def logNow(): (Long, Seq[LogSegment]) = {
+      val vOpt = currentVersion(spark, target)
+      val segments = vOpt.map(v => readManifest(spark, target, v)) match {
+        case Some(AppendLog(s)) => s
+        case Some(_) =>
+          throw new IllegalStateException(s"$target already holds a non-log store")
+        case None => Seq.empty
+      }
+      (vOpt.getOrElse(0L), segments)
     }
-    if (segmentsNow().lastOption.exists(_.token >= token)) return false
-    var dir = writeSnapshot(df, target)
-    // footer row count of the staged segment: metadata only, no data scan
-    var rows = footerRows(spark, new Path(target, dir))
+    if (logNow()._2.lastOption.exists(_.token >= token)) return false
+    var dir: String = null
+    var rows = 0L
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val prev = segmentsNow() // re-read: a CAS loss means the log moved
-      if (prev.lastOption.exists(_.token >= token)) return false
-      if (!fs.exists(new Path(target, dir))) {
-        // a concurrent commit's gc reaped the staged segment — re-stage
-        dir = writeSnapshot(df, target)
-        rows = footerRows(spark, new Path(target, dir))
+      try {
+        val (v, prev) = logNow() // re-read: a CAS loss means the log moved
+        if (prev.lastOption.exists(_.token >= token)) return false
+        if (dir == null || !fs.exists(new Path(target, dir))) {
+          // first pass, or a concurrent commit's gc reaped the staged
+          // segment — (re-)stage; footer row count is metadata only
+          dir = writeSnapshot(df, target)
+          rows = footerRows(spark, new Path(target, dir))
+        }
+        val segments = prev :+ LogSegment(dir, rows, token)
+        val ok = casPublish(spark, target, v + 1,
+          ("log" +: segments.map(s => s"${s.dir}\t${s.rows}\t${s.token}")).mkString("\n"))
+        if (ok) {
+          // post-win verify, same gc race as the snapshot publishes: a
+          // reaped segment is cut back out of the log by a corrective
+          // manifest, then the commit retries with a fresh staging
+          if (fs.exists(new Path(target, dir))) {
+            gc(spark, target, retainManifests); return true
+          }
+          correctLog(spark, target, dir)
+          dir = null
+        }
+      } catch {
+        // the staged segment can vanish BETWEEN the existence check and
+        // the footer read (gc racing this commit) — re-stage and retry
+        case e: Exception if fileNotFoundRooted(e) => dir = null
       }
-      val segments = prev :+ LogSegment(dir, rows, token)
-      val ok = casPublish(spark, target,
-        currentVersion(spark, target).getOrElse(0L) + 1,
-        ("log" +: segments.map(s => s"${s.dir}\t${s.rows}\t${s.token}")).mkString("\n"))
-      if (ok) { gc(spark, target, retainManifests); return true }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the publish race $MaxCommitRetries times at $target")
+  }
+
+  /** Cut a dead segment (its dir reaped by a racing gc after the version
+    * CAS was won) back out of the CURRENT log manifest so no reader
+    * resolves it. Later manifests carry segments forward verbatim, so the
+    * dead entry stays identifiable by dir name wherever it was dragged.
+    */
+  private def correctLog(spark: SparkSession, target: String, badDir: String): Unit = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val v = currentVersion(spark, target).getOrElse(return)
+      val segments = readManifest(spark, target, v) match {
+        case AppendLog(s) => s
+        case _ => return
+      }
+      if (!segments.exists(_.dir == badDir)) return
+      val repaired = segments.filterNot(_.dir == badDir)
+      val content =
+        ("log" +: repaired.map(s => s"${s.dir}\t${s.rows}\t${s.token}")).mkString("\n")
+      if (casPublish(spark, target, v + 1, content)) return
+      attempt += 1
+    }
   }
 
   /** Fold all log segments into one (data unchanged, token = the last

@@ -534,4 +534,78 @@ class PipelineSpec extends AnyFunSuite {
       "two incremental waves must equal the from-scratch clean rebuild")
     assert(Snapshots.totalRows(spark, goldPath) == expected.count())
   }
+
+  test("OCC storm: writers over overlapping buckets with gc racing lose nothing") {
+    import spark.implicits._
+    val numWriters = 4
+    val commitsPer = 2
+    (1 to 8).foreach { it =>
+      val target = Files.createTempDirectory("graft_occ_storm").toString + "/t"
+      Snapshots.mergeCommitBuckets(Seq((0L, "seed")).toDF("id", "v"), target,
+        Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stopGc = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // a maintenance gc spinning through the whole storm: the protocol
+      // must survive gc racing stage/publish windows, not just other commits
+      val gcThread = new Thread(() => {
+        while (!stopGc.get()) {
+          try Snapshots.gc(spark, target)
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+      // even/odd writers share key sets, so bucket ownership overlaps both
+      // ways: disjoint against half the fleet, conflicting against the rest
+      val writers = (0 until numWriters).map { w =>
+        new Thread(() => {
+          try (0 until commitsPer).foreach { c =>
+            val rows = (0 until 4).map(i => ((i * 2 + w % 2).toLong, s"w$w-c$c-$i"))
+            Snapshots.mergeCommitBuckets(rows.toDF("id", "v"), target,
+              Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      gcThread.start(); writers.foreach(_.start()); writers.foreach(_.join())
+      stopGc.set(true); gcThread.join()
+      // bounded retries: no writer may exhaust MaxCommitRetries (losses are
+      // capped by the other writers' commit count, which is below the bound)
+      assert(failures.isEmpty, s"iteration $it writer/gc failure: ${failures.peek()}")
+      val got = Snapshots.read(spark, target)
+        .select("id", "v").as[(Long, String)].collect().toSet
+      val want = Set(0L -> "seed") ++ (for {
+        w <- 0 until numWriters; c <- 0 until commitsPer; i <- 0 until 4
+      } yield (i * 2 + w % 2).toLong -> s"w$w-c$c-$i")
+      assert(got == want, s"iteration $it lost updates: ${want -- got}")
+      assert(Snapshots.totalRows(spark, target) == want.size.toLong)
+    }
+  }
+
+  test("append-log contention: a won appendCommit is never erased by a racer") {
+    import spark.implicits._
+    (1 to 6).foreach { it =>
+      val target = Files.createTempDirectory("graft_log_storm").toString + "/t"
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val threads = (0 until 6).map { w =>
+        new Thread(() => {
+          try {
+            if (Snapshots.appendCommit(
+                Seq((w.toLong, s"w$w")).toDF("id", "v"), target, token = w.toLong))
+              landed.add(w.toLong)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(failures.isEmpty, s"iteration $it append failure: ${failures.peek()}")
+      // tokens race, so a later token can legally reject an earlier one as a
+      // replay — but every append that RETURNED true must survive: losing a
+      // won segment to a concurrent publish is the lost-update defect
+      val got = Snapshots.read(spark, target).select("id").as[Long].collect().toSet
+      scala.jdk.CollectionConverters.CollectionHasAsScala(landed).asScala.foreach(w =>
+        assert(got.contains(w), s"iteration $it: won append $w vanished from the log"))
+      assert(Snapshots.totalRows(spark, target) == got.size.toLong)
+      val toks = Snapshots.logSegments(spark, target).get.map(_.token)
+      assert(toks == toks.sorted && toks.distinct == toks,
+        s"iteration $it: log tokens must be strictly increasing, got $toks")
+    }
+  }
 }
