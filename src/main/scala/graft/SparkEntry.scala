@@ -75,6 +75,8 @@ object SparkEntry {
     "q57_lang_mix_weights"    -> (Queries.langMixWeights _),
     "q58_shard_manifest"      -> (Queries.shardManifest _),
     "q59_ann_ivf_trained"     -> (Queries.annIvfTrained _),
+    "q60_star_left"           -> (Queries.starLeft _),
+    "q61_ivf_assign_bigk"     -> (Queries.ivfAssignBigK _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -178,6 +180,25 @@ object Queries {
           factKey = "l_partkey", dimKey = "p_partkey"),
         StarSchema.Dim(Tables.supplier(spark, dir), Seq("s_name"),
           factKey = "l_suppkey", dimKey = "s_suppkey", broadcastHint = true)))
+
+  // --- q60: LEFT-JOIN star composition (fact rows survive missing dims) ------
+  // reference: local_spotify_dab/Jinja/jinja_notebook.py:208-220 — the
+  // composer emits LEFT JOINs "to avoid dropping fact rows"; the dim here is
+  // deliberately restricted so unmatched orders prove the null-preserving path
+  def starLeft(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cSub = Tables.customer(spark, dir).filter(col("c_custkey") % 3 === 0)
+    StarSchema.compose(
+      fact = o,
+      factCols = Seq("o_orderkey", "o_totalprice"),
+      dims = Seq(StarSchema.Dim(cSub, Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey",
+        broadcastHint = true, joinType = "left")))
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(dec2(col("o_totalprice"))).as("total_price"))
+      .orderBy("segment")
+  }
 
   // --- q10: grouped pricing summary (exact decimal money math) ---------------
   def aggReport(spark: SparkSession, dir: String): DataFrame = {
@@ -646,6 +667,33 @@ object Queries {
       AnnQueryMaxId, IvfTrainLists, IvfTrainIters, IvfNProbe, AnnK,
       sampleFraction = 1.0, seedByHash = false)
       .orderBy("query_id", "rank")
+
+  // --- q61: LARGE-k quantizer assignment (broadcast-table path) ---------------
+  // 513 lists × dim 64 = 32832 coefficients — just past LiteralAssignLimit, so
+  // assignListsByJoin (broadcast centroid TABLE, struct-max argmax, O(1) plan
+  // size in k) is what feeds the oracle, not the plan-literal kernels. The
+  // centroid draw (first corpus vectors in id order) and the assigned subset
+  // are fixed so the DuckDB twin's cost stays bounded at any sf.
+  val BigKLists = 513
+  val BigKAssignMaxId = 1000L
+
+  def ivfAssignBigK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val base = emb.filter(col("vec_id") >= AnnQueryMaxId)
+      .orderBy("vec_id").limit(BigKLists)
+      .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // cycle the draw up to k: a small-SF corpus can't supply 513 distinct
+    // vectors, and duplicate centroids are harmless — identical scores
+    // resolve by the shared first-wins (lowest list) tie rule
+    val cents = (0 until BigKLists).map(i => base(i % base.size))
+    require(cents.size.toLong * cents.head.size > Ivf.LiteralAssignLimit,
+      "fixture must exceed LiteralAssignLimit so the broadcast-join path runs")
+    Ivf.assignListsByJoin(emb.filter(col("vec_id") < BigKAssignMaxId),
+        "vec_id", "v", cents, "list")
+      .select(col("vec_id"), col("list"))
+      .orderBy("vec_id")
+  }
 
   // --- q32: gap-based sessionization ------------------------------------------
   val SessionGapMicros: Long = 6L * 3600 * 1000000 // 6 hours
@@ -1776,5 +1824,41 @@ object Oracles {
                  CAST(64 + octet_length(encode(text)) % 193 AS INT) AS width,
                  CAST(64 + (octet_length(encode(text)) * 31) % 193 AS INT) AS height
           FROM documents""",
+
+    "q60_star_left" ->
+      """SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+           ON o_custkey = c_custkey
+         GROUP BY 1""",
+
+    "q61_ivf_assign_bigk" ->
+      s"""WITH base AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS rn,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                  ORDER BY vec_id LIMIT ${Queries.BigKLists})),
+          cents AS (
+            SELECT g.i AS list, b.cent
+            FROM (SELECT unnest(generate_series(0, ${Queries.BigKLists - 1})) AS i) g
+            JOIN base b ON b.rn = g.i % (SELECT count(*) FROM base)),
+          u AS (SELECT list, CASE WHEN nrm = 0 THEN cent
+                                  ELSE list_transform(cent, x -> x / nrm) END AS ucent
+                FROM (SELECT list, cent,
+                             sqrt(list_reduce(list_transform(cent, x -> x*x),
+                                              (a,b) -> a+b)) AS nrm
+                      FROM cents)),
+          v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id < ${Queries.BigKAssignMaxId})
+          SELECT vec_id, list FROM (
+            SELECT v.vec_id, u.list,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY ${dotSql("u.ucent", "v.v")} DESC,
+                                               u.list) AS rn
+            FROM v, u)
+          WHERE rn = 1""",
   )
 }

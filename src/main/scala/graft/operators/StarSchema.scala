@@ -17,29 +17,50 @@ object StarSchema {
   /** One dimension of a star query: the dimension frame, the columns to
     * surface from it, and the equi-join keys (factKey = dimKey). Equi-keys
     * (rather than a free-form condition) keep every join hash/broadcast
-    * plannable at scale.
+    * plannable at scale. `joinType` is `inner` or `left` — the reference's
+    * composer emits LEFT JOINs specifically so a fact row with a
+    * late-arriving or missing dimension key is never dropped (reference:
+    * local_spotify_dab/Jinja/jinja_notebook.py:208-220); its dim columns
+    * come back null instead.
     */
   final case class Dim(df: DataFrame, cols: Seq[String], factKey: String,
-                       dimKey: String, broadcastHint: Boolean = false)
+                       dimKey: String, broadcastHint: Boolean = false,
+                       joinType: String = "inner") {
+    require(normalizeJoinType(joinType).nonEmpty,
+      s"star dim join type must be inner or left, got '$joinType'")
+  }
+
+  private def normalizeJoinType(t: String): Option[String] =
+    t.toLowerCase.replace("_", "") match {
+      case "inner" => Some("inner")
+      case "left" | "leftouter" => Some("left")
+      case _ => None
+    }
 
   /** Compose fact ⋈ dims, projecting `factCols` + each dim's columns.
     * Dimensions marked `broadcastHint` are broadcast explicitly (bounded
     * lookup tables); others are left to Catalyst/AQE, which broadcasts
     * them when they fit and shuffles otherwise — the right behaviour when
-    * the same query runs at 1000x the data.
+    * the same query runs at 1000x the data. LEFT dims stay broadcastable:
+    * Spark plans a broadcast-hash LEFT OUTER join with the dim on the
+    * build side, so the null-preserving semantics cost no extra shuffle.
     */
   def compose(fact: DataFrame, factCols: Seq[String], dims: Seq[Dim]): DataFrame = {
     val joined = dims.foldLeft(fact) { (acc, d) =>
       val dim = d.df.select((d.dimKey +: d.cols).distinct.map(col): _*)
       val side = if (d.broadcastHint) broadcast(dim) else dim
-      acc.join(side, acc(d.factKey) === dim(d.dimKey), "inner")
+      acc.join(side, acc(d.factKey) === dim(d.dimKey),
+        normalizeJoinType(d.joinType).get)
     }
     joined.select((factCols ++ dims.flatMap(_.cols)).map(col): _*)
   }
 
   /** A dimension by TABLE NAME, for the SQL-text form of the same config. */
   final case class DimRef(table: String, cols: Seq[String], factKey: String,
-                          dimKey: String)
+                          dimKey: String, joinType: String = "inner") {
+    require(normalizeJoinType(joinType).nonEmpty,
+      s"star dim join type must be inner or left, got '$joinType'")
+  }
 
   /** Render the star config as ANSI SQL text — the reference renders its
     * config to a SQL string before running it (reference: local_spotify_dab/
@@ -51,7 +72,10 @@ object StarSchema {
     */
   def renderSql(factTable: String, factCols: Seq[String], dims: Seq[DimRef]): String = {
     val select = (factCols ++ dims.flatMap(_.cols)).mkString(", ")
-    val joins = dims.map(d => s"JOIN ${d.table} ON ${d.factKey} = ${d.dimKey}")
+    val joins = dims.map { d =>
+      val kw = if (normalizeJoinType(d.joinType).get == "left") "LEFT JOIN" else "JOIN"
+      s"$kw ${d.table} ON ${d.factKey} = ${d.dimKey}"
+    }
     (s"SELECT $select" +: s"FROM $factTable" +: joins).mkString("\n")
   }
 }

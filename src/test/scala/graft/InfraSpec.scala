@@ -123,6 +123,39 @@ class InfraSpec extends AnyFunSuite {
     assert(viaSql.except(viaDf).count() == 0 && viaDf.except(viaSql).count() == 0)
   }
 
+  test("LEFT star dims keep unmatched fact rows in both SQL and DataFrame form") {
+    import graft.operators.StarSchema
+    val o = Tables.orders(spark, sf)
+    val cSub = Tables.customer(spark, sf).filter(col("c_custkey") % 3 === 0)
+    o.createOrReplaceTempView("orders_v")
+    cSub.createOrReplaceTempView("cust_sub_v")
+    val sql = StarSchema.renderSql("orders_v", Seq("o_orderkey", "o_totalprice"),
+      Seq(StarSchema.DimRef("cust_sub_v", Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey", joinType = "left")))
+    assert(sql.contains("LEFT JOIN cust_sub_v"),
+      s"renderSql must emit LEFT JOIN for a left dim:\n$sql")
+    val viaSql = spark.sql(sql)
+    val viaDf = StarSchema.compose(o, Seq("o_orderkey", "o_totalprice"),
+      Seq(StarSchema.Dim(cSub, Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey", joinType = "left")))
+    // the null-preserving semantics are the point: every fact row survives,
+    // and the unmatched ones really exist and really carry a null dim col
+    assert(viaDf.count() == o.count(),
+      "a LEFT star composition must never drop fact rows")
+    assert(viaDf.filter(col("c_mktsegment").isNull).count() > 0,
+      "fixture must actually contain unmatched fact rows")
+    assert(viaSql.except(viaDf).count() == 0 && viaDf.except(viaSql).count() == 0)
+    // an inner dim over the same config DOES drop them — the semantics differ
+    val inner = StarSchema.compose(o, Seq("o_orderkey", "o_totalprice"),
+      Seq(StarSchema.Dim(cSub, Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey")))
+    assert(inner.count() < o.count())
+    intercept[IllegalArgumentException] {
+      StarSchema.Dim(cSub, Seq("c_mktsegment"), "o_custkey", "c_custkey",
+        joinType = "full")
+    }
+  }
+
   test("extensions entry point injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

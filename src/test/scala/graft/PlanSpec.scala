@@ -41,6 +41,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "query set should broadcast")
   }
 
+  test("q61: large-k assignment broadcasts a centroid TABLE, no literal blowup") {
+    val p = plan("q61_ivf_assign_bigk")
+    assert(p.contains("BroadcastExchange") && p.contains("BroadcastNestedLoopJoin"),
+      "513-list assignment must take the broadcast-table path")
+    // the plan-literal path would embed 513×64 double constants; the whole
+    // plan string staying small proves the O(1)-in-k codegen claim
+    assert(p.length < 100000, s"plan suspiciously large (${p.length} chars)")
+  }
+
   test("q19: one scan of orders, one of lineitem — dim attrs derived in place") {
     val p = plan("q19_star_date")
     assert("FileScan parquet".r.findAllIn(p).length <= 2, p)
