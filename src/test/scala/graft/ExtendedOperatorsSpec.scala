@@ -245,6 +245,104 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("avi demuxer samples frames at the container level and decodes exactly them") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // --- fixture builders: a spec-shaped RIFF/AVI written from scratch ---
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+      bb.array() // odd bodies carry the word-align pad byte (left zero)
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children)
+    // frame pixels have a closed form, so the expected px_sum of any frame
+    // subset is computable without running the decoder; PNG keeps it exact
+    def makeFrame(docId: Int, f: Int, w: Int, h: Int, fmt: String): (Array[Byte], Long) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ((x * 5 + f + docId) % 256, (y * 11 + f) % 256, (x + y + f) % 256)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sum += r + g + b
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      (bos.toByteArray, sum)
+    }
+    def makeAvi(usecPerFrame: Int, w: Int, h: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      val ab = ByteBuffer.wrap(avih).order(ByteOrder.LITTLE_ENDIAN)
+      ab.putInt(0, usecPerFrame); ab.putInt(32, w); ab.putInt(36, h)
+      val movi = frames.map(f => chunk("00dc", f))
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih)) ++ list("movi", movi))
+    }
+
+    val rnd = new scala.util.Random(29)
+    val fixtures = (0 until 12).map { i =>
+      val (w, h) = (4 + rnd.nextInt(28), 4 + rnd.nextInt(28))
+      val usec = 20000 + rnd.nextInt(80000)
+      val nFrames = 1 + rnd.nextInt(7)
+      val frames = (0 until nFrames).map(f => makeFrame(i, f, w, h, "png"))
+      (i, w, h, usec, frames)
+    }
+    for (sampleEvery <- Seq(1, 3)) {
+      val rows = fixtures.map { case (i, w, h, usec, frames) =>
+        val sampledSums = frames.zipWithIndex
+          .collect { case ((_, s), f) if f % sampleEvery == 0 => s }
+        val bytes = makeAvi(usec, w, h, frames.map(_._1))
+        (i.toLong, w, h, frames.size, usec.toLong * frames.size,
+          sampledSums.size, sampledSums.sum, bytes.length.toLong, bytes)
+      }
+      val df = rows.toDF("doc_id", "width", "height", "n_frames", "duration_us",
+        "sampled_frames", "px_sum", "n_bytes", "payload").repartition(5)
+      val decoded = Multimodal.decodeAviBatched(
+        df.select("doc_id", "payload"), sampleEvery).toDF()
+      val meta = df.select("doc_id", "width", "height", "n_frames",
+        "duration_us", "sampled_frames", "px_sum", "n_bytes")
+      assert(decoded.count() == fixtures.size.toLong)
+      assert(decoded.except(meta).count() == 0 && meta.except(decoded).count() == 0,
+        s"sampleEvery=$sampleEvery demux mismatch")
+    }
+
+    // MJPEG proper: lossy frames, so the expectation is the test's OWN
+    // ImageIO decode of the same frame bytes — proving the demuxer hands
+    // the codec exactly the chunk byte ranges, pads skipped correctly
+    val jf = (0 until 5).map { f =>
+      val (bytes, _) = makeFrame(99, f, 17, 9, "jpg") // odd-size bodies likely
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+      }
+      (bytes, sum)
+    }
+    val mjpeg = Multimodal.decodeAvi(99L, makeAvi(33333, 17, 9, jf.map(_._1)))
+    assert(mjpeg.n_frames == 5 && mjpeg.sampled_frames == 5)
+    assert(mjpeg.px_sum == jf.map(_._2).sum, "MJPEG frame bytes reached ImageIO intact")
+    assert(mjpeg.duration_us == 33333L * 5)
+
+    // quarantine contract: non-AVI, truncated, and undecodable-frame
+    // payloads all fail loudly instead of emitting half-parsed rows
+    intercept[Exception] { Multimodal.decodeAvi(1L, "plainly not a video".getBytes) }
+    val good = makeAvi(40000, 8, 8, Seq(makeFrame(0, 0, 8, 8, "png")._1))
+    intercept[Exception] { Multimodal.decodeAvi(2L, good.dropRight(10)) }
+    intercept[Exception] {
+      Multimodal.decodeAvi(3L, makeAvi(40000, 8, 8, Seq("garbage frame".getBytes)))
+    }
+    // an AVI with no avih header must refuse, not report -1 dimensions
+    intercept[Exception] {
+      Multimodal.decodeAvi(4L, chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+        list("movi", chunk("00dc", makeFrame(0, 0, 8, 8, "png")._1))))
+    }
+  }
+
   test("scd2Merge rebuilds only touched keys and matches a full rebuild") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts")
