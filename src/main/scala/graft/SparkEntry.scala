@@ -77,6 +77,7 @@ object SparkEntry {
     "q59_ann_ivf_trained"     -> (Queries.annIvfTrained _),
     "q60_star_left"           -> (Queries.starLeft _),
     "q61_ivf_assign_bigk"     -> (Queries.ivfAssignBigK _),
+    "q62_dedup_simhash_wide"  -> (Queries.dedupSimHashWide _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -345,7 +346,17 @@ object Queries {
 
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
-      JaccardN, SimHammingMax)
+      JaccardN, SimHammingMax, graft.functions.Lsh.Sim32)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q62: SimHash near-dup at the wide (corpus-scale) geometry -------------
+  // Same operator as q23 under Lsh.Sim64: 64-bit fingerprint, 8 bands —
+  // the band-width response to corpus growth, oracle-gated end-to-end.
+  val SimWideHammingMax = 7
+
+  def dedupSimHashWide(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, SimWideHammingMax, graft.functions.Lsh.Sim64)
       .orderBy("doc_a", "doc_b")
 
   // --- q26: random-hyperplane LSH bucketed ANN (scale path) -------------------
@@ -989,6 +1000,53 @@ object Oracles {
 
   private def sqlArr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
+  /** Geometry-parameterized SimHash twin — ≡ NearDup.simHashPairs under the
+    * same Lsh.SimGeometry (single source of truth: every constant below is
+    * interpolated from the geometry object the Spark path runs with).
+    * Fingerprints are lists of 32-bit words, exactly as on the Spark side,
+    * so all arithmetic stays in the double-exact range on both engines.
+    */
+  private def simHashSql(geom: graft.functions.Lsh.SimGeometry, maxHamming: Int): String = {
+    import graft.functions.Lsh.TwoPow32
+    val w32 = sqlArr((0 until 32).map(j => 1L << j))
+    val gas = sqlArr(geom.gas)
+    val gbs = sqlArr(geom.gbs)
+    val divs = sqlArr((0 until geom.bands).map(t =>
+      1L << ((t % geom.bandsPerWord) * geom.width)))
+    val mask = 1L << geom.width
+    s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+                   WHERE len($ws) >= ${Queries.JaccardN}),
+        f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
+        g AS (SELECT doc_id,
+                     list_transform(generate_series(1, ${geom.words}), w ->
+                       list_transform(fps, v -> ($gas[w]*v + $gbs[w]) % $TwoPow32)) AS gs
+              FROM f),
+        sims AS (SELECT doc_id,
+                        list_transform(generate_series(1, ${geom.words}), w ->
+                          list_reduce(list_transform(generate_series(0, 31), j ->
+                            CASE WHEN 2*len(list_filter(gs[w],
+                                   v -> CAST(floor(v / ($w32[j+1])) AS BIGINT) % 2 = 1))
+                                 >= len(gs[w])
+                                 THEN $w32[j+1] ELSE CAST(0 AS BIGINT) END),
+                            (a,b) -> a+b)) AS sim
+                 FROM g),
+        bands AS (SELECT doc_id, t,
+                         CAST(floor(sim[(t // ${geom.bandsPerWord}) + 1] / ($divs[t+1]))
+                              AS BIGINT) % $mask AS key
+                  FROM sims,
+                       (SELECT unnest(generate_series(0, ${geom.bands - 1})) AS t) bt),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+                 CAST(list_reduce(list_transform(generate_series(1, ${geom.words}), w ->
+                        CAST(bit_count(xor(sa.sim[w], sb.sim[w])) AS BIGINT)),
+                      (a,b) -> a+b) AS INT) AS hamming
+          FROM cand JOIN sims sa ON doc_a = sa.doc_id JOIN sims sb ON doc_b = sb.doc_id)
+        WHERE hamming <= $maxHamming"""
+  }
+
   /** argmax CASE cascade — ≡ TextAnalysis.langPredict (first-wins ties). */
   private val langCase: String = {
     val ps = graft.functions.TextAnalysis.LangProfiles.map(_._1)
@@ -1206,34 +1264,11 @@ object Oracles {
           FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id"""
     },
 
-    "q23_dedup_simhash" -> {
-      import graft.functions.Lsh._
-      val simPows = sqlArr((0 until SimBits).map(j => 1L << j))
-      val bytePows = sqlArr(Seq(1L, 256L, 65536L, 16777216L))
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
-                     WHERE len($ws) >= ${Queries.JaccardN}),
-          f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
-          g AS (SELECT doc_id, list_transform(fps, v -> ($GA*v + $GB) % $TwoPow32) AS gs
-                FROM f),
-          sims AS (SELECT doc_id,
-                          list_reduce(list_transform(generate_series(0, ${SimBits - 1}), j ->
-                            CASE WHEN 2*len(list_filter(gs,
-                                   v -> CAST(floor(v / ($simPows[j+1])) AS BIGINT) % 2 = 1))
-                                 >= len(gs)
-                                 THEN $simPows[j+1] ELSE CAST(0 AS BIGINT) END),
-                            (a,b) -> a+b) AS sim
-                   FROM g),
-          bands AS (SELECT doc_id, t,
-                           CAST(floor(sim / ($bytePows[t+1])) AS BIGINT) % 256 AS key
-                    FROM sims, (SELECT unnest(generate_series(0, ${SimBands - 1})) AS t) bt),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                     ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, hamming FROM (
-            SELECT doc_a, doc_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS INT) AS hamming
-            FROM cand JOIN sims sa ON doc_a = sa.doc_id JOIN sims sb ON doc_b = sb.doc_id)
-          WHERE hamming <= ${Queries.SimHammingMax}"""
-    },
+    "q23_dedup_simhash" ->
+      simHashSql(graft.functions.Lsh.Sim32, Queries.SimHammingMax),
+
+    "q62_dedup_simhash_wide" ->
+      simHashSql(graft.functions.Lsh.Sim64, Queries.SimWideHammingMax),
 
     "q26_ann_lsh" -> {
       import graft.functions.Lsh._

@@ -130,6 +130,69 @@ object Lsh {
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- Parameterized SimHash geometry -------------------------------------
+
+  /** Second mixing pair for fingerprints wider than 32 bits (odd, so the
+    * affine map is bijective mod 2^32 — same family as GA/GB).
+    */
+  val GA2: Long = 3266489917L
+  val GB2: Long = 668265263L
+
+  /** SimHash band geometry: `bits`-wide fingerprints (stored as 32-bit
+    * words so every value stays exact under both engines' double
+    * arithmetic) blocked into `bands` keys of `bits/bands` bits each.
+    *
+    * The corpus-size response: in-bucket collision rate on unrelated docs
+    * is ~2^-width per band, so candidate volume grows ~n²·bands/2^width —
+    * widening the fingerprint (and the bands with it) is how the blocking
+    * stays subquadratic as n grows. 32/4 suits the test corpus; a 100 TB
+    * corpus wants 64/8 or wider.
+    *
+    * Pigeonhole completeness: a pair at hamming h differs in at most h
+    * bands, so blocking finds every pair with h <= bands - 1. Callers
+    * must keep `maxHamming < bands` (asserted in NearDup.simHashPairs).
+    */
+  final case class SimGeometry(bits: Int, bands: Int,
+                               gas: Seq[Long], gbs: Seq[Long]) {
+    require(bits > 0 && bits % 32 == 0, s"bits must be a multiple of 32, got $bits")
+    val words: Int = bits / 32
+    require(gas.length == words && gbs.length == words,
+      s"need $words (ga,gb) mixing pairs for $bits bits, got ${gas.length}/${gbs.length}")
+    require(gas.forall(a => (a & 1L) == 1L), "mixers must be odd (bijective mod 2^32)")
+    require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val width: Int = bits / bands
+    require(width <= 32 && 32 % width == 0,
+      s"band width ($width) must divide the 32-bit word so no band straddles words")
+    val bandsPerWord: Int = 32 / width
+  }
+
+  /** The default geometry (≡ the scalar SimHash path: q23's contract). */
+  val Sim32: SimGeometry = SimGeometry(32, 4, Seq(GA), Seq(GB))
+
+  /** Wide geometry for large corpora: 64-bit fingerprint, 8 byte-bands
+    * (pigeonhole-complete through hamming 7).
+    */
+  val Sim64: SimGeometry = SimGeometry(64, 8, Seq(GA, GA2), Seq(GB, GB2))
+
+  /** Band keys of a word-array SimHash fingerprint. Band count is a
+    * plan-time constant, so the struct array is built Scala-side — each
+    * key extraction is a literal-divisor floor-div (exact in doubles:
+    * words < 2^32 < 2^53) that codegens to straight-line arithmetic.
+    */
+  def simWordBands(sim: Column, geom: SimGeometry): Column =
+    array((0 until geom.bands).map { t =>
+      val word = element_at(sim, t / geom.bandsPerWord + 1)
+      val div = (1L << ((t % geom.bandsPerWord) * geom.width)).toDouble
+      val mask = 1L << geom.width
+      struct(lit(t).as("band"),
+        (floor(word.cast("double") / lit(div)).cast("long") % mask).as("key"))
+    }: _*)
+
+  /** Hamming distance between two word-array fingerprints. */
+  def hammingWords(a: Column, b: Column, words: Int): Column =
+    (1 to words).map(w =>
+      bit_count(element_at(a, w).bitwiseXOR(element_at(b, w)))).reduce(_ + _)
+
   // ---- Random-hyperplane LSH for embeddings --------------------------------
 
   /** Plane count and banding (BandsRp * RowsRp = Planes). Plane

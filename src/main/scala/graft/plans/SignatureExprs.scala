@@ -37,6 +37,13 @@ object SignatureExprs {
     GraftColumnBridge.column(
       SimHash(GraftColumnBridge.expression(shingles), ga, gb, mod, bits))
 
+  /** Word-array SimHash: one 32-bit majority word per (ga,gb) mixing pair,
+    * so fingerprints of any 32·n width stay exact in both engines.
+    */
+  def simHashWords(shingles: Column, gas: Seq[Long], gbs: Seq[Long], mod: Long): Column =
+    GraftColumnBridge.column(
+      SimHashWords(GraftColumnBridge.expression(shingles), gas, gbs, mod))
+
   /** Distinct space-joined word n-grams of an array<string> of words
     * (first-occurrence order, ≡ `list_distinct` of the composed n-grams).
     */
@@ -177,6 +184,92 @@ case class SimHash(child: Expression, ga: Long, gb: Long, mod: Long, bits: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Word-array SimHash (geometry-parameterized widths): word w is the 32-bit
+  * tie-wins-majority fingerprint under the mix `(gas(w)*fp + gbs(w)) % mod`.
+  * One fingerprint fold per shingle feeds every word — same single-pass
+  * shape as the scalar kernel.
+  */
+case class SimHashWords(child: Expression, gas: Seq[Long], gbs: Seq[Long], mod: Long)
+    extends UnaryExpression with ShingleArrayInput {
+
+  private val words = gas.length
+  require(words > 0 && gbs.length == words, "one (ga,gb) pair per 32-bit word")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](words * 32)
+    var i = 0
+    while (i < n) {
+      val f = fp(arr.getUTF8String(i).getBytes)
+      var w = 0
+      while (w < words) {
+        val g = (gas(w) * f + gbs(w)) % mod
+        var j = 0
+        while (j < 32) { cnt(w * 32 + j) += ((g >>> j) & 1L).toInt; j += 1 }
+        w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var sim = 0L
+      var j = 0
+      while (j < 32) { if (2 * cnt(w * 32 + j) >= n) sim |= (1L << j); j += 1 }
+      out(w) = sim
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gaRef = ctx.addReferenceObj("shwGa", gas.toArray, "long[]")
+    val gbRef = ctx.addReferenceObj("shwGb", gbs.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val bi = ctx.freshName("bi")
+      val g = ctx.freshName("g")
+      val out = ctx.freshName("out")
+      val sim = ctx.freshName("sim")
+      s"""
+        int $n = $c.numElements();
+        int[] $cnt = new int[${words * 32}];
+        for (int $i = 0; $i < $n; $i++) {
+          byte[] $bytes = $c.getUTF8String($i).getBytes();
+          ${fpCode(bytes, acc, bi)}
+          for (int $w = 0; $w < $words; $w++) {
+            long $g = ($gaRef[$w] * $acc + $gbRef[$w]) % ${mod}L;
+            for (int $j = 0; $j < 32; $j++) {
+              $cnt[$w * 32 + $j] += (int)(($g >>> $j) & 1L);
+            }
+          }
+        }
+        long[] $out = new long[$words];
+        for (int $w = 0; $w < $words; $w++) {
+          long $sim = 0L;
+          for (int $j = 0; $j < 32; $j++) {
+            if (2 * $cnt[$w * 32 + $j] >= $n) $sim |= (1L << $j);
+          }
+          $out[$w] = $sim;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashWords =
     copy(child = newChild)
 }
 

@@ -37,6 +37,63 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(truePos.toDouble / nExact >= 0.6, s"recall $truePos/$nExact < 0.6")
   }
 
+  test("word-array simhash at Sim32 equals the scalar simhash kernel") {
+    import graft.functions.Lsh
+    val sh = Tables.documents(spark, sf).limit(500)
+      .select(col("doc_id"),
+        graft.plans.SignatureExprs.distinctNGrams(
+          split(col("text"), " "), Queries.JaccardN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val both = sh.select(
+      graft.plans.SignatureExprs.simHash(col("sh"),
+        Lsh.GA, Lsh.GB, Lsh.TwoPow32, Lsh.SimBits).as("scalar"),
+      graft.plans.SignatureExprs.simHashWords(col("sh"),
+        Lsh.Sim32.gas, Lsh.Sim32.gbs, Lsh.TwoPow32).as("words"))
+    assert(both.count() > 0)
+    assert(both.filter(col("scalar") =!= col("words")(0)).count() == 0,
+      "Sim32's single word must reproduce the scalar fingerprint bit-for-bit")
+  }
+
+  test("simhash geometry guards: pigeonhole and shape invariants") {
+    import graft.functions.Lsh
+    // maxHamming = bands loses completeness: a pair can differ in every band.
+    intercept[IllegalArgumentException] {
+      NearDup.simHashPairs(Tables.documents(spark, sf), "doc_id", "text",
+        Queries.JaccardN, Lsh.Sim32.bands, Lsh.Sim32)
+    }
+    // Geometry shape: bands must divide bits; words need a mixer pair each;
+    // bands may not straddle 32-bit words; mixers must be odd.
+    intercept[IllegalArgumentException] { Lsh.SimGeometry(48, 4, Seq(Lsh.GA), Seq(Lsh.GB)) }
+    intercept[IllegalArgumentException] { Lsh.SimGeometry(32, 5, Seq(Lsh.GA), Seq(Lsh.GB)) }
+    intercept[IllegalArgumentException] { Lsh.SimGeometry(64, 8, Seq(Lsh.GA), Seq(Lsh.GB)) }
+    intercept[IllegalArgumentException] {
+      // width 64 would straddle the 32-bit words
+      Lsh.SimGeometry(64, 1, Seq(Lsh.GA, Lsh.GA2), Seq(Lsh.GB, Lsh.GB2))
+    }
+    // but one-band-per-word IS legal: width 32 never straddles
+    assert(Lsh.SimGeometry(64, 2, Seq(Lsh.GA, Lsh.GA2), Seq(Lsh.GB, Lsh.GB2)).width == 32)
+    intercept[IllegalArgumentException] { Lsh.SimGeometry(32, 4, Seq(2L), Seq(Lsh.GB)) }
+  }
+
+  test("wide simhash geometry (Sim64) keeps planted-pair recall with fewer collisions") {
+    import graft.functions.Lsh
+    val wide = NearDup.simHashPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Queries.SimWideHammingMax, Lsh.Sim64)
+      .select("doc_a", "doc_b")
+    val exact = NearDup.ngramJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, 0.5)
+      .select("doc_a", "doc_b")
+    val nWide = wide.count()
+    val truePos = nWide - wide.except(exact).count()
+    val nExact = exact.count()
+    assert(nWide > 0 && nExact > 0)
+    // 64 fingerprint bits double the hamming signal on real near-dups while
+    // unrelated-pair collisions fall ~2^-32: precision should be essentially
+    // perfect and recall no worse than the 32-bit geometry's floor.
+    assert(truePos.toDouble / nWide >= 0.95, s"precision $truePos/$nWide < 0.95")
+    assert(truePos.toDouble / nExact >= 0.6, s"recall $truePos/$nExact < 0.6")
+  }
+
   test("df cap bounds shingle fan-out: boilerplate-only pairs drop, true dups stay") {
     import spark.implicits._
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
