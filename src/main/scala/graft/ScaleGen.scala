@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   *    per-coordinate sign flips — an orthogonal map, so norms and all
   *    within-replica cosines are preserved exactly, while cross-replica
   *    cosines sit at the isotropic noise floor of the corpus.
+  *  - orders/lineitem: replica i > 0 offsets the order key (the fact
+  *    identity) while keeping dim keys (custkey/partkey/suppkey) and all
+  *    dates — the realistic scale-up shape: facts grow 10×, dims stay
+  *    fixed, per-dim-key fan-out grows 10× with identical distribution.
+  *  - events: replica i > 0 offsets event_id and user_id, preserving ts —
+  *    each replica user carries the original user's exact event timeline,
+  *    so sessions-per-user and gap structure replicate instead of 10
+  *    timelines collapsing into one user's (which would merge sessions).
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> [factor=10]
   */
@@ -65,6 +73,27 @@ object ScaleGen {
       }
     }.reduce(_.unionByName(_))
 
+  /** Key-offset replication: bump each column in `keyCols` by the replica
+    * stride, pass everything else through. A bijection on the offset keys,
+    * identity on the rest — within-replica join/window structure is exactly
+    * the original's.
+    */
+  def scaleByKeyOffset(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame =
+    (0 until factor).map { i =>
+      if (i == 0) df
+      else keyCols.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * IdStride)))
+    }.reduce(_.unionByName(_))
+
+  def scaleOrders(df: DataFrame, factor: Int): DataFrame =
+    scaleByKeyOffset(df, factor, Seq("o_orderkey"))
+
+  def scaleLineitem(df: DataFrame, factor: Int): DataFrame =
+    scaleByKeyOffset(df, factor, Seq("l_orderkey"))
+
+  def scaleEvents(df: DataFrame, factor: Int): DataFrame =
+    scaleByKeyOffset(df, factor, Seq("event_id", "user_id"))
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dest = args(1)
@@ -87,12 +116,28 @@ object ScaleGen {
     scaleEmbeddings(Tables.embeddings(spark, src), factor, dim)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+    // Fact tables for the ETL/star family's second decade.
+    scaleOrders(spark.read.parquet(s"$src/orders.parquet"), factor)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+    scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — read through the raw-nanos
+    // accessor (plain reads throw PARQUET_TYPE_ILLEGAL). The copy writes ts
+    // as plain INT64 nanos, which the same accessor reads identically; the
+    // scaled dir feeds Bench only, never the DuckDB oracle.
+    scaleEvents(Tables.eventsRawNanos(spark, src), factor)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
-    // Pass the remaining tables through so the dest dir is a complete SF
-    // directory any tool (Bench, Verify) can point at.
+    // Pass the remaining (dim) tables through so the dest dir is a complete
+    // SF directory any tool (Bench, Verify) can point at.
+    val scaled = Set("documents.parquet", "embeddings.parquet",
+      "orders.parquet", "lineitem.parquet", "events.parquet")
     val srcDir = new java.io.File(src)
     srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(f => Set("documents.parquet", "embeddings.parquet")(f.getName))
+      .filterNot(f => scaled(f.getName))
       .foreach { f =>
         val out = java.nio.file.Paths.get(dest, f.getName)
         if (!java.nio.file.Files.exists(out)) {

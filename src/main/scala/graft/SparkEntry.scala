@@ -350,13 +350,14 @@ object Queries {
       .orderBy("doc_a", "doc_b")
 
   // --- q62: SimHash near-dup at the wide (corpus-scale) geometry -------------
-  // Same operator as q23 under Lsh.Sim64: 64-bit fingerprint, 8 bands —
-  // the band-width response to corpus growth, oracle-gated end-to-end.
-  val SimWideHammingMax = 7
-
+  // Same operator and hamming contract as q23 under Lsh.Sim64: 64-bit
+  // fingerprint in 4×16-bit bands. Band collisions on unrelated docs drop
+  // from 2^-8 to 2^-16 — the corpus-size response — while pigeonhole
+  // completeness holds at the same radius, so q62's pairs are the
+  // 64-bit-verified subset of q23's.
   def dedupSimHashWide(spark: SparkSession, dir: String): DataFrame =
     NearDup.simHashPairs(Tables.documents(spark, dir), "doc_id", "text",
-      JaccardN, SimWideHammingMax, graft.functions.Lsh.Sim64)
+      JaccardN, SimHammingMax, graft.functions.Lsh.Sim64)
       .orderBy("doc_a", "doc_b")
 
   // --- q26: random-hyperplane LSH bucketed ANN (scale path) -------------------
@@ -1268,7 +1269,7 @@ object Oracles {
       simHashSql(graft.functions.Lsh.Sim32, Queries.SimHammingMax),
 
     "q62_dedup_simhash_wide" ->
-      simHashSql(graft.functions.Lsh.Sim64, Queries.SimWideHammingMax),
+      simHashSql(graft.functions.Lsh.Sim64, Queries.SimHammingMax),
 
     "q26_ann_lsh" -> {
       import graft.functions.Lsh._

@@ -169,10 +169,20 @@ object Lsh {
   /** The default geometry (≡ the scalar SimHash path: q23's contract). */
   val Sim32: SimGeometry = SimGeometry(32, 4, Seq(GA), Seq(GB))
 
-  /** Wide geometry for large corpora: 64-bit fingerprint, 8 byte-bands
-    * (pigeonhole-complete through hamming 7).
+  /** Wide geometry for large corpora: 64-bit fingerprint, 4 bands of 16
+    * bits. Same hamming radius as Sim32 (complete through hamming 3) but
+    * unrelated-pair band collisions fall 2^-16 instead of 2^-8 — the
+    * candidate join's collision mass drops 256× per band, which is the
+    * corpus-size response that keeps blocking subquadratic. Because word 1
+    * IS the Sim32 fingerprint, a pair within hamming h of the 64-bit
+    * fingerprint is within h of the 32-bit one: Sim64 pairs ⊆ Sim32 pairs.
     */
-  val Sim64: SimGeometry = SimGeometry(64, 8, Seq(GA, GA2), Seq(GB, GB2))
+  val Sim64: SimGeometry = SimGeometry(64, 4, Seq(GA, GA2), Seq(GB, GB2))
+
+  /** The radius lever instead: 64-bit fingerprint, 8 byte-bands —
+    * pigeonhole-complete through hamming 7 for recall-leaning dedup.
+    */
+  val Sim64Radius: SimGeometry = SimGeometry(64, 8, Seq(GA, GA2), Seq(GB, GB2))
 
   /** Band keys of a word-array SimHash fingerprint. Band count is a
     * plan-time constant, so the struct array is built Scala-side — each

@@ -75,10 +75,10 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Lsh.SimGeometry(32, 4, Seq(2L), Seq(Lsh.GB)) }
   }
 
-  test("wide simhash geometry (Sim64) keeps planted-pair recall with fewer collisions") {
+  test("radius-lever geometry (Sim64Radius, hamming<=7) keeps planted-pair recall") {
     import graft.functions.Lsh
     val wide = NearDup.simHashPairs(Tables.documents(spark, sf),
-      "doc_id", "text", Queries.JaccardN, Queries.SimWideHammingMax, Lsh.Sim64)
+      "doc_id", "text", Queries.JaccardN, 7, Lsh.Sim64Radius)
       .select("doc_a", "doc_b")
     val exact = NearDup.ngramJaccardPairs(Tables.documents(spark, sf),
       "doc_id", "text", Queries.JaccardN, 0.5)
@@ -92,6 +92,19 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     // perfect and recall no worse than the 32-bit geometry's floor.
     assert(truePos.toDouble / nWide >= 0.95, s"precision $truePos/$nWide < 0.95")
     assert(truePos.toDouble / nExact >= 0.6, s"recall $truePos/$nExact < 0.6")
+  }
+
+  test("collision-lever geometry (Sim64) yields exactly the 64-bit-verified subset of q23") {
+    import graft.functions.Lsh
+    // Word 1 of Sim64 IS the Sim32 fingerprint, so hamming64 <= 3 implies
+    // hamming32 <= 3, and both blockings are pigeonhole-complete at this
+    // radius: q62's pairs must be a subset of q23's, found with 2^-16
+    // per-band collision mass instead of 2^-8.
+    val wide = Queries.dedupSimHashWide(spark, sf).select("doc_a", "doc_b")
+    val narrow = Queries.dedupSimHash(spark, sf).select("doc_a", "doc_b")
+    assert(wide.count() > 0)
+    assert(wide.except(narrow).count() == 0,
+      "a 64-bit hamming<=3 pair escaped the 32-bit hamming<=3 set")
   }
 
   test("df cap bounds shingle fan-out: boilerplate-only pairs drop, true dups stay") {
