@@ -78,6 +78,7 @@ object SparkEntry {
     "q60_star_left"           -> (Queries.starLeft _),
     "q61_ivf_assign_bigk"     -> (Queries.ivfAssignBigK _),
     "q62_dedup_simhash_wide"  -> (Queries.dedupSimHashWide _),
+    "q63_dedup_minhash_wide"  -> (Queries.dedupMinHashLshWide _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -338,7 +339,17 @@ object Queries {
 
   // --- q22: MinHash signatures + LSH band bucketing → candidate pairs --------
   def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame =
-    NearDup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardN)
+    NearDup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, graft.functions.Lsh.Mh16)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q63: MinHash LSH at the wide (corpus-scale) geometry ------------------
+  // Same operator as q22 under Lsh.Mh64: 64-position signatures in 8 bands
+  // of 8 rows — band collisions fall s^4 -> s^8 (the corpus-size response
+  // for MinHash banding) and the Jaccard estimate runs at 1/64 resolution.
+  def dedupMinHashLshWide(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, graft.functions.Lsh.Mh64)
       .orderBy("doc_a", "doc_b")
 
   // --- q23: SimHash fingerprint near-dup (hamming <= k) ----------------------
@@ -1001,6 +1012,38 @@ object Oracles {
 
   private def sqlArr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
+  /** Geometry-parameterized MinHash-LSH twin — ≡ NearDup.minHashLshPairs
+    * under the same Lsh.MinHashGeometry (constants interpolated from the
+    * geometry object the Spark path runs with). The band fold reduces mod
+    * P each step, exactly as Lsh.bandKeys does.
+    */
+  private def minHashSql(geom: graft.functions.Lsh.MinHashGeometry): String = {
+    import graft.functions.Lsh.P
+    val aArr = sqlArr(geom.a)
+    val bArr = sqlArr(geom.b)
+    val r = geom.rowsPerBand
+    s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+                   WHERE len($ws) >= ${Queries.JaccardN}),
+        f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
+        sigs AS (SELECT doc_id,
+                        list_transform(generate_series(1, ${geom.k}), i ->
+                          list_aggregate(list_transform(fps,
+                            v -> ($aArr[i]*v + $bArr[i]) % $P), 'min')) AS sig
+                 FROM f),
+        bands AS (SELECT doc_id, t,
+                         list_reduce(sig[t*$r+1 : t*$r+$r],
+                           (x,y) -> (x*31+y) % $P) AS key
+                  FROM sigs,
+                       (SELECT unnest(generate_series(0, ${geom.bands - 1})) AS t) bt),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(generate_series(1, ${geom.k}), i -> sa.sig[i] = sb.sig[i]))
+                    AS DOUBLE) / ${geom.k}.0 AS est_jaccard
+        FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id"""
+  }
+
   /** Geometry-parameterized SimHash twin — ≡ NearDup.simHashPairs under the
     * same Lsh.SimGeometry (single source of truth: every constant below is
     * interpolated from the geometry object the Spark path runs with).
@@ -1242,28 +1285,11 @@ object Oracles {
                   CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
          WHERE jaccard >= ${Queries.JaccardThreshold}""",
 
-    "q22_dedup_minhash_lsh" -> {
-      import graft.functions.Lsh._
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
-                     WHERE len($ws) >= ${Queries.JaccardN}),
-          f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
-          sigs AS (SELECT doc_id,
-                          list_transform(generate_series(1, $K), i ->
-                            list_aggregate(list_transform(fps,
-                              v -> (${sqlArr(A)}[i]*v + ${sqlArr(B)}[i]) % $P), 'min')) AS sig
-                   FROM f),
-          bands AS (SELECT doc_id, t,
-                           list_reduce(sig[t*$RowsPerBand+1 : t*$RowsPerBand+$RowsPerBand],
-                             (x,y) -> x*31+y) AS key
-                    FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS t) bt),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                     ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b,
-                 CAST(len(list_filter(generate_series(1, $K), i -> sa.sig[i] = sb.sig[i]))
-                      AS DOUBLE) / ${K.toDouble} AS est_jaccard
-          FROM cand JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id"""
-    },
+    "q22_dedup_minhash_lsh" ->
+      minHashSql(graft.functions.Lsh.Mh16),
+
+    "q63_dedup_minhash_wide" ->
+      minHashSql(graft.functions.Lsh.Mh64),
 
     "q23_dedup_simhash" ->
       simHashSql(graft.functions.Lsh.Sim32, Queries.SimHammingMax),

@@ -40,6 +40,35 @@ object Lsh {
   val A: Seq[Long] = (1 to K).map(i => 1L + (i.toLong * 2654435761L) % (P - 1))
   val B: Seq[Long] = (1 to K).map(i => (i.toLong * 1103515245L + 12345L) % P)
 
+  /** MinHash signature/banding geometry. `k` positions in `bands` bands of
+    * `k/bands` rows; the affine-permutation parameters extend the same
+    * fixed mixing sequences as the legacy A/B (a geometry's prefix is
+    * always the smaller geometry's parameter set).
+    *
+    * The corpus-size response: a pair at Jaccard s collides in a band with
+    * probability s^rowsPerBand, so candidate volume on unrelated pairs is
+    * ~n²·bands·E[s^r] — deepening the bands (r 4 → 8) collapses the
+    * low-similarity collision mass while k=64 halves the signature
+    * estimator's std error vs k=16.
+    */
+  final case class MinHashGeometry(k: Int, bands: Int) {
+    require(k > 0 && bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide signature length ($k)")
+    val rowsPerBand: Int = k / bands
+    val a: Seq[Long] = (1 to k).map(i => 1L + (i.toLong * 2654435761L) % (P - 1))
+    val b: Seq[Long] = (1 to k).map(i => (i.toLong * 1103515245L + 12345L) % P)
+  }
+
+  /** The default geometry (≡ the legacy K/Bands/A/B path: q22's contract). */
+  val Mh16: MinHashGeometry = MinHashGeometry(16, 4)
+
+  /** Wide geometry for large corpora: 64-position signature, 8 bands of 8
+    * rows — band collisions fall from s^4 to s^8 (0.5-similarity pairs:
+    * 16× fewer candidates per band) and the Jaccard estimate runs at 1/64
+    * resolution.
+    */
+  val Mh64: MinHashGeometry = MinHashGeometry(64, 8)
+
   private def litArr(xs: Seq[Long]): Column = array(xs.map(lit): _*)
 
   /** Per-element polynomial fingerprints of a string array. */
@@ -54,23 +83,27 @@ object Lsh {
         (element_at(aArr, i) * v + element_at(bArr, i)) % lit(P))))
   }
 
-  /** Band keys: fold each band's `RowsPerBand` signature values with a
-    * base-31 polynomial (bounded: < 31^4 * P ≈ 2^50). Returns an array of
-    * (band, key) structs to explode for the bucket join.
+  /** Band keys: fold each band's `rowsPerBand` signature values with a
+    * base-31 polynomial, reduced mod P each step so any rowsPerBand stays
+    * exact in i64 (the unreduced fold overflows past r=6: 31^r·P > 2^63).
+    * Key collisions between distinct band slices are ~2^-30 — noise
+    * against the band-collision mass, and mirrored exactly by the oracle
+    * twin. Returns an array of (band, key) structs to explode for the
+    * bucket join.
     */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)), t =>
+  def bandKeys(sig: Column, geom: MinHashGeometry): Column =
+    transform(sequence(lit(0), lit(geom.bands - 1)), t =>
       struct(
         t.as("band"),
-        aggregate(slice(sig, t * lit(RowsPerBand) + 1, lit(RowsPerBand)),
-          lit(0L), (acc, v) => acc * 31 + v).as("key")))
+        aggregate(slice(sig, t * lit(geom.rowsPerBand) + 1, lit(geom.rowsPerBand)),
+          lit(0L), (acc, v) => (acc * 31 + v) % lit(P)).as("key")))
 
   /** Fraction of signature positions where two signatures agree — the
     * MinHash estimate of Jaccard similarity.
     */
-  def signatureAgreement(sa: Column, sb: Column): Column =
-    size(filter(sequence(lit(1), lit(K)), i =>
-      element_at(sa, i) === element_at(sb, i))).cast("double") / lit(K.toDouble)
+  def signatureAgreement(sa: Column, sb: Column, k: Int = K): Column =
+    size(filter(sequence(lit(1), lit(k)), i =>
+      element_at(sa, i) === element_at(sb, i))).cast("double") / lit(k.toDouble)
 
   // ---- SimHash ------------------------------------------------------------
 

@@ -37,6 +37,29 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(truePos.toDouble / nExact >= 0.6, s"recall $truePos/$nExact < 0.6")
   }
 
+  test("wide minhash geometry (Mh64) keeps planted-pair recall and sharpens the estimate") {
+    import graft.functions.Lsh
+    val exact = NearDup.ngramJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Queries.JaccardThreshold)
+    val c16 = NearDup.minHashLshPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Lsh.Mh16)
+    val c64 = NearDup.minHashLshPairs(Tables.documents(spark, sf),
+      "doc_id", "text", Queries.JaccardN, Lsh.Mh64)
+    assert(exact.count() > 0)
+    assert(exact.select("doc_a", "doc_b")
+      .except(c64.select("doc_a", "doc_b")).count() == 0,
+      "deep-band geometry missed an exact near-dup pair on this corpus")
+    // k=64 halves the signature estimator's std error vs k=16: mean |est -
+    // true| on the verified pairs must not degrade (deterministic corpus
+    // and hash family, so this is a fixed number, not a flaky sample).
+    def mae(c: org.apache.spark.sql.DataFrame): Double =
+      exact.join(c, Seq("doc_a", "doc_b"))
+        .select(avg(abs(col("est_jaccard") - col("jaccard"))))
+        .first().getDouble(0)
+    val (e16, e64) = (mae(c16), mae(c64))
+    assert(e64 <= e16 + 0.02, s"k=64 estimator MAE $e64 vs k=16 $e16")
+  }
+
   test("word-array simhash at Sim32 equals the scalar simhash kernel") {
     import graft.functions.Lsh
     val sh = Tables.documents(spark, sf).limit(500)
