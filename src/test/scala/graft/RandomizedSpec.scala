@@ -72,6 +72,71 @@ class RandomizedSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("SimHashWords matches a reference implementation at both geometries") {
+    def refWords(shingles: Seq[String], gas: Seq[Long], gbs: Seq[Long]): Seq[Long] =
+      gas.indices.map { w =>
+        val gs = shingles.map(s => (gas(w) * refFp(s) + gbs(w)) % Lsh.TwoPow32)
+        (0 until 32).foldLeft(0L) { (sim, j) =>
+          val ones = gs.count(g => ((g >>> j) & 1L) == 1L)
+          if (2 * ones >= gs.size) sim | (1L << j) else sim
+        }
+      }
+    val cases = (0 until 100).map(_ => (1 to 1 + rnd.nextInt(40)).map(_ => randWord()))
+    for (geom <- Seq(Lsh.Sim32, Lsh.Sim64)) {
+      val df = cases.map(sh => (sh, refWords(sh, geom.gas, geom.gbs))).toDF("sh", "expected")
+      val bad = df.select(
+        graft.plans.SignatureExprs.simHashWords(col("sh"),
+          geom.gas, geom.gbs, Lsh.TwoPow32).as("got"),
+        col("expected"))
+        .filter(col("got") =!= col("expected")).count()
+      assert(bad == 0, s"geometry ${geom.bits}/${geom.bands}")
+    }
+  }
+
+  test("band keys and hamming agree with reference math across geometries") {
+    // simWordBands: key t must equal the bit-slice of the fingerprint
+    def refSimBands(words: Seq[Long], geom: Lsh.SimGeometry): Seq[Long] =
+      (0 until geom.bands).map { t =>
+        val w = words(t / geom.bandsPerWord)
+        (w >>> ((t % geom.bandsPerWord) * geom.width)) & ((1L << geom.width) - 1)
+      }
+    // minhash bandKeys: mod-P base-31 fold of each row slice
+    def refMhBands(sig: Seq[Long], geom: Lsh.MinHashGeometry): Seq[Long] =
+      (0 until geom.bands).map { t =>
+        sig.slice(t * geom.rowsPerBand, (t + 1) * geom.rowsPerBand)
+          .foldLeft(0L)((acc, v) => (acc * 31 + v) % Lsh.P)
+      }
+    val words = (0 until 50).map(_ =>
+      Seq(rnd.nextLong(1L << 32), rnd.nextLong(1L << 32)))
+    for (geom <- Seq(Lsh.Sim64, Lsh.Sim64Radius)) {
+      val df = words.map(ws => (ws, refSimBands(ws, geom))).toDF("sim", "expected")
+      val bad = df.select(Lsh.simWordBands(col("sim"), geom).as("bk"), col("expected"))
+        .select(transform(col("bk"), b => b("key")).as("got"), col("expected"))
+        .filter(col("got") =!= col("expected")).count()
+      assert(bad == 0, s"sim geometry ${geom.bits}/${geom.bands}")
+    }
+    val sigs = (0 until 50).map(_ => (1 to 64).map(_ => rnd.nextLong(Lsh.P)))
+    for (geom <- Seq(Lsh.Mh16, Lsh.Mh64)) {
+      val df = sigs.map(s => (s.take(geom.k), refMhBands(s.take(geom.k), geom)))
+        .toDF("sig", "expected")
+      val bad = df.select(Lsh.bandKeys(col("sig"), geom).as("bk"), col("expected"))
+        .select(transform(col("bk"), b => b("key")).as("got"), col("expected"))
+        .filter(col("got") =!= col("expected")).count()
+      assert(bad == 0, s"minhash geometry ${geom.k}/${geom.bands}")
+    }
+    // hammingWords ≡ Long.bitCount over XORed words
+    val pairs = (0 until 50).map(_ =>
+      (Seq(rnd.nextLong(1L << 32), rnd.nextLong(1L << 32)),
+        Seq(rnd.nextLong(1L << 32), rnd.nextLong(1L << 32))))
+    val hdf = pairs.map { case (a, b) =>
+      (a, b, a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum)
+    }.toDF("a", "b", "expected")
+    val badH = hdf.select(
+      Lsh.hammingWords(col("a"), col("b"), 2).cast("int").as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(badH == 0)
+  }
+
   test("VecDot matches a reference sequential fold bit-exactly") {
     val cases = (0 until 200).map { _ =>
       val n = 1 + rnd.nextInt(80)
