@@ -79,6 +79,7 @@ object SparkEntry {
     "q61_ivf_assign_bigk"     -> (Queries.ivfAssignBigK _),
     "q62_dedup_simhash_wide"  -> (Queries.dedupSimHashWide _),
     "q63_dedup_minhash_wide"  -> (Queries.dedupMinHashLshWide _),
+    "q64_session_concurrency" -> (Queries.sessionConcurrency _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -726,6 +727,34 @@ object Queries {
       Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
       "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
       .orderBy("user_id", "session_seq")
+
+  // --- q64: range join — concurrent-activity count per session ----------------
+  // For every q32 session, count events from OTHER users inside
+  // [session_start, session_end]: an interval×point range join. A naive
+  // inequality join plans as BroadcastNestedLoop (or cartesian) — fine at
+  // 57k sessions, fatal at 100 TB; RangeJoin's bucketed equi-join keeps
+  // shuffle volume at |sessions|×(duration/6h + 1) + |events| and meets
+  // each qualifying pair in exactly one bucket. Sessions with zero
+  // concurrent activity survive via the join-back (left + coalesce 0).
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessions(
+        Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val points = Tables.events(spark, dir)
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val pairs = RangeJoin.intervalPointJoin(
+      sess, points, "session_start", "session_end", "e_ts",
+      bucketMicros = SessionGapMicros,
+      extraPred = col("e_user") =!= col("user_id"))
+    val counts = pairs.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_concurrent"))
+    sess.join(counts, Seq("user_id", "session_seq"), "left")
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_seq")
+  }
 
   /** Duplicated-bigram count: total bigrams (size-1) minus DISTINCT
     * bigrams via the codegen DistinctNGrams kernel — the duplicate COUNT
@@ -1922,5 +1951,26 @@ object Oracles {
                                                u.list) AS rn
             FROM v, u)
           WHERE rn = 1""",
+
+    "q64_session_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+                FROM e),
+          sess AS (SELECT user_id, session_seq,
+                          MIN(ts) AS session_start, MAX(ts) AS session_end
+                   FROM s GROUP BY 1, 2)
+          SELECT sess.user_id, sess.session_seq, sess.session_start,
+                 COUNT(ev.user_id) AS n_concurrent
+          FROM sess LEFT JOIN events ev
+            ON epoch_us(ev.ts) >= epoch_us(sess.session_start)
+           AND epoch_us(ev.ts) <= epoch_us(sess.session_end)
+           AND ev.user_id != sess.user_id
+          GROUP BY 1, 2, 3""",
   )
 }

@@ -436,6 +436,37 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalPointJoin matches the naive inequality join on boundary cases") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // micros → timestamp helper; cases sit exactly ON bucket and interval
+    // boundaries: interval end == bucket edge, point at interval start/end,
+    // zero-length interval, interval spanning 3 buckets.
+    def ts(us: org.apache.spark.sql.Column) = timestamp_micros(us)
+    val b = 100L // bucket width in micros
+    val iv = Seq(
+      (1L, 0L, 100L),   // ends exactly on a bucket edge
+      (2L, 150L, 150L), // zero-length
+      (3L, 90L, 310L),  // spans buckets 0..3
+      (4L, 400L, 450L)  // empty of points
+    ).toDF("iv_id", "s_us", "e_us")
+      .select($"iv_id", ts($"s_us".cast("long")).as("s"), ts($"e_us".cast("long")).as("e"))
+    val pt = Seq(0L, 99L, 100L, 101L, 150L, 200L, 300L, 310L, 311L, 999L)
+      .toDF("p_us").select($"p_us", ts($"p_us").as("p"))
+    val got = RangeJoin.intervalPointJoin(iv, pt, "s", "e", "p", b)
+      .select("iv_id", "p_us").as[(Long, Long)].collect().toSet
+    val naive = iv.crossJoin(pt)
+      .filter(unix_micros($"p").between(unix_micros($"s"), unix_micros($"e")))
+      .select("iv_id", "p_us").as[(Long, Long)].collect().toSet
+    assert(got == naive, s"bucketed != naive: ${got.diff(naive)} / ${naive.diff(got)}")
+    assert(naive.contains((1L, 0L)) && naive.contains((1L, 100L)) &&
+      naive.contains((2L, 150L)) && !naive.exists(_._1 == 4L))
+    // exactly-once: no qualifying pair is emitted from two buckets
+    val dup = RangeJoin.intervalPointJoin(iv, pt, "s", "e", "p", b)
+      .groupBy("iv_id", "p_us").count().filter($"count" > 1).count()
+    assert(dup == 0, "a pair met in more than one bucket")
+  }
+
   test("scd2Merge rebuilds only touched keys and matches a full rebuild") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts")

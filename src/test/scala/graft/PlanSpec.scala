@@ -95,6 +95,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("In(doc_id"), "eval-id filter should reach the parquet scan")
   }
 
+  test("q64: interval join stays an equi-join — no nested loop, no cartesian") {
+    val p = plan("q64_session_concurrency")
+    assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to BNLJ — the bucketed equi-join path is lost")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
