@@ -80,6 +80,9 @@ object SparkEntry {
     "q62_dedup_simhash_wide"  -> (Queries.dedupSimHashWide _),
     "q63_dedup_minhash_wide"  -> (Queries.dedupMinHashLshWide _),
     "q64_session_concurrency" -> (Queries.sessionConcurrency _),
+    "q65_cluster_canonical"   -> (Queries.clusterCanonical _),
+    "q66_funnel"              -> (Queries.funnel _),
+    "q67_retention"           -> (Queries.retention _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -660,6 +663,84 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- q65: canonical-document selection per near-dup cluster -----------------
+  // The dedup DECISION table a training-data pipeline materializes: q34's
+  // components pick which docs are duplicates; this picks which one to KEEP
+  // — argmax quality (q28's score) with min-doc_id tiebreak. The argmax is
+  // one struct-max aggregation (max of (score, -id) compares field-by-field)
+  // — no window, no per-cluster sort, so the only shuffles are the
+  // component rounds plus two hash-aggs on cluster_id.
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = NearDup.lshVerifiedJaccardPairs(
+      docs, "doc_id", "text", JaccardN, JaccardThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val ws = TextAnalysis.words(col("text"))
+    val enStops = TextAnalysis.LangProfiles.head._2
+    val quality = docs.select(col("doc_id"),
+      (lit(0.5) * (TextAnalysis.stopwordCount(ws, enStops).cast("double") / size(ws)) +
+        lit(0.5) * least(lit(1.0), size(ws).cast("double") / lit(200.0)))
+        .as("quality_score"))
+    val scored = comp.join(quality, "doc_id")
+    val reps = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("canonical_doc"))
+    scored.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_doc"),
+        (col("doc_id") === col("canonical_doc")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // --- q66: conversion funnel — view → click → purchase per user --------------
+  // One shuffle: per-user grouped aggregation collecting the candidate step
+  // timestamps, then the chain (first view, first click AFTER it, first
+  // purchase after THAT) falls out of order-invariant array_min/filter HOFs
+  // — no self-joins, no window. The collected lists are bounded by a user's
+  // event count within the funnel window (classic per-entity bound); the
+  // comparison domain is integer epoch-micros shared with the oracle.
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "view", us)).as("t_view"),
+        collect_list(when(col("event_type") === "click", us)).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", us)).as("purchases"))
+    byUser
+      .withColumn("t_click",
+        array_min(filter(col("clicks"), c => c > col("t_view"))))
+      .withColumn("t_purchase",
+        array_min(filter(col("purchases"), p => p > col("t_click"))))
+      .select(col("user_id"),
+        timestamp_micros(col("t_view")).as("view_ts"),
+        timestamp_micros(col("t_click")).as("click_ts"),
+        timestamp_micros(col("t_purchase")).as("purchase_ts"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy("user_id")
+  }
+
+  // --- q67: cohort retention matrix over events --------------------------------
+  // cohort = a user's first active day; cell (cohort_day, day_offset) counts
+  // the cohort's users active that many days later. Two hash-aggs and one
+  // equi-join on user_id (broadcastable per-user cohort dim at any scale
+  // where users ≪ events; AQE picks it).
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // --- q33: IVF ANN — probe nprobe inverted lists, exact search within --------
   // nprobe is corpus-tuned: the synthetic embeddings are ISOTROPIC (measured
   // mean cosine ~0 and identical same-label/cross-label distributions), so
@@ -1040,6 +1121,46 @@ object Oracles {
        i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]))"""
 
   private def sqlArr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  /** Shared CTE chain for near-dup connected components (q34, q65):
+    * MinHash-LSH banding candidates (same CTEs as q22, legacy Mh16
+    * geometry) verified by exact Jaccard on the candidate set only, then
+    * transitive closure `reach(id, r)` over the verified edges —
+    * ≡ Components.connectedComponents over lshVerifiedJaccardPairs.
+    */
+  private val componentCtes: String = {
+    import graft.functions.Lsh._
+    s"""WITH RECURSIVE
+        d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+                   WHERE len($ws) >= ${Queries.JaccardN}),
+        f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
+        sigs AS (SELECT doc_id,
+                        list_transform(generate_series(1, $K), i ->
+                          list_aggregate(list_transform(fps,
+                            v -> (${sqlArr(A)}[i]*v + ${sqlArr(B)}[i]) % $P), 'min')) AS sig
+                 FROM f),
+        bands AS (SELECT doc_id, t,
+                         list_reduce(sig[t*$RowsPerBand+1 : t*$RowsPerBand+$RowsPerBand],
+                           (x,y) -> x*31+y) AS key
+                  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS t) bt),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id),
+        pairs AS (SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                       / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+                       AS jaccard
+              FROM cand JOIN d da ON doc_a = da.doc_id
+                        JOIN d db ON doc_b = db.doc_id)
+            WHERE jaccard >= ${Queries.JaccardThreshold}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
+  }
 
   /** Geometry-parameterized MinHash-LSH twin — ≡ NearDup.minHashLshPairs
     * under the same Lsh.MinHashGeometry (constants interpolated from the
@@ -1581,43 +1702,62 @@ object Oracles {
                    AS rolling_7d_revenue
           FROM daily""",
 
-    "q34_dedup_clusters" -> {
-      // Edges = the scale path: MinHash-LSH banding candidates (same CTEs
-      // as q22) verified by exact Jaccard on the candidate set only.
-      import graft.functions.Lsh._
-      s"""WITH RECURSIVE
-          d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
-                     WHERE len($ws) >= ${Queries.JaccardN}),
-          f AS (SELECT doc_id, list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d),
-          sigs AS (SELECT doc_id,
-                          list_transform(generate_series(1, $K), i ->
-                            list_aggregate(list_transform(fps,
-                              v -> (${sqlArr(A)}[i]*v + ${sqlArr(B)}[i]) % $P), 'min')) AS sig
-                   FROM f),
-          bands AS (SELECT doc_id, t,
-                           list_reduce(sig[t*$RowsPerBand+1 : t*$RowsPerBand+$RowsPerBand],
-                             (x,y) -> x*31+y) AS key
-                    FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS t) bt),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                     ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id),
-          pairs AS (SELECT doc_a, doc_b FROM (
-                SELECT doc_a, doc_b,
-                       CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-                         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
-                         AS jaccard
-                FROM cand JOIN d da ON doc_a = da.doc_id
-                          JOIN d db ON doc_b = db.doc_id)
-              WHERE jaccard >= ${Queries.JaccardThreshold}),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                    UNION ALL SELECT doc_b, doc_a FROM pairs),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    "q34_dedup_clusters" ->
+      s"""$componentCtes
           SELECT id AS doc_id, canonical_id, (id = canonical_id) AS is_canonical
-          FROM (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)"""
+          FROM (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""",
+
+    "q65_cluster_canonical" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""$componentCtes,
+          comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+                       0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                              / len($ws))
+                         + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)
+                         AS quality_score
+                FROM documents),
+          ranked AS (SELECT c.id, c.cluster_id,
+                            row_number() OVER (PARTITION BY c.cluster_id
+                                               ORDER BY q.quality_score DESC, c.id) AS rn
+                     FROM comp c JOIN q ON c.id = q.doc_id),
+          reps AS (SELECT cluster_id, id AS canonical_doc FROM ranked WHERE rn = 1)
+          SELECT r.id AS doc_id, r.cluster_id, reps.canonical_doc,
+                 (r.id = reps.canonical_doc) AS keep
+          FROM ranked r JOIN reps USING (cluster_id)"""
     },
+
+    "q66_funnel" ->
+      """WITH b AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                  list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS clicks,
+                  list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS purchases
+           FROM events GROUP BY 1),
+          c AS (SELECT user_id, t_view, purchases,
+                       list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+                FROM b),
+          d AS (SELECT user_id, t_view, t_click,
+                       list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+                FROM c)
+          SELECT user_id,
+                 make_timestamp(t_view) AS view_ts,
+                 make_timestamp(t_click) AS click_ts,
+                 make_timestamp(t_purchase) AS purchase_ts,
+                 CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                           WHEN t_click IS NOT NULL THEN 2
+                           WHEN t_view IS NOT NULL THEN 1
+                           ELSE 0 END AS INT) AS stage
+          FROM d""",
+
+    "q67_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+          SELECT cohort_day,
+                 CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+                 COUNT(DISTINCT e.user_id) AS n_users
+          FROM e JOIN f USING (user_id)
+          GROUP BY 1, 2""",
 
     "q33_ann_ivf" -> {
       import graft.functions.Lsh.Dim
