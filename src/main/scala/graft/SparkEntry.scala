@@ -83,6 +83,9 @@ object SparkEntry {
     "q65_cluster_canonical"   -> (Queries.clusterCanonical _),
     "q66_funnel"              -> (Queries.funnel _),
     "q67_retention"           -> (Queries.retention _),
+    "q68_percentile_report"   -> (Queries.percentileReport _),
+    "q69_bm25_search"         -> (Queries.bm25Search _),
+    "q70_value_outliers"      -> (Queries.valueOutliers _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -739,6 +742,84 @@ object Queries {
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  // --- q68: exact per-group percentile report ----------------------------------
+  // Exact `percentile` (sort-based, linear interpolation — the same
+  // definition as SQL quantile_cont), NOT percentile_approx: the report is
+  // per-group, groups are few, and the per-group sort distributes with the
+  // hash-agg. At 100 TB switch the caller to approx_percentile only when
+  // the group cardinality itself explodes.
+  def percentileReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        element_at(col("qs"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  // --- q69: BM25 top-k retrieval over the corpus -------------------------------
+  // Broadcast-stats retrieval: ONE row of corpus statistics (N, Σdl, per-term
+  // df — all integer-exact) broadcast against one corpus scan computing the
+  // BM25 sum in a fixed literal term order, then a global top-k
+  // (TakeOrderedAndProject — never a full sort at scale). The idf uses the
+  // rational form (N - df + 0.5)/(df + 0.5) WITHOUT the textbook ln():
+  // ln is monotone, so rankings agree, and neither the JVM's Math.log nor
+  // another engine's libm guarantees correctly-rounded results — the
+  // rational form keeps every arithmetic step IEEE-deterministic and the
+  // result bit-comparable across engines.
+  val BmK1 = 1.2
+  val BmB = 0.75
+  val BmTerms: Seq[String] = Seq("vector", "stream", "window", "filter")
+  val BmTopK = 20
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val dfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("ws"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("long")).as("sum_dl") +: dfCols): _*)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val score = BmTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("ws"), w => w === lit(t))).cast("double")
+      val idf = (nD - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      idf * (tf * lit(BmK1 + 1)) /
+        (tf + lit(BmK1) * (lit(1 - BmB) + lit(BmB) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+  }
+
+  // --- q70: per-group z-score outliers ----------------------------------------
+  // Anomaly flagging with EXACT group moments: Σv and Σv² accumulate as
+  // decimals (partition-order independent, bit-identical in any engine),
+  // and only the final mean/variance/z arithmetic runs in doubles with a
+  // fixed operation order. One hash-agg over a tiny group dim, broadcast
+  // back over one fact scan.
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    val d = Cols.dec2(col("value"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(d).as("s"), sum(d * d).as("ss"))
+    val n = col("n").cast("double")
+    val s = col("s").cast("double")
+    val variance = (col("ss").cast("double") - s * s / n) / (n - lit(1.0))
+    val z = (col("value") - s / n) / sqrt(variance)
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+      .filter(abs(col("z")) > lit(3.0))
+      .orderBy("event_id")
   }
 
   // --- q33: IVF ANN — probe nprobe inverted lists, exact search within --------
@@ -1758,6 +1839,54 @@ object Oracles {
                  COUNT(DISTINCT e.user_id) AS n_users
           FROM e JOIN f USING (user_id)
           GROUP BY 1, 2""",
+
+    "q68_percentile_report" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.25) AS p25,
+                quantile_cont(l_extendedprice, 0.5)  AS p50,
+                quantile_cont(l_extendedprice, 0.75) AS p75,
+                quantile_cont(l_extendedprice, 0.99) AS p99
+         FROM lineitem GROUP BY 1""",
+
+    "q69_bm25_search" -> {
+      val terms = Queries.BmTerms
+      val dfSel = terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df_$i"
+      }.mkString(",\n                  ")
+      val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+        s"""(CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)
+            * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * ${Queries.BmK1 + 1})
+            / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
+               + ${Queries.BmK1} * (${1 - Queries.BmB} + ${Queries.BmB}
+                   * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+      }.mkString("\n            + ")
+      s"""WITH d AS (SELECT doc_id, $ws AS ws, len($ws) AS dl FROM documents),
+          s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                  $dfSel
+                FROM d)
+          SELECT doc_id, score FROM (
+            SELECT doc_id,
+                   $scoreTerms
+                   AS score
+            FROM d, s)
+          WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT ${Queries.BmTopK}"""
+    },
+
+    "q70_value_outliers" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+                           SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+                           SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))) AS ss
+                    FROM events GROUP BY 1)
+          SELECT event_id, event_type, value, z FROM (
+            SELECT event_id, e.event_type, value,
+                   (value - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)) AS z
+            FROM events e JOIN s ON e.event_type = s.event_type)
+          WHERE abs(z) > 3.0""",
 
     "q33_ann_ivf" -> {
       import graft.functions.Lsh.Dim

@@ -102,6 +102,19 @@ class PlanSpec extends AnyFunSuite {
       "range join fell back to BNLJ — the bucketed equi-join path is lost")
   }
 
+  test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
+    val p = plan("q69_bm25_search")
+    assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not sort+limit")
+  }
+
+  test("q70: group moments broadcast back over one fact scan") {
+    val p = plan("q70_value_outliers")
+    assert(p.contains("BroadcastHashJoin"), "tiny stats dim must broadcast-join")
+    assert(!p.contains("SortMergeJoin"), "outlier join must not shuffle the facts")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
