@@ -86,6 +86,7 @@ object SparkEntry {
     "q68_percentile_report"   -> (Queries.percentileReport _),
     "q69_bm25_search"         -> (Queries.bm25Search _),
     "q70_value_outliers"      -> (Queries.valueOutliers _),
+    "q71_session_concurrency_fast" -> (Queries.sessionConcurrencyFast _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -695,6 +696,46 @@ object Queries {
       .select(col("doc_id"), col("cluster_id"), col("canonical_doc"),
         (col("doc_id") === col("canonical_doc")).as("keep"))
       .orderBy("doc_id")
+  }
+
+  // --- q71: session concurrency via global prefix-sum (q64's scale twin) ------
+  // Same semantics and SAME oracle as q64, different algorithm: instead of
+  // materializing (session × contained-event) pairs — whose cardinality
+  // grows with user density squared — count events at each window boundary
+  // with ONE global running count (PrefixSum over day buckets) and
+  // subtract: n_in = cum(end⁺) − cum(start⁻), minus the session's own
+  // n_events (its window contains exactly its own events, by the gap
+  // construction). Boundary kinds order start(0) < event(1) < end(2) at
+  // equal micros, so start excludes and end includes equal-timestamp
+  // events — matching the inclusive [start, end] contract. O(n log n)
+  // versus q64's O(pairs); the pair join wins when concurrency is low,
+  // this wins unboundedly as it grows.
+  def sessionConcurrencyFast(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessions(
+        Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"))
+    def boundary(tsCol: String, kind: Int) = sess.select(
+      unix_micros(col(tsCol)).as("us"), lit(kind).as("kind"), lit(0L).as("w"),
+      col("user_id"), col("session_seq"))
+    val evr = Tables.events(spark, dir).select(
+      unix_micros(col("ts")).as("us"), lit(1).as("kind"), lit(1L).as("w"),
+      lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_seq"))
+    val all = boundary("session_start", 0)
+      .unionByName(evr).unionByName(boundary("session_end", 2))
+      .withColumn("bucket", floor(col("us") / lit(86400000000L)).cast("long"))
+    val cum = PrefixSum.runningSum(all, "bucket",
+      Seq(col("us"), col("kind"), col("user_id"), col("session_seq")),
+      col("w"), "cum")
+    val counts = cum.filter(col("kind") =!= 1)
+      .groupBy("user_id", "session_seq")
+      .agg(min(when(col("kind") === 0, col("cum"))).as("c_start"),
+        max(when(col("kind") === 2, col("cum"))).as("c_end"))
+    sess.join(counts, Seq("user_id", "session_seq"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        (col("c_end") - col("c_start") - col("n_events")).as("n_concurrent"))
+      .orderBy("user_id", "session_seq")
   }
 
   // --- q66: conversion funnel — view → click → purchase per user --------------
@@ -2221,7 +2262,14 @@ object Oracles {
             FROM v, u)
           WHERE rn = 1""",
 
-    "q64_session_concurrency" ->
+    "q64_session_concurrency" -> sessionConcurrencySql,
+
+    // q71 computes the same answer by global prefix-sum instead of a pair
+    // join — one oracle, two physical strategies (see PLANS.md crossover)
+    "q71_session_concurrency_fast" -> sessionConcurrencySql,
+  )
+
+  private lazy val sessionConcurrencySql: String =
       s"""WITH e AS (SELECT user_id, event_id, ts,
                   epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -2240,6 +2288,5 @@ object Oracles {
             ON epoch_us(ev.ts) >= epoch_us(sess.session_start)
            AND epoch_us(ev.ts) <= epoch_us(sess.session_end)
            AND ev.user_id != sess.user_id
-          GROUP BY 1, 2, 3""",
-  )
+          GROUP BY 1, 2, 3"""
 }

@@ -467,6 +467,33 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(dup == 0, "a pair met in more than one bucket")
   }
 
+  test("PrefixSum.runningSum matches a single-partition cumulative sum") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    // deterministic pseudo-random weights/keys across several buckets,
+    // including ties on the order key within and across buckets
+    val rows = (1 to 500).map { i =>
+      val key = (i * 2654435761L) % 97 // collides: ~5 rows per key
+      (key, key / 10, (i % 7).toLong)  // (order key, bucket = key/10, weight)
+    }
+    val df = rows.toDF("k", "bucket", "w").withColumn("id", monotonically_increasing_id())
+    val got = PrefixSum.runningSum(df, "bucket", Seq(col("k"), col("id")), col("w"), "cum")
+      .select("k", "id", "cum").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // naive: global sort by (k, id), running sum — bucket = k/10 is monotone
+    // in k so the two orders agree
+    val naive = df.select("k", "id", "w").as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (k, id, w)) => (k, id, acc + w) }
+      .drop(1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == naive.toSeq)
+  }
+
+  test("q71 (prefix-sum) computes exactly q64's (pair-join) answer") {
+    val a = Queries.sessionConcurrency(spark, sf).collect().map(_.toSeq).toSet
+    val b = Queries.sessionConcurrencyFast(spark, sf).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("scd2Merge rebuilds only touched keys and matches a full rebuild") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "value", "ts")

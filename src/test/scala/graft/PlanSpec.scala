@@ -102,6 +102,12 @@ class PlanSpec extends AnyFunSuite {
       "range join fell back to BNLJ — the bucketed equi-join path is lost")
   }
 
+  test("q71: prefix-sum plan — bucket offsets broadcast, no pair join, no global sort of the union") {
+    val p = plan("q71_session_concurrency_fast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), "bucket prefix table must broadcast")
+  }
+
   test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
     val p = plan("q69_bm25_search")
     assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
