@@ -87,6 +87,7 @@ object SparkEntry {
     "q69_bm25_search"         -> (Queries.bm25Search _),
     "q70_value_outliers"      -> (Queries.valueOutliers _),
     "q71_session_concurrency_fast" -> (Queries.sessionConcurrencyFast _),
+    "q72_global_rank"         -> (Queries.globalRank _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -736,6 +737,29 @@ object Queries {
       .select(col("user_id"), col("session_seq"), col("session_start"),
         (col("c_end") - col("c_start") - col("n_events")).as("n_concurrent"))
       .orderBy("user_id", "session_seq")
+  }
+
+  // --- q72: global revenue rank over the whole fact table ----------------------
+  // `row_number() OVER (ORDER BY ...)` with no PARTITION BY collapses any
+  // engine's window to one task; this computes the identical ranking with
+  // PrefixSum (weight 1) over value-derived buckets — parallel everywhere,
+  // same bit-exact ranks. Descending rank r = N − ascending_rank + 1 under
+  // the fully reversed tiebreak order, which is what the oracle declares.
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    // price ∈ [~900, ~105k): 4096-wide buckets ≈ dozens of parallel slices,
+    // monotone in the (price, orderkey, linenumber) ascending order
+    val bucketed = li.withColumn("bucket",
+      floor(col("l_extendedprice") / lit(4096.0)).cast("long"))
+    val asc = PrefixSum.runningSum(bucketed, "bucket",
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      lit(1L), "asc_rank")
+    val n = li.agg(count(lit(1)).as("n_rows"))
+    asc.crossJoin(broadcast(n))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (col("n_rows") - col("asc_rank") + lit(1L)).as("revenue_rank"))
+      .orderBy("revenue_rank")
   }
 
   // --- q66: conversion funnel — view → click → purchase per user --------------
@@ -2267,6 +2291,13 @@ object Oracles {
     // q71 computes the same answer by global prefix-sum instead of a pair
     // join — one oracle, two physical strategies (see PLANS.md crossover)
     "q71_session_concurrency_fast" -> sessionConcurrencySql,
+
+    "q72_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (ORDER BY l_extendedprice DESC,
+                                            l_orderkey DESC,
+                                            l_linenumber DESC) AS revenue_rank
+         FROM lineitem""",
   )
 
   private lazy val sessionConcurrencySql: String =

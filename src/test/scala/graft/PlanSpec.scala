@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "bucket prefix table must broadcast")
   }
 
+  test("q72: global ranking never single-partitions the fact table") {
+    val p = plan("q72_global_rank")
+    // SinglePartition exchanges allowed only on the two tiny sides (the
+    // per-bucket prefix window and the scalar row count); the ranking
+    // window itself must partition by bucket
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("hashpartitioning(bucket"), "rank window must partition by bucket")
+    assert(p.contains("windowspecdefinition(bucket"), "rank window lost its bucket partition")
+  }
+
   test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
     val p = plan("q69_bm25_search")
     assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
