@@ -23,9 +23,25 @@ object Bench {
     // Warmup: run every query once at the smallest SF so JIT + codegen
     // compilation costs don't land on the first timed queries.
     val warmDir = "/root/testdata/sf0.001"
+    // Force EVERY output column, not `count()`: under count() Catalyst can
+    // eliminate whole subtrees that don't affect the row count — measured
+    // on q64, whose left join-back to a per-key aggregate was removed
+    // entirely (0.42s "benched" vs 33s real at sf1-eq). Hashing all
+    // columns into one aggregate keeps the old count() property that the
+    // final orderBy is still elided (EliminateSorts under an Aggregate),
+    // so pre-existing numbers stay comparable, while no join or projection
+    // can be pruned away.
+    def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
+      val h = org.apache.spark.sql.functions.xxhash64(
+        df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      // bit_xor, not sum: ANSI mode makes a long-sum of hashes overflow
+      df.select(h.as("__h"))
+        .agg(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.col("__h"))).head()
+    }
     if (new java.io.File(warmDir).isDirectory)
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try forceEval(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // Median of 3 timed runs per query AFTER one untimed run at the target
     // SF (JMH-style: warm up, then measure steady state, consecutively).
@@ -42,7 +58,7 @@ object Bench {
       var failed = false
       val times = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
+        try { forceEval(fn(spark, sfDir)) } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
       // A throwing query must not record its (fast) elapsed time as a
