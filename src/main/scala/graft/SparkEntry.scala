@@ -88,6 +88,7 @@ object SparkEntry {
     "q70_value_outliers"      -> (Queries.valueOutliers _),
     "q71_session_concurrency_fast" -> (Queries.sessionConcurrencyFast _),
     "q72_global_rank"         -> (Queries.globalRank _),
+    "q73_session_overlap"     -> (Queries.sessionOverlap _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -760,6 +761,32 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         (col("n_rows") - col("asc_rank") + lit(1L)).as("revenue_rank"))
       .orderBy("revenue_rank")
+  }
+
+  // --- q73: interval×interval overlap join — concurrent sessions --------------
+  // For every session, how many OTHER users' sessions overlap it — the
+  // interval-overlap generalization of q64. RangeJoin.intervalOverlapJoin
+  // claims each overlapping pair exactly once (in the bucket where the
+  // intersection starts), so the plan is still a hash-partitioned
+  // equi-join with no dedup pass and no nested loop.
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessions(
+        Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val other = sess.select(col("user_id").as("b_user"),
+      col("session_start").as("b_start"), col("session_end").as("b_end"))
+    val pairs = RangeJoin.intervalOverlapJoin(
+      sess, other, "session_start", "session_end", "b_start", "b_end",
+      bucketMicros = SessionGapMicros,
+      extraPred = col("b_user") =!= col("user_id"))
+    val counts = pairs.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_overlapping"))
+    sess.join(counts, Seq("user_id", "session_seq"), "left")
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"))
+      .orderBy("user_id", "session_seq")
   }
 
   // --- q66: conversion funnel — view → click → purchase per user --------------
@@ -2298,6 +2325,27 @@ object Oracles {
                                             l_orderkey DESC,
                                             l_linenumber DESC) AS revenue_rank
          FROM lineitem""",
+
+    "q73_session_overlap" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+                FROM e),
+          sess AS (SELECT user_id, session_seq,
+                          MIN(ts) AS session_start, MAX(ts) AS session_end
+                   FROM s GROUP BY 1, 2)
+          SELECT a.user_id, a.session_seq, a.session_start,
+                 COUNT(b.user_id) AS n_overlapping
+          FROM sess a LEFT JOIN sess b
+            ON epoch_us(a.session_start) <= epoch_us(b.session_end)
+           AND epoch_us(b.session_start) <= epoch_us(a.session_end)
+           AND b.user_id != a.user_id
+          GROUP BY 1, 2, 3""",
   )
 
   private lazy val sessionConcurrencySql: String =

@@ -59,4 +59,35 @@ object RangeJoin {
           extraPred)
       .drop("__graft_bucket")
   }
+
+  /** Inner-join `left` to the `right` rows whose `[rStart, rEnd]` interval
+    * OVERLAPS `[lStart, lEnd]` (inclusive endpoints; all four timestamp
+    * columns). Both sides explode to their covered buckets; a qualifying
+    * pair co-occurs in every bucket their intersection covers, so it is
+    * CLAIMED only in the bucket of `max(lStart, rStart)` — the bucket
+    * where the intersection begins — making each pair emitted exactly
+    * once with no dedup pass. Column names must be disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketMicros: Long,
+                          extraPred: Column = lit(true)): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .withColumn("__graft_bucket",
+        explode(sequence(
+          bucketOf(unix_micros(col(s)), bucketMicros),
+          bucketOf(unix_micros(col(e)), bucketMicros))))
+    val l = exploded(left, lStart, lEnd)
+    val r = exploded(right, rStart, rEnd)
+    l.join(r,
+        l("__graft_bucket") === r("__graft_bucket") &&
+          unix_micros(col(lStart)) <= unix_micros(col(rEnd)) &&
+          unix_micros(col(rStart)) <= unix_micros(col(lEnd)) &&
+          l("__graft_bucket") === bucketOf(
+            greatest(unix_micros(col(lStart)), unix_micros(col(rStart))), bucketMicros) &&
+          extraPred)
+      .drop("__graft_bucket")
+  }
 }

@@ -234,6 +234,43 @@ class RandomizedSpec extends AnyFunSuite {
         "side must be checkpointed before the caches are dropped")
   }
 
+  test("interval joins match naive inequality joins on random interval soups") {
+    import graft.operators.RangeJoin
+    // random intervals with lengths from zero to many buckets, clustered
+    // starts (ties guaranteed), plus random points
+    val b = 1000L
+    val iv = (1 to 200).map { i =>
+      val s = rnd.nextInt(50) * 500L // start on half-bucket grid: edge ties
+      (i.toLong, s, s + (rnd.nextInt(8) match {
+        case 0 => 0L                      // zero-length
+        case k => k * 700L                // up to ~5 buckets
+      }))
+    }
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(30000).toLong))
+    val ivDf = iv.toDF("iv_id", "s_us", "e_us")
+      .select(col("iv_id"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val ptDf = pts.toDF("p_id", "p_us")
+      .select(col("p_id"), timestamp_micros(col("p_us")).as("p"))
+
+    val gotP = RangeJoin.intervalPointJoin(ivDf, ptDf, "s", "e", "p", b)
+      .select("iv_id", "p_id").as[(Long, Long)].collect().toSeq.sorted
+    val naiveP = (for ((id, s, e) <- iv; (pid, p) <- pts if p >= s && p <= e)
+      yield (id, pid)).sorted
+    assert(gotP == naiveP, "intervalPointJoin != naive")
+
+    val other = iv.map { case (id, s, e) => (id + 1000, s, e) }
+    val oDf = other.toDF("b_id", "bs_us", "be_us")
+      .select(col("b_id"), timestamp_micros(col("bs_us")).as("bs"),
+        timestamp_micros(col("be_us")).as("be"))
+    val gotO = RangeJoin.intervalOverlapJoin(ivDf, oDf, "s", "e", "bs", "be", b)
+      .select("iv_id", "b_id").as[(Long, Long)].collect().toSeq
+    val naiveO = (for ((a, as_, ae) <- iv; (bId, bs, be) <- other
+      if as_ <= be && bs <= ae) yield (a, bId)).sorted
+    assert(gotO.sorted == naiveO, "intervalOverlapJoin != naive")
+    assert(gotO.size == gotO.toSet.size, "an overlapping pair was claimed twice")
+  }
+
   test("pointer jumping converges in O(log d) rounds on a deep chain") {
     // A 100-hop chain is the worst case for plain neighbor-min propagation
     // (one hop per round => ~100 rounds, silently wrong at maxIter=25);
