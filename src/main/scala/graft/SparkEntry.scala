@@ -89,6 +89,8 @@ object SparkEntry {
     "q71_session_concurrency_fast" -> (Queries.sessionConcurrencyFast _),
     "q72_global_rank"         -> (Queries.globalRank _),
     "q73_session_overlap"     -> (Queries.sessionOverlap _),
+    "q74_cumulative_users"    -> (Queries.cumulativeUsers _),
+    "q75_event_transitions"   -> (Queries.eventTransitions _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -787,6 +789,43 @@ object Queries {
       .select(col("user_id"), col("session_seq"), col("session_start"),
         coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"))
       .orderBy("user_id", "session_seq")
+  }
+
+  // --- q74: daily active + cumulative distinct users ---------------------------
+  // Running COUNT(DISTINCT) is not decomposable — but "distinct users so
+  // far" ≡ "users whose FIRST day is ≤ this day": one per-user min-day
+  // agg turns the running distinct into a running SUM of first-seen
+  // counts over the tiny per-day frame. No growing state, no
+  // sort-the-world; the only windows run over one row per day.
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("day").agg(countDistinct(col("user_id")).as("n_active"))
+    val firsts = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(firsts, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
+
+  // --- q75: event-type transition matrix ---------------------------------------
+  // Markov transition counts over each user's event sequence: one shuffle
+  // (the per-user window), then a hash-agg on the (from, to) pair — the
+  // behavioral-analytics matrix behind session-flow dashboards.
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
   }
 
   // --- q66: conversion funnel — view → click → purchase per user --------------
@@ -2346,6 +2385,28 @@ object Oracles {
            AND epoch_us(b.session_start) <= epoch_us(a.session_end)
            AND b.user_id != a.user_id
           GROUP BY 1, 2, 3""",
+
+    "q74_cumulative_users" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          daily AS (SELECT day, COUNT(DISTINCT user_id) AS n_active
+                    FROM e GROUP BY 1),
+          firsts AS (SELECT day, COUNT(*) AS n_new
+                     FROM (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1)
+                     GROUP BY 1)
+          SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
+                 CAST(SUM(COALESCE(n_new, 0))
+                      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_users
+          FROM daily LEFT JOIN firsts USING (day)""",
+
+    "q75_event_transitions" ->
+      """SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+         FROM (SELECT event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS from_type
+               FROM events)
+         WHERE from_type IS NOT NULL
+         GROUP BY 1, 2""",
   )
 
   private lazy val sessionConcurrencySql: String =
