@@ -91,6 +91,7 @@ object SparkEntry {
     "q73_session_overlap"     -> (Queries.sessionOverlap _),
     "q74_cumulative_users"    -> (Queries.cumulativeUsers _),
     "q75_event_transitions"   -> (Queries.eventTransitions _),
+    "q76_session_overlap_fast" -> (Queries.sessionOverlapFast _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -788,6 +789,48 @@ object Queries {
     sess.join(counts, Seq("user_id", "session_seq"), "left")
       .select(col("user_id"), col("session_seq"), col("session_start"),
         coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // --- q76: session overlap via prefix-sums (q73's scale twin) -----------------
+  // Same oracle as q73, O(n log n): sessions overlapping [st, en] =
+  // startsUpTo(en) − endsBefore(st) − 1 (the −1 removes the session
+  // itself; other own-user sessions can never overlap, by the gap
+  // construction). Two global running counts — one over session STARTS
+  // (boundary after equal starts: start == en counts as overlap), one
+  // over session ENDS (boundary before equal ends: end == st counts as
+  // overlap, so it must NOT land in endsBefore).
+  def sessionOverlapFast(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessions(
+        Tables.events(spark, dir).select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"))
+    val day = (c: Column) => floor(c / lit(86400000000L)).cast("long")
+    // one union per running count: (value rows w=1) + (boundary rows w=0)
+    def runningCount(values: DataFrame, valueTs: String, boundaries: DataFrame,
+                     boundTs: String, boundaryFirst: Boolean, cumCol: String) = {
+      val vk = if (boundaryFirst) 1 else 0 // boundary kind 0 sorts first
+      val bk = 1 - vk
+      val v = values.select(unix_micros(col(valueTs)).as("us"), lit(vk).as("kind"),
+        lit(1L).as("w"), lit(null).cast("long").as("user_id"),
+        lit(null).cast("long").as("session_seq"))
+      val b = boundaries.select(unix_micros(col(boundTs)).as("us"), lit(bk).as("kind"),
+        lit(0L).as("w"), col("user_id"), col("session_seq"))
+      PrefixSum.runningSum(v.unionByName(b).withColumn("bucket", day(col("us"))),
+          "bucket", Seq(col("us"), col("kind"), col("user_id"), col("session_seq")),
+          col("w"), cumCol)
+        .filter(col("kind") === lit(bk))
+        .select(col("user_id"), col("session_seq"), col(cumCol))
+    }
+    val startsUpTo = runningCount(sess, "session_start", sess, "session_end",
+      boundaryFirst = false, "c_starts") // boundary AFTER equal starts
+    val endsBefore = runningCount(sess, "session_end", sess, "session_start",
+      boundaryFirst = true, "c_ends")    // boundary BEFORE equal ends
+    sess.join(startsUpTo, Seq("user_id", "session_seq"))
+      .join(endsBefore, Seq("user_id", "session_seq"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        (col("c_starts") - col("c_ends") - lit(1L)).as("n_overlapping"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -2365,26 +2408,11 @@ object Oracles {
                                             l_linenumber DESC) AS revenue_rank
          FROM lineitem""",
 
-    "q73_session_overlap" ->
-      s"""WITH e AS (SELECT user_id, event_id, ts,
-                  epoch_us(ts) - lag(epoch_us(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-           FROM events),
-          s AS (SELECT user_id, ts,
-                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
-                FROM e),
-          sess AS (SELECT user_id, session_seq,
-                          MIN(ts) AS session_start, MAX(ts) AS session_end
-                   FROM s GROUP BY 1, 2)
-          SELECT a.user_id, a.session_seq, a.session_start,
-                 COUNT(b.user_id) AS n_overlapping
-          FROM sess a LEFT JOIN sess b
-            ON epoch_us(a.session_start) <= epoch_us(b.session_end)
-           AND epoch_us(b.session_start) <= epoch_us(a.session_end)
-           AND b.user_id != a.user_id
-          GROUP BY 1, 2, 3""",
+    "q73_session_overlap" -> sessionOverlapSql,
+
+    // q76 computes q73's answer with two global running counts instead of
+    // materializing overlap pairs — one oracle, two physical strategies
+    "q76_session_overlap_fast" -> sessionOverlapSql,
 
     "q74_cumulative_users" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2408,6 +2436,27 @@ object Oracles {
          WHERE from_type IS NOT NULL
          GROUP BY 1, 2""",
   )
+
+  private lazy val sessionOverlapSql: String =
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+                FROM e),
+          sess AS (SELECT user_id, session_seq,
+                          MIN(ts) AS session_start, MAX(ts) AS session_end
+                   FROM s GROUP BY 1, 2)
+          SELECT a.user_id, a.session_seq, a.session_start,
+                 COUNT(b.user_id) AS n_overlapping
+          FROM sess a LEFT JOIN sess b
+            ON epoch_us(a.session_start) <= epoch_us(b.session_end)
+           AND epoch_us(b.session_start) <= epoch_us(a.session_end)
+           AND b.user_id != a.user_id
+          GROUP BY 1, 2, 3"""
 
   private lazy val sessionConcurrencySql: String =
       s"""WITH e AS (SELECT user_id, event_id, ts,
