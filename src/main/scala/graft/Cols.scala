@@ -36,6 +36,30 @@ object Cols {
     * identical windows under any caller session config (the DuckDB oracle
     * side always parses literals as naive UTC).
     */
+  /** Wall-clock timestamp literal for comparisons against parquet
+    * TIMESTAMP-without-timezone columns (orders/lineitem dates): Spark
+    * reads NTZ parquet values by interpreting the stored wall-clock in the
+    * SESSION timezone, so the instants shift with the caller's session —
+    * and a pinned-UTC literal (utcTs) then selects different rows per
+    * session (measured: q10 admitted 528 vs 526 rows under UTC vs
+    * America/New_York). Parsing the literal in the session timezone makes
+    * literal and data shift together: the comparison happens in the
+    * wall-clock domain, exactly like DuckDB's naive TIMESTAMP compare.
+    * Constant-folded, so pushdown is preserved.
+    */
+  def ntzTs(s: String): Column = to_timestamp(lit(s))
+
+  /** Calendar DATE of a timestamp in UTC regardless of the session
+    * timezone: `to_date(ts)` reads `spark.sql.session.timeZone`, so the
+    * same query returns different days under different caller sessions
+    * (measured: q67/q74 shifted a day under America/New_York). Integer
+    * epoch-day arithmetic pins the UTC reading — exactly DuckDB's naive
+    * `CAST(ts AS DATE)`.
+    */
+  def utcDate(ts: Column): Column =
+    date_add(to_date(lit("1970-01-01")),
+      floor(unix_micros(ts) / lit(86400000000L)).cast("int"))
+
   def utcTs(s: String): Column = {
     val inst = java.time.LocalDateTime
       .parse(s.replace(' ', 'T'))

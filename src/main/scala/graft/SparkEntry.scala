@@ -218,7 +218,7 @@ object Queries {
   // --- q10: grouped pricing summary (exact decimal money math) ---------------
   def aggReport(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= utcTs("1998-09-01 00:00:00"))
+      .filter(col("l_shipdate") <= Cols.ntzTs("1998-09-01 00:00:00"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         moneySum(dec2(col("l_quantity"))).as("sum_qty"),
@@ -842,7 +842,7 @@ object Queries {
   // sort-the-world; the only windows run over one row per day.
   def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .select(col("user_id"), Cols.utcDate(col("ts")).as("day"))
     val daily = ev.groupBy("day").agg(countDistinct(col("user_id")).as("n_active"))
     val firsts = ev.groupBy("user_id").agg(min(col("day")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("n_new"))
@@ -909,7 +909,7 @@ object Queries {
   // where users ≪ events; AQE picks it).
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .select(col("user_id"), Cols.utcDate(col("ts")).as("day"))
     val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     ev.join(cohort, "user_id")
       .groupBy(col("cohort_day"),
