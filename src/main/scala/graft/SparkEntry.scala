@@ -872,25 +872,32 @@ object Queries {
   }
 
   // --- q66: conversion funnel — view → click → purchase per user --------------
-  // One shuffle: per-user grouped aggregation collecting the candidate step
-  // timestamps, then the chain (first view, first click AFTER it, first
-  // purchase after THAT) falls out of order-invariant array_min/filter HOFs
-  // — no self-joins, no window. The collected lists are bounded by a user's
-  // event count within the funnel window (classic per-entity bound); the
-  // comparison domain is integer epoch-micros shared with the oracle.
+  // The chain (first view, first click AFTER it, first purchase after
+  // THAT) resolves with conditional min-aggregations joined back on
+  // user_id — three hash-aggs and two equi-joins, every row constant
+  // size. (A collect_list-per-user form is one shuffle cheaper but puts a
+  // user's whole step history into a single row — one bot account with
+  // 10M clicks OOMs an executor; min/filter aggs have no such row.) All
+  // shuffles share the user_id key, so AQE coalesces them over one
+  // partitioning. Comparison domain is integer epoch-micros, shared with
+  // the oracle.
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val us = unix_micros(col("ts"))
-    val byUser = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-      .groupBy("user_id").agg(
-        min(when(col("event_type") === "view", us)).as("t_view"),
-        collect_list(when(col("event_type") === "click", us)).as("clicks"),
-        collect_list(when(col("event_type") === "purchase", us)).as("purchases"))
-    byUser
-      .withColumn("t_click",
-        array_min(filter(col("clicks"), c => c > col("t_view"))))
-      .withColumn("t_purchase",
-        array_min(filter(col("purchases"), p => p > col("t_click"))))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("us")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+    ev.groupBy("user_id").agg(count(lit(1)).as("__n"))
+      .join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
       .select(col("user_id"),
         timestamp_micros(col("t_view")).as("view_ts"),
         timestamp_micros(col("t_click")).as("click_ts"),
