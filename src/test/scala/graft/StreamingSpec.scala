@@ -273,6 +273,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(late < early * 5, f"per-batch time grew: early=$early%.2fs late=$late%.2fs")
   }
 
+  test("streaming funnel converges to the batch funnel across two runs") {
+    import org.apache.spark.sql.Encoders
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val fEnc = Encoders.product[FunnelStream.FEv]
+    def run(): Unit = {
+      val stream = IngestPipeline.boundedFileStream(spark, src, ev.schema)
+        .select(col("user_id").as("user"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_type").as("step"))
+        .as(fEnc)
+      FunnelStream.track(stream)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[FunnelStream.Funnel], id: Long) =>
+          df.withColumn("batch", lit(id)).write.mode("append").parquet(out))
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    half1.write.mode("append").parquet(src)
+    run()
+    half2.write.mode("append").parquet(src)
+    run()
+    // a user's final state is their emission from the LAST batch they
+    // appeared in (update semantics: downstream sinks upsert by user)
+    val emitted = spark.read.parquet(out)
+    val last = emitted.groupBy("user").agg(max("batch").as("batch"))
+    val got = emitted.join(last, Seq("user", "batch"))
+      .select(col("user").as("user_id"), col("stage"),
+        col("view_micros"), col("click_micros"), col("purchase_micros"))
+    val exp = Queries.funnel(spark, sf)
+      .select(col("user_id"), col("stage"),
+        unix_micros(col("view_ts")).as("view_micros"),
+        unix_micros(col("click_ts")).as("click_micros"),
+        unix_micros(col("purchase_ts")).as("purchase_micros"))
+    assert(got.count() == exp.count(), "one final row per user")
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
+      "streamed funnel must equal the batch funnel")
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
