@@ -92,6 +92,7 @@ object SparkEntry {
     "q74_cumulative_users"    -> (Queries.cumulativeUsers _),
     "q75_event_transitions"   -> (Queries.eventTransitions _),
     "q76_session_overlap_fast" -> (Queries.sessionOverlapFast _),
+    "q77_quality_sample"      -> (Queries.qualitySample _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -907,6 +908,30 @@ object Queries {
           .when(col("t_view").isNotNull, 1)
           .otherwise(0).as("stage"))
       .orderBy("user_id")
+  }
+
+  // --- q77: deterministic quality-weighted sampling ----------------------------
+  // Corpus downsampling with retention probability = the q28 quality
+  // score: a doc survives iff u(doc) < score, where u is a uniform-ish
+  // [0,1) value derived from the doc's id via the cross-engine polynomial
+  // fingerprint — NOT a RNG, so the sample is reproducible row-for-row in
+  // any engine, any partitioning, any retry (the property seeded RNGs
+  // lose the moment partitioning changes). One scan, no shuffle before
+  // the sink.
+  val SampleResolution = 1000000L
+
+  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val enStops = TextAnalysis.LangProfiles.head._2
+    val score = lit(0.5) * (TextAnalysis.stopwordCount(ws, enStops).cast("double") / size(ws)) +
+      lit(0.5) * least(lit(1.0), size(ws).cast("double") / lit(200.0))
+    val u = (graft.plans.VectorExprs.polyFingerprint(col("doc_id").cast("string"))
+      % lit(SampleResolution)).cast("double") / lit(SampleResolution.toDouble)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), score.as("quality_score"), u.as("u"))
+      .filter(col("u") < col("quality_score"))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
   }
 
   // --- q67: cohort retention matrix over events --------------------------------
@@ -2442,6 +2467,20 @@ object Oracles {
                FROM events)
          WHERE from_type IS NOT NULL
          GROUP BY 1, 2""",
+
+    "q77_quality_sample" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      val r = Queries.SampleResolution
+      s"""SELECT doc_id, quality_score FROM (
+            SELECT doc_id,
+                   0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                          / len($ws))
+                     + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)
+                     AS quality_score,
+                   CAST(${fpSql("CAST(doc_id AS VARCHAR)")} % $r AS DOUBLE) / $r.0 AS u
+            FROM documents)
+          WHERE u < quality_score"""
+    },
   )
 
   private lazy val sessionOverlapSql: String =
