@@ -895,7 +895,7 @@ object Queries {
       .join(clicks, "user_id")
       .filter(col("us") > col("t_click"))
       .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
-    ev.groupBy("user_id").agg(count(lit(1)).as("__n"))
+    ev.select("user_id").distinct()
       .join(views, Seq("user_id"), "left")
       .join(clicks, Seq("user_id"), "left")
       .join(purchases, Seq("user_id"), "left")
