@@ -93,6 +93,7 @@ object SparkEntry {
     "q75_event_transitions"   -> (Queries.eventTransitions _),
     "q76_session_overlap_fast" -> (Queries.sessionOverlapFast _),
     "q77_quality_sample"      -> (Queries.qualitySample _),
+    "q78_robust_outliers"     -> (Queries.robustOutliers _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -932,6 +933,27 @@ object Queries {
       .filter(col("u") < col("quality_score"))
       .select(col("doc_id"), col("quality_score"))
       .orderBy("doc_id")
+  }
+
+  // --- q78: robust outliers — median/MAD instead of mean/stddev ----------------
+  // q70's z-score breaks when the contamination itself inflates the
+  // moments; median absolute deviation is the robust form. Two rounds of
+  // the exact percentile aggregate (bit-matched to quantile_cont, q68),
+  // each a distributed per-group sort over a tiny group dim broadcast
+  // back over the fact scan. Flag |v − median| > 3·MAD.
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
   }
 
   // --- q67: cohort retention matrix over events --------------------------------
@@ -2481,6 +2503,18 @@ object Oracles {
             FROM documents)
           WHERE u < quality_score"""
     },
+
+    "q78_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+          d AS (SELECT event_id, e.event_type, value, med,
+                       abs(value - med) AS dev
+                FROM events e JOIN med USING (event_type)),
+          mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                  FROM d GROUP BY 1)
+          SELECT event_id, d.event_type, value, med, mad
+          FROM d JOIN mad USING (event_type)
+          WHERE dev > 3.0 * mad""",
   )
 
   private lazy val sessionOverlapSql: String =
