@@ -131,6 +131,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "outlier join must not shuffle the facts")
   }
 
+  test("q66: funnel keeps rows constant-size — no per-user collected histories") {
+    val p = plan("q66_funnel")
+    assert(!p.contains("collect_list"), "funnel regressed to collected histories")
+    assert(!p.contains("SortMergeJoin"), "user-keyed joins should stay hash/broadcast at this scale")
+  }
+
+  test("q77: sampling is one scan with no pre-sink shuffle") {
+    val p = plan("q77_quality_sample")
+    assert(!p.contains("hashpartitioning"), "sampling must not shuffle")
+    assert(!p.toLowerCase.contains("join"), "sampling must not join")
+  }
+
+  test("q78: both stats rounds broadcast back; fact side never shuffled") {
+    val p = plan("q78_robust_outliers")
+    // med joins twice (the mad round re-derives deviations) + the mad
+    // join: at least 2 broadcast joins, and never a fact-side shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "stats join must broadcast")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")

@@ -293,10 +293,17 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     }
-    half1.write.mode("append").parquet(src)
-    run()
-    half2.write.mode("append").parquet(src)
-    run()
+    // three checkpointed runs over a 3-way time split: state must carry a
+    // half-built chain across two run boundaries
+    val thirds = Seq(
+      ev.filter(col("ts") <= Cols.utcTs("2024-01-10 00:00:00")),
+      ev.filter(col("ts") > Cols.utcTs("2024-01-10 00:00:00") &&
+        col("ts") <= Cols.utcTs("2024-01-20 00:00:00")),
+      ev.filter(col("ts") > Cols.utcTs("2024-01-20 00:00:00")))
+    thirds.foreach { part =>
+      part.write.mode("append").parquet(src)
+      run()
+    }
     // a user's final state is their emission from the LAST batch they
     // appeared in (update semantics: downstream sinks upsert by user)
     val emitted = spark.read.parquet(out)
