@@ -535,6 +535,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshots.totalRows(spark, goldPath) == expected.count())
   }
 
+  test("partitioned writes prune whole directories at read time") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    Sources.writePartitioned(ev, s"$dir/events", Seq("event_type"))
+    val read = spark.read.parquet(s"$dir/events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter did not reach the scan: $plan")
+    // the pruned read returns exactly the partition's rows, and only the
+    // matching directory exists under the matching partition value
+    val expected = ev.filter(
+      org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(read.count() == expected)
+    val dirs = new java.io.File(s"$dir/events").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.count(_.startsWith("event_type=")) == 5, dirs.mkString(","))
+    // round-trip: partition column is restored from the directory layout
+    assert(read.columns.contains("event_type"))
+  }
+
   test("OCC storm: writers over overlapping buckets with gc racing lose nothing") {
     import spark.implicits._
     val numWriters = 4
