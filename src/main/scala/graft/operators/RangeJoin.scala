@@ -39,25 +39,44 @@ object RangeJoin {
     * with `extraPred` applied inside the join (e.g. a not-same-key
     * predicate). Column names must be disjoint across the two inputs —
     * rename before calling; both sides' columns survive in the output.
+    *
+    * `saltShards` > 1 splits every time bucket into that many join keys —
+    * each point lands in one shard (a deterministic hash of its
+    * timestamp), each interval-bucket row replicates to all shards — so a
+    * hot bucket (a flash-crowd hour) spreads over `saltShards` reducers
+    * instead of pinning one. The emitted pair set is IDENTICAL (each pair
+    * still meets exactly once: its point has exactly one shard); the cost
+    * is the interval side's extra ×shards replication, so salt only when
+    * the time distribution is known-spiky or AQE reports a straggler.
     */
   def intervalPointJoin(intervals: DataFrame, points: DataFrame,
                         startCol: String, endCol: String, tsCol: String,
                         bucketMicros: Long,
-                        extraPred: Column = lit(true)): DataFrame = {
+                        extraPred: Column = lit(true),
+                        saltShards: Int = 1): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
-    val iv = intervals
+    require(saltShards >= 1, s"saltShards must be >= 1: $saltShards")
+    val iv0 = intervals
       .withColumn("__graft_bucket",
         explode(sequence(
           bucketOf(unix_micros(col(startCol)), bucketMicros),
           bucketOf(unix_micros(col(endCol)), bucketMicros))))
-    val pt = points
+    val pt0 = points
       .withColumn("__graft_bucket", bucketOf(unix_micros(col(tsCol)), bucketMicros))
+    val (iv, pt) =
+      if (saltShards == 1) (iv0.withColumn("__graft_salt", lit(0)),
+        pt0.withColumn("__graft_salt", lit(0)))
+      else (iv0.withColumn("__graft_salt",
+          explode(array((0 until saltShards).map(lit): _*))),
+        pt0.withColumn("__graft_salt",
+          pmod(xxhash64(unix_micros(col(tsCol))), lit(saltShards)).cast("int")))
     iv.join(pt,
         iv("__graft_bucket") === pt("__graft_bucket") &&
+          iv("__graft_salt") === pt("__graft_salt") &&
           unix_micros(col(tsCol)).between(
             unix_micros(col(startCol)), unix_micros(col(endCol))) &&
           extraPred)
-      .drop("__graft_bucket")
+      .drop("__graft_bucket").drop("__graft_salt")
   }
 
   /** Inner-join `left` to the `right` rows whose `[rStart, rEnd]` interval

@@ -259,6 +259,13 @@ class RandomizedSpec extends AnyFunSuite {
       yield (id, pid)).sorted
     assert(gotP == naiveP, "intervalPointJoin != naive")
 
+    // salting spreads hot buckets but must not change the pair set
+    val salted = RangeJoin.intervalPointJoin(ivDf, ptDf, "s", "e", "p", b,
+        saltShards = 3)
+      .select("iv_id", "p_id").as[(Long, Long)].collect().toSeq
+    assert(salted.sorted == naiveP, "salted join changed the pair set")
+    assert(salted.size == salted.toSet.size, "salting duplicated a pair")
+
     val other = iv.map { case (id, s, e) => (id + 1000, s, e) }
     val oDf = other.toDF("b_id", "bs_us", "be_us")
       .select(col("b_id"), timestamp_micros(col("bs_us")).as("bs"),
