@@ -94,6 +94,7 @@ object SparkEntry {
     "q76_session_overlap_fast" -> (Queries.sessionOverlapFast _),
     "q77_quality_sample"      -> (Queries.qualitySample _),
     "q78_robust_outliers"     -> (Queries.robustOutliers _),
+    "q79_hybrid_search"       -> (Queries.hybridSearch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1005,7 +1006,10 @@ object Queries {
   val BmTerms: Seq[String] = Seq("vector", "stream", "window", "filter")
   val BmTopK = 20
 
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, score) for every doc with a positive BM25 score — the shared
+    * retrieval core of q69 (text top-k) and q79 (hybrid rerank).
+    */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")))
@@ -1025,8 +1029,37 @@ object Queries {
     d.crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("score"))
       .filter(col("score") > 0)
+  }
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(BmTopK)
+
+  // --- q79: hybrid retrieval — BM25 recall stage + dense cosine rerank --------
+  // The two-stage retrieval every RAG corpus pipeline runs: a cheap
+  // lexical stage takes the corpus down to `BmCandidates` docs (top-k by
+  // BM25, deterministic tiebreak), then the dense stage reranks ONLY the
+  // candidates by cosine to a query embedding (doc 0's vector —
+  // deterministic, no free-text query infra needed). The candidate set is
+  // a TakeOrdered result broadcast into the embedding join, so the dense
+  // stage scans |candidates| vectors, never the corpus.
+  val BmCandidates = 50
+  val HybridK = 20
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmCandidates)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    cand.join(emb, cand("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("score").as("bm25_score"),
+        graft.functions.Similarity.cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(HybridK)
   }
 
   // --- q70: per-group z-score outliers ----------------------------------------
@@ -2076,30 +2109,25 @@ object Oracles {
                 quantile_cont(l_extendedprice, 0.99) AS p99
          FROM lineitem GROUP BY 1""",
 
-    "q69_bm25_search" -> {
-      val terms = Queries.BmTerms
-      val dfSel = terms.zipWithIndex.map { case (t, i) =>
-        s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df_$i"
-      }.mkString(",\n                  ")
-      val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
-        s"""(CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)
-            * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * ${Queries.BmK1 + 1})
-            / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
-               + ${Queries.BmK1} * (${1 - Queries.BmB} + ${Queries.BmB}
-                   * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
-      }.mkString("\n            + ")
-      s"""WITH d AS (SELECT doc_id, $ws AS ws, len($ws) AS dl FROM documents),
-          s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-                  $dfSel
-                FROM d)
-          SELECT doc_id, score FROM (
-            SELECT doc_id,
-                   $scoreTerms
-                   AS score
-            FROM d, s)
-          WHERE score > 0
-          ORDER BY score DESC, doc_id LIMIT ${Queries.BmTopK}"""
-    },
+    "q69_bm25_search" ->
+      s"""$bm25ScoredSql
+          ORDER BY score DESC, doc_id LIMIT ${Queries.BmTopK}""",
+
+    "q79_hybrid_search" ->
+      s"""WITH cand AS (
+            $bm25ScoredSql
+            ORDER BY score DESC, doc_id LIMIT ${Queries.BmCandidates}),
+          q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0),
+          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                FROM embeddings)
+          SELECT doc_id, bm25_score, cos_sim FROM (
+            SELECT cand.doc_id, cand.score AS bm25_score,
+                   ${dotSql("qe", "de")}
+                     / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("de", "de")}))
+                     AS cos_sim
+            FROM cand JOIN e ON cand.doc_id = e.vec_id, q)
+          ORDER BY cos_sim DESC, doc_id LIMIT ${Queries.HybridK}""",
 
     "q70_value_outliers" ->
       """WITH s AS (SELECT event_type, COUNT(*) AS n,
@@ -2537,6 +2565,33 @@ object Oracles {
            AND epoch_us(b.session_start) <= epoch_us(a.session_end)
            AND b.user_id != a.user_id
           GROUP BY 1, 2, 3"""
+
+  /** BM25 scored-docs SQL shared by q69/q79 — ≡ Queries.bm25Scores (same
+    * literal term order, same rational idf, same fixed fold order).
+    */
+  private lazy val bm25ScoredSql: String = {
+    val terms = Queries.BmTerms
+    val dfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n                  ")
+    val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+      s"""(CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)
+          * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * ${Queries.BmK1 + 1})
+          / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
+             + ${Queries.BmK1} * (${1 - Queries.BmB} + ${Queries.BmB}
+                 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+    }.mkString("\n          + ")
+    s"""WITH d AS (SELECT doc_id, $ws AS ws, len($ws) AS dl FROM documents),
+        s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                $dfSel
+              FROM d)
+        SELECT doc_id, score FROM (
+          SELECT doc_id,
+                 $scoreTerms
+                 AS score
+          FROM d, s)
+        WHERE score > 0"""
+  }
 
   private lazy val sessionConcurrencySql: String =
       s"""WITH e AS (SELECT user_id, event_id, ts,
