@@ -151,6 +151,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "stats join must broadcast")
   }
 
+  test("q79: dense rerank joins candidates by broadcast — corpus never sorted") {
+    val p = plan("q79_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), "both stages must be top-k, not sort")
+    assert(!p.contains("SortMergeJoin"), "candidate join must broadcast")
+  }
+
   test("aggregations use map-side partial aggregation") {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
