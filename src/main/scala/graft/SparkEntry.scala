@@ -95,6 +95,7 @@ object SparkEntry {
     "q77_quality_sample"      -> (Queries.qualitySample _),
     "q78_robust_outliers"     -> (Queries.robustOutliers _),
     "q79_hybrid_search"       -> (Queries.hybridSearch _),
+    "q80_dup_rate_by_source"  -> (Queries.dupRateBySource _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1083,6 +1084,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // --- q80: corpus-health report — near-duplication rate by source -------------
+  // The dashboard number a dedup pipeline is judged by: per source, how
+  // much of the corpus sits in near-dup clusters. Rides the same verified
+  // component labels as q34/q65; cluster sizes are one hash-agg on the
+  // label, the per-source rollup another. dup_rate is an exact integer
+  // ratio emitted as double (single division — bit-stable cross-engine).
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = NearDup.lshVerifiedJaccardPairs(
+      docs, "doc_id", "text", JaccardN, JaccardThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val sizes = comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "label")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate", col("n_dup").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
   // --- q33: IVF ANN — probe nprobe inverted lists, exact search within --------
   // nprobe is corpus-tuned: the synthetic embeddings are ISOTROPIC (measured
   // mean cosine ~0 and identical same-label/cross-label distributions), so
@@ -2048,6 +2072,19 @@ object Oracles {
       s"""$componentCtes
           SELECT id AS doc_id, canonical_id, (id = canonical_id) AS is_canonical
           FROM (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""",
+
+    "q80_dup_rate_by_source" ->
+      s"""$componentCtes,
+          comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+                 CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_rate
+          FROM comp JOIN sizes USING (label)
+                    JOIN documents ON comp.id = documents.doc_id
+          GROUP BY 1""",
 
     "q65_cluster_canonical" -> {
       val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
