@@ -17,9 +17,11 @@ object Bench {
     // SPARK_GRAFT_QUERIES=q21_...,q22_... restricts the run (scaling
     // studies on one table family); unset = the full surface.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // "" behaves as unset, not match-nothing
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(queries.nonEmpty, "SPARK_GRAFT_QUERIES matched no queries")
     // Warmup: run every query once at the smallest SF so JIT + codegen
     // compilation costs don't land on the first timed queries.
     val warmDir = "/root/testdata/sf0.001"
@@ -27,10 +29,12 @@ object Bench {
     // eliminate whole subtrees that don't affect the row count — measured
     // on q64, whose left join-back to a per-key aggregate was removed
     // entirely (0.42s "benched" vs 33s real at sf1-eq). Hashing all
-    // columns into one aggregate keeps the old count() property that the
-    // final orderBy is still elided (EliminateSorts under an Aggregate),
-    // so pre-existing numbers stay comparable, while no join or projection
-    // can be pruned away.
+    // columns into one aggregate preserves the orderBy-elision property
+    // count() had (EliminateSorts under an Aggregate) while no join or
+    // projection can be pruned away. Note: rounds benched under count()
+    // (r01–r05) may UNDERSTATE cost for any query whose subtrees count()
+    // pruned — those historical numbers are not comparable to forced-eval
+    // rounds except where the query shape already forced evaluation.
     def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
       val h = org.apache.spark.sql.functions.xxhash64(
         df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
@@ -63,7 +67,13 @@ object Bench {
       }.drop(1)
       // A throwing query must not record its (fast) elapsed time as a
       // valid sample — that reads as a speedup. -1 is the failure sentinel.
-      name -> (if (failed) -1.0 else times.sorted.apply(1))
+      val sec = if (failed) -1.0 else times.sorted.apply(1)
+      // One short line per query, printed as it completes: the driver's
+      // tail capture truncated the single giant summary line in round 6
+      // (BENCH_r06.json "parsed": null, 22/80 timings lost), and short
+      // per-query lines can't fall off a byte-bounded tail the same way.
+      println(s"""{"query":"$name","sec":$sec}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,7 +83,15 @@ object Bench {
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val fq = failures.mkString("[", ",", "]")
     val total = if (failures.nonEmpty) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fq,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fq,"sf":"$sfDir"}"""
+    // Belt and braces: the full summary also lands in a file next to the
+    // repo so the round's perf record never depends on stdout capture.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_results.json")), summary)
+    catch { case _: Throwable => () }
+    println(summary)
     spark.stop()
   }
 }

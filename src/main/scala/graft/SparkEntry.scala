@@ -997,11 +997,15 @@ object Queries {
   // df — all integer-exact) broadcast against one corpus scan computing the
   // BM25 sum in a fixed literal term order, then a global top-k
   // (TakeOrderedAndProject — never a full sort at scale). The idf uses the
-  // rational form (N - df + 0.5)/(df + 0.5) WITHOUT the textbook ln():
-  // ln is monotone, so rankings agree, and neither the JVM's Math.log nor
-  // another engine's libm guarantees correctly-rounded results — the
-  // rational form keeps every arithmetic step IEEE-deterministic and the
-  // result bit-comparable across engines.
+  // rational form (N - df + 0.5)/(df + 0.5) WITHOUT the textbook ln().
+  // This is a DELIBERATE scoring deviation, not an equivalence: ln is
+  // monotone per term, but the score SUMS terms, and a sum of idf·w is not
+  // order-equivalent to a sum of ln(idf)·w — multi-term rankings can
+  // differ from textbook BM25 (rare idfs weigh relatively heavier here).
+  // The rational form is chosen because neither the JVM's Math.log nor
+  // another engine's libm guarantees correctly-rounded results; keeping
+  // every arithmetic step IEEE-deterministic makes the score bit-comparable
+  // across engines, and the oracle computes the identical rational form.
   val BmK1 = 1.2
   val BmB = 0.75
   val BmTerms: Seq[String] = Seq("vector", "stream", "window", "filter")

@@ -17,11 +17,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_QUERIES=q64_...,q65_... restricts the dump for local
     // iteration; the driver leaves it unset and dumps the full surface.
+    // Blank names are dropped so SPARK_GRAFT_QUERIES="" behaves as unset
+    // (Set("") used to filter out EVERY query, silently dumping nothing
+    // while downstream compared stale output); a restriction that matches
+    // zero queries fails fast for the same reason.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_QUERIES=${sys.env.get("SPARK_GRAFT_QUERIES")} matched no queries")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

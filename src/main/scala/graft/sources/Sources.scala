@@ -63,13 +63,18 @@ object Sources {
     * (`PartitionFilters` in the scan, asserted by PipelineSpec), which at
     * 100 TB is the difference between scanning a day and scanning a year.
     * `maxRecordsPerFile` bounds file sizes without an extra repartition.
+    * `saveMode` defaults to `errorifexists`: a retried pipeline step must
+    * not silently double every row in the target, so appending is an
+    * explicit caller decision (`append` for true incremental landings,
+    * `overwrite` for idempotent rebuilds).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                       maxRecordsPerFile: Long = 5000000L): Unit =
+                       maxRecordsPerFile: Long = 5000000L,
+                       saveMode: String = "errorifexists"): Unit =
     df.write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("append")
+      .mode(saveMode)
       .parquet(path)
 
   /** Split a rescued read into (clean, quarantine): clean rows with the

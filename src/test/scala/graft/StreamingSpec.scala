@@ -146,7 +146,11 @@ class StreamingSpec extends AnyFunSuite {
         unix_micros(col("ts")).as("tsMicros"),
         round(col("value") * 100).cast("long").as("cents"))
       .as(evEnc)
-    val q = SessionizeStream.sessionize(stream, Queries.SessionGapMicros)
+    // A 10-year lateness keeps the watermark behind every event, so no
+    // open tail is flushed by the TTL: this test isolates the fold logic
+    // (closed-session convergence); eviction has its own churn spec below.
+    val q = SessionizeStream.sessionize(stream, Queries.SessionGapMicros,
+        lateness = "3650 days")
       .writeStream.format("memory").queryName("graft_sessions")
       .option("checkpointLocation", s"$dir/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -284,7 +288,9 @@ class StreamingSpec extends AnyFunSuite {
           unix_micros(col("ts")).as("tsMicros"),
           col("event_type").as("step"))
         .as(fEnc)
-      FunnelStream.track(stream)
+      // A practically-infinite TTL: this test isolates cross-run chain
+      // carrying (batch convergence); eviction has its own churn spec.
+      FunnelStream.track(stream, ttlMicros = Long.MaxValue / 2)
         .writeStream
         .foreachBatch((df: org.apache.spark.sql.Dataset[FunnelStream.Funnel], id: Long) =>
           df.withColumn("batch", lit(id)).write.mode("append").parquet(out))
@@ -319,6 +325,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == exp.count(), "one final row per user")
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0,
       "streamed funnel must equal the batch funnel")
+  }
+
+  test("funnel state stays flat under user churn (event-time TTL eviction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val fEnc = Encoders.product[FunnelStream.FEv]
+    val cohorts = 6
+    val cohortSize = 100
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    // Each run lands a fresh cohort of users one event-time day later;
+    // the 1-hour TTL means every prior cohort is expired by the time the
+    // next lands. NoTimeout (the round-6 finding) would accrete all 600
+    // users; the TTL must hold state near one cohort.
+    def cohortEvents(c: Int) = (0 until cohortSize).flatMap { u =>
+      val user = c.toLong * cohortSize + u
+      val t0 = baseMicros + c * dayMicros + u * 1000000L
+      Seq((user, t0, "view"), (user, t0 + 1000L, "click"),
+        (user, t0 + 2000L, "purchase"))
+    }.toDF("user", "tsMicros", "step")
+    val stateRows = (0 until cohorts).map { c =>
+      cohortEvents(c).write.mode("append").parquet(src)
+      val stream = IngestPipeline
+        .boundedFileStream(spark, src, fEnc.schema).as(fEnc)
+      val q = FunnelStream.track(stream, ttlMicros = 3600L * 1000000L)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[FunnelStream.Funnel], id: Long) =>
+          df.write.mode("append").parquet(out))
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).lastOption
+        .getOrElse(fail("no state-operator progress recorded"))
+    }
+    // State must track the ACTIVE cohort, not the cumulative user count:
+    // at most the current cohort plus one not-yet-evicted predecessor
+    // (eviction for cohort c-1 fires on the first batch whose watermark
+    // has passed its TTL — same run's no-data batch or the next run).
+    assert(stateRows.last <= 2L * cohortSize,
+      s"state accreted under churn: per-run state rows = ${stateRows.toList}")
+    assert(stateRows.max <= 2L * cohortSize,
+      s"state exceeded two cohorts mid-run: ${stateRows.toList}")
+    // Eviction must not lose results: every user still reached stage 3.
+    val byUser = spark.read.parquet(out).groupBy("user")
+      .agg(max("stage").as("stage"))
+    assert(byUser.count() == cohorts.toLong * cohortSize)
+    assert(byUser.filter(col("stage") =!= 3).count() == 0)
+  }
+
+  test("sessionize state is evicted and silent keys' open tails are flushed") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val cohorts = 5
+    val cohortSize = 80
+    val gap = 60L * 1000000L // 1 minute
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    // Each key produces two sessions: a closed pair (two events 1s apart)
+    // and an open tail (one event a gap+ later). The tail can only reach
+    // the output via the event-time timeout — NoTimeout (round-6 finding)
+    // would hold every tail in state forever.
+    def cohortEvents(c: Int) = (0 until cohortSize).flatMap { k =>
+      val key = c.toLong * cohortSize + k
+      val t0 = baseMicros + c * dayMicros + k * 1000000L
+      Seq((key, t0, 100L), (key, t0 + 1000000L, 50L),
+        (key, t0 + gap + 10000000L, 25L))
+    }.toDF("key", "tsMicros", "cents")
+    val stateRows = (0 until cohorts).map { c =>
+      cohortEvents(c).write.mode("append").parquet(src)
+      val stream = IngestPipeline
+        .boundedFileStream(spark, src, evEnc.schema).as(evEnc)
+      val q = SessionizeStream.sessionize(stream, gap)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).lastOption
+        .getOrElse(fail("no state-operator progress recorded"))
+    }
+    assert(stateRows.last <= 2L * cohortSize,
+      s"state accreted under churn: per-run state rows = ${stateRows.toList}")
+    val got = spark.read.parquet(out)
+    // Every cohort the watermark has passed is COMPLETE in the output:
+    // both the closed session and the flushed tail, with exact aggregates.
+    val settled = got.filter(col("key") < (cohorts - 1).toLong * cohortSize)
+    assert(settled.count() == (cohorts - 1).toLong * cohortSize * 2,
+      "each settled key must emit its closed session AND its flushed tail")
+    val firsts = settled.filter(col("session_seq") === 1)
+    assert(firsts.filter(col("n_events") =!= 2 || col("total_cents") =!= 150).count() == 0)
+    val tails = settled.filter(col("session_seq") === 2)
+    assert(tails.filter(col("n_events") =!= 1 || col("total_cents") =!= 25).count() == 0)
   }
 
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
