@@ -535,6 +535,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshots.totalRows(spark, goldPath) == expected.count())
   }
 
+  test("one committed dedup decision table feeds the keep/drop and health reports") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decision").toString
+    val target = s"$dir/decision"
+    // The pipeline run: compute the component table ONCE, commit it.
+    val table = operators.NearDup.componentTable(
+      Tables.documents(spark, sf), "doc_id", "text",
+      Queries.JaccardN, Queries.JaccardThreshold, Queries.docQuality,
+      carryCols = Seq("source"))
+    Snapshots.commit(table, target)
+    // The reports: pure consumers of the COMMITTED table — no LSH, no
+    // component rounds, just a projection and a rollup over the snapshot.
+    val committed = Snapshots.read(spark, target)
+    val keep = Queries.clusterCanonicalFrom(committed)
+    val health = Queries.dupRateBySourceFrom(committed)
+    // Both equal their oracle-gated registry forms (which share the same
+    // in-session decision table via dedupDecisionTable's memo).
+    val expKeep = SparkEntry.queries("q65_cluster_canonical")(spark, sf)
+    assert(keep.except(expKeep).count() == 0 && expKeep.except(keep).count() == 0,
+      "keep/drop report from the committed table must equal q65")
+    val expHealth = SparkEntry.queries("q80_dup_rate_by_source")(spark, sf)
+    assert(health.except(expHealth).count() == 0 && expHealth.except(health).count() == 0,
+      "health report from the committed table must equal q80")
+    // The committed plan really is consumer-shaped: scans the snapshot's
+    // parquet, not the documents table.
+    val plan = keep.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"), s"report recomputed from raw docs: $plan")
+  }
+
   test("partitioned writes prune whole directories at read time") {
     import graft.sources.Sources
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
