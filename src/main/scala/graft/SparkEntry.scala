@@ -96,6 +96,7 @@ object SparkEntry {
     "q78_robust_outliers"     -> (Queries.robustOutliers _),
     "q79_hybrid_search"       -> (Queries.hybridSearch _),
     "q80_dup_rate_by_source"  -> (Queries.dupRateBySource _),
+    "q81_star_filtered"       -> (Queries.starFiltered _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1109,6 +1110,32 @@ object Queries {
   def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
     dupRateBySourceFrom(dedupDecisionTable(spark, dir))
 
+  // --- q81: parameterized star — the composer's WHERE slot --------------------
+  // The reference's most common star parameterization is a run-time date
+  // filter (`WHERE date >= '{{ parameters.start_date }}'` — reference:
+  // local_spotify_dab/Jinja/jinja_notebook.py:270). Both filter slots are
+  // exercised: the fact-level `where` (a one-year order window, applied
+  // before the joins so it reaches the scan) and a per-dim `filter` (one
+  // market segment, restricting the broadcast side). The oracle runs the
+  // SAME config through renderSql — the SQL text IS the oracle query.
+  val StarFilterFrom = "1996-01-01 00:00:00"
+  val StarFilterTo = "1997-01-01 00:00:00"
+  val StarFilterSegment = "BUILDING"
+
+  def starFiltered(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.compose(
+        fact = Tables.orders(spark, dir),
+        factCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+        dims = Seq(StarSchema.Dim(Tables.customer(spark, dir), Seq("c_mktsegment"),
+          factKey = "o_custkey", dimKey = "c_custkey", broadcastHint = true,
+          filter = Some(col("c_mktsegment") === StarFilterSegment))),
+        where = Some(col("o_orderdate") >= Cols.ntzTs(StarFilterFrom) &&
+          col("o_orderdate") < Cols.ntzTs(StarFilterTo)))
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(dec2(col("o_totalprice"))).as("total_price"))
+      .orderBy("month")
+
   /** q80 as a pure consumer of an already-materialized decision table. */
   def dupRateBySourceFrom(table: DataFrame): DataFrame =
     table.groupBy("source")
@@ -2095,6 +2122,27 @@ object Oracles {
           FROM comp JOIN sizes USING (label)
                     JOIN documents ON comp.id = documents.doc_id
           GROUP BY 1""",
+
+    "q81_star_filtered" -> {
+      // The oracle RUNS the composer's rendered SQL: the same config that
+      // drives the DataFrame path renders the filtered-star text, and the
+      // rollup wraps it — so the WHERE slot is verified end-to-end, not
+      // hand-transcribed.
+      val inner = StarSchema.renderSql(
+        "orders", Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+        Seq(StarSchema.DimRef("customer", Seq("c_mktsegment"),
+          factKey = "o_custkey", dimKey = "c_custkey",
+          filter = Some(s"c_mktsegment = '${Queries.StarFilterSegment}'"))),
+        where = Some(
+          s"o_orderdate >= TIMESTAMP '${Queries.StarFilterFrom}' AND " +
+            s"o_orderdate < TIMESTAMP '${Queries.StarFilterTo}'"))
+      s"""SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+          FROM ($inner)
+          GROUP BY 1"""
+    },
 
     "q65_cluster_canonical" -> {
       val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)

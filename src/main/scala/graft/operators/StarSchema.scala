@@ -25,7 +25,8 @@ object StarSchema {
     */
   final case class Dim(df: DataFrame, cols: Seq[String], factKey: String,
                        dimKey: String, broadcastHint: Boolean = false,
-                       joinType: String = "inner") {
+                       joinType: String = "inner",
+                       filter: Option[Column] = None) {
     require(normalizeJoinType(joinType).nonEmpty,
       s"star dim join type must be inner or left, got '$joinType'")
   }
@@ -44,10 +45,25 @@ object StarSchema {
     * the same query runs at 1000x the data. LEFT dims stay broadcastable:
     * Spark plans a broadcast-hash LEFT OUTER join with the dim on the
     * build side, so the null-preserving semantics cost no extra shuffle.
+    *
+    * `where` is the run-time fact filter the reference's composer
+    * parameterizes (`WHERE date >= '{{ parameters.start_date }}'` —
+    * reference: local_spotify_dab/Jinja/jinja_notebook.py:270): applied to
+    * the fact BEFORE the joins so it reaches the fact scan as a pushed
+    * filter (and prunes partitions on a date-partitioned fact — at 100 TB
+    * the difference between reading a month and reading the table).
+    * A `Dim.filter` restricts the dimension itself (e.g. one market
+    * segment); it is applied to the dim side before the join, which for a
+    * LEFT dim preserves the null-padding contract — fact rows whose dim
+    * row was filtered away survive with null dim columns, exactly as if
+    * the key were missing.
     */
-  def compose(fact: DataFrame, factCols: Seq[String], dims: Seq[Dim]): DataFrame = {
-    val joined = dims.foldLeft(fact) { (acc, d) =>
-      val dim = d.df.select((d.dimKey +: d.cols).distinct.map(col): _*)
+  def compose(fact: DataFrame, factCols: Seq[String], dims: Seq[Dim],
+              where: Option[Column] = None): DataFrame = {
+    val base = where.fold(fact)(fact.filter)
+    val joined = dims.foldLeft(base) { (acc, d) =>
+      val dim0 = d.df.select((d.dimKey +: d.cols).distinct.map(col): _*)
+      val dim = d.filter.fold(dim0)(dim0.filter)
       val side = if (d.broadcastHint) broadcast(dim) else dim
       acc.join(side, acc(d.factKey) === dim(d.dimKey),
         normalizeJoinType(d.joinType).get)
@@ -55,9 +71,15 @@ object StarSchema {
     joined.select((factCols ++ dims.flatMap(_.cols)).map(col): _*)
   }
 
-  /** A dimension by TABLE NAME, for the SQL-text form of the same config. */
+  /** A dimension by TABLE NAME, for the SQL-text form of the same config.
+    * `filter` is a SQL predicate over the dim's columns; it is rendered
+    * into the join's ON clause (not the WHERE), which is the only
+    * placement that preserves LEFT-join null-padding semantics — a WHERE
+    * on a left dim's column would silently turn the join inner.
+    */
   final case class DimRef(table: String, cols: Seq[String], factKey: String,
-                          dimKey: String, joinType: String = "inner") {
+                          dimKey: String, joinType: String = "inner",
+                          filter: Option[String] = None) {
     require(normalizeJoinType(joinType).nonEmpty,
       s"star dim join type must be inner or left, got '$joinType'")
   }
@@ -70,12 +92,16 @@ object StarSchema {
     * same tables: `spark.sql(renderSql(...))` and the DataFrame path
     * produce the same rows (asserted in InfraSpec).
     */
-  def renderSql(factTable: String, factCols: Seq[String], dims: Seq[DimRef]): String = {
+  def renderSql(factTable: String, factCols: Seq[String], dims: Seq[DimRef],
+                where: Option[String] = None): String = {
     val select = (factCols ++ dims.flatMap(_.cols)).mkString(", ")
     val joins = dims.map { d =>
       val kw = if (normalizeJoinType(d.joinType).get == "left") "LEFT JOIN" else "JOIN"
-      s"$kw ${d.table} ON ${d.factKey} = ${d.dimKey}"
+      val cond = s"${d.factKey} = ${d.dimKey}" +
+        d.filter.map(f => s" AND ($f)").getOrElse("")
+      s"$kw ${d.table} ON $cond"
     }
-    (s"SELECT $select" +: s"FROM $factTable" +: joins).mkString("\n")
+    val tail = where.map(w => s"WHERE $w").toSeq
+    ((s"SELECT $select" +: s"FROM $factTable" +: joins) ++ tail).mkString("\n")
   }
 }

@@ -156,6 +156,44 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered star: WHERE slot and dim filter agree across SQL and DataFrame forms") {
+    import graft.operators.StarSchema
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    o.createOrReplaceTempView("orders_f")
+    c.createOrReplaceTempView("customer_f")
+    val lo = "1996-01-01 00:00:00"
+    val hi = "1997-01-01 00:00:00"
+    val sql = StarSchema.renderSql("orders_f", Seq("o_orderkey", "o_totalprice"),
+      Seq(StarSchema.DimRef("customer_f", Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey", joinType = "left",
+        filter = Some("c_mktsegment = 'BUILDING'"))),
+      where = Some(s"o_orderdate >= TIMESTAMP '$lo' AND o_orderdate < TIMESTAMP '$hi'"))
+    assert(sql.contains("WHERE o_orderdate"), s"fact filter must render as WHERE:\n$sql")
+    assert(sql.contains("AND (c_mktsegment = 'BUILDING')") &&
+      sql.indexOf("c_mktsegment = 'BUILDING'") < sql.indexOf("WHERE"),
+      s"dim filter must live in the ON clause, not the WHERE:\n$sql")
+    val viaSql = spark.sql(sql)
+    val viaDf = StarSchema.compose(o, Seq("o_orderkey", "o_totalprice"),
+      Seq(StarSchema.Dim(c, Seq("c_mktsegment"),
+        factKey = "o_custkey", dimKey = "c_custkey", joinType = "left",
+        filter = Some(col("c_mktsegment") === "BUILDING"))),
+      where = Some(col("o_orderdate") >= Cols.ntzTs(lo) &&
+        col("o_orderdate") < Cols.ntzTs(hi)))
+    // LEFT + dim filter: every fact row in the window survives; customers
+    // outside the segment null-pad instead of dropping their orders
+    val window = o.filter(col("o_orderdate") >= Cols.ntzTs(lo) &&
+      col("o_orderdate") < Cols.ntzTs(hi))
+    assert(viaDf.count() == window.count(),
+      "a filtered LEFT dim must not drop windowed fact rows")
+    assert(viaDf.filter(col("c_mktsegment").isNull).count() > 0,
+      "fixture must contain out-of-segment orders")
+    assert(viaDf.filter(col("c_mktsegment").isNotNull &&
+      col("c_mktsegment") =!= "BUILDING").count() == 0,
+      "dim filter must exclude every other segment")
+    assert(viaSql.except(viaDf).count() == 0 && viaDf.except(viaSql).count() == 0)
+  }
+
   test("extensions entry point injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

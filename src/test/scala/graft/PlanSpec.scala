@@ -31,6 +31,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), "unused column not pruned")
   }
 
+  test("q81: the star WHERE slot pushes the date window to the orders scan") {
+    val p = plan("q81_star_filtered")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "lower bound not pushed")
+    assert(p.contains("LessThan(o_orderdate"), "upper bound not pushed")
+    assert(p.contains("BroadcastHashJoin"), "filtered dim must stay broadcast")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q22: LSH candidate generation reads the corpus exactly twice") {
     val p = plan("q22_dedup_minhash_lsh")
     assert("FileScan parquet".r.findAllIn(p).length == 2, p)
