@@ -728,7 +728,7 @@ object Snapshots {
       } catch {
         case e: Exception
             if e.isInstanceOf[java.util.ConcurrentModificationException] ||
-              fileNotFoundRooted(e) =>
+              fileNotFoundRooted(e, target) =>
           attempt += 1; if (attempt >= MaxCommitRetries) throw e
       }
       0L // unreachable
@@ -736,26 +736,43 @@ object Snapshots {
   }
 
   /** True when `t`'s cause chain (or a wrapped task-failure message) is
-    * rooted in a missing file — how Spark and Hadoop surface a dir that a
-    * concurrent commit rewrote and gc'd while this writer was still
-    * reading it. The message patterns matter: the local filesystem shells
-    * out for permission bits and wraps a vanished file as a
-    * RuntimeException over an ExitCodeException ("No such file or
+    * rooted in a missing file UNDER THIS STORE — how Spark and Hadoop
+    * surface a dir that a concurrent commit rewrote and gc'd while this
+    * writer was still reading it. The message patterns matter: the local
+    * filesystem shells out for permission bits and wraps a vanished file
+    * as a RuntimeException over an ExitCodeException ("No such file or
     * directory"), with no FileNotFoundException anywhere in the chain.
+    *
+    * The store-path requirement is the narrowing: only a path under
+    * `target`'s own directories (staged segments, bucket dirs, manifests)
+    * can vanish because of a concurrent commit's gc — that is the ONLY
+    * missing-file cause a retry can cure. A missing file anywhere else
+    * (a mistyped input table feeding the update DataFrame, a dropped
+    * upstream) is a caller bug that re-merging would re-hit
+    * MaxCommitRetries times before dying with a misleading "lost the
+    * publish race" story; it must propagate immediately as itself.
     */
-  private def fileNotFoundRooted(t: Throwable): Boolean = {
+  private def fileNotFoundRooted(t: Throwable, target: String): Boolean = {
+    // Prefixes an in-store path carries in error messages: the raw target,
+    // its scheme-stripped URI path, and file:-qualified forms of either.
+    val bases = Seq(target, new Path(target).toUri.getPath).distinct
+    val prefixes = bases.flatMap(b => Seq(s"$b/", s"file:$b/", s"file://$b/",
+      s"file:///${b.stripPrefix("/")}/"))
     var c: Throwable = t
+    var fnf = false
+    var inStore = false
     var depth = 0
     while (c != null && depth < 16) {
-      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = c.getMessage
-      if (m != null && (m.contains("FileNotFoundException") ||
-          m.contains("No such file or directory") || m.contains("does not exist")))
-        return true
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (m != null && (m.contains("FileNotFoundException") ||
+            m.contains("No such file or directory") || m.contains("does not exist"))))
+        fnf = true
+      if (m != null && prefixes.exists(m.contains)) inStore = true
       c = if (c.getCause eq c) null else c.getCause
       depth += 1
     }
-    false
+    fnf && inStore
   }
 
   /** Append-only commit: write ONLY `df` as a new log segment and publish
@@ -817,7 +834,7 @@ object Snapshots {
       } catch {
         // the staged segment can vanish BETWEEN the existence check and
         // the footer read (gc racing this commit) — re-stage and retry
-        case e: Exception if fileNotFoundRooted(e) => dir = null
+        case e: Exception if fileNotFoundRooted(e, target) => dir = null
       }
       attempt += 1
     }

@@ -630,6 +630,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a missing table OUTSIDE the store fails the commit immediately, unretried") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fnf").toString
+    val target = s"$base/t"
+    Snapshots.mergeCommitBuckets(Seq((0L, "seed")).toDF("id", "v"), target,
+      Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+    // A merge closure referencing a mistyped side-table path: the missing
+    // file is NOT under the store, so no amount of re-merging can cure it.
+    // The old classifier called any "does not exist" an OCC conflict and
+    // re-ran the merge MaxCommitRetries times before dying.
+    val missing = s"$base/no_such_table"
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[Exception] {
+      Snapshots.mergeCommitBuckets(Seq((0L, "upd")).toDF("id", "v"), target,
+        Seq("id"), 4)(identity) { (b, u) =>
+        merges.incrementAndGet()
+        val side = spark.read.schema("id LONG, v STRING").parquet(missing)
+        b.unionByName(u).unionByName(side)
+      }
+    }
+    assert(merges.get() == 1,
+      s"a caller bug was retried ${merges.get()} times as an OCC conflict")
+    // the surfaced error names the actual missing path — no publish-race story
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(16).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("no_such_table")), msgs.mkString(" | "))
+    assert(!e.isInstanceOf[java.util.ConcurrentModificationException], e.toString)
+    // and the store is unharmed: the seed commit still reads back intact
+    assert(Snapshots.read(spark, target).count() == 1)
+  }
+
   test("append-log contention: a won appendCommit is never erased by a racer") {
     import spark.implicits._
     (1 to 6).foreach { it =>
