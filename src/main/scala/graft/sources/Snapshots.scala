@@ -427,23 +427,95 @@ object Snapshots {
     }
   }
 
+  /** An atomic manifest-claim primitive for one filesystem scheme:
+    * publish the staged file `tmp` at `dst` if and only if `dst` does not
+    * yet exist, returning true exactly when THIS writer's content is the
+    * one now at `dst`. The atomicity must come from the STORE (a
+    * conditional put / if-absent link), not from an exists-check — two
+    * racing writers must never both see true for one `dst`.
+    */
+  type ClaimPrimitive =
+    (org.apache.hadoop.fs.FileSystem, Path, Path) => Boolean
+
+  private val customClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, ClaimPrimitive]()
+
+  /** Register the claim primitive for a scheme whose native conditional
+    * put should back the commit atom — e.g. S3 `If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`, an etag-gated ABFS create. A
+    * registered primitive takes precedence over every built-in path
+    * (including `file`, which is how the contract specs inject simulated
+    * semantics).
+    */
+  def registerClaim(scheme: String, p: ClaimPrimitive): Unit =
+    customClaims.put(scheme, p)
+
+  def unregisterClaim(scheme: String): Unit = customClaims.remove(scheme)
+
+  /** Filesystems whose Hadoop `rename` atomically REFUSES an existing
+    * destination (directory-namespace stores). Object stores emulating
+    * rename as copy+delete (s3a, gs, wasb) are deliberately absent: their
+    * rename silently replaces the destination, and no read-back can close
+    * the both-writers-read-back-after-both-renamed window (proven by the
+    * contract spec), so they require a registered conditional-put claim.
+    */
+  private val AtomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs", "abfs", "abfss")
+
+  private[graft] sealed trait ClaimStrategy
+  private[graft] case object HardLinkClaim extends ClaimStrategy
+  private[graft] case object RenameIfAbsentClaim extends ClaimStrategy
+  private[graft] final case class CustomClaim(p: ClaimPrimitive) extends ClaimStrategy
+
+  /** The FS contract matrix, resolved per scheme:
+    *
+    *  | scheme            | primitive            | why it is atomic        |
+    *  |-------------------|----------------------|-------------------------|
+    *  | (registered)      | caller's conditional | store-side if-absent    |
+    *  | file              | `link(2)`            | kernel rejects existing |
+    *  | hdfs/viewfs/abfs… | rename-if-absent     | namespace rename fails  |
+    *  |                   |                      | on an existing dst      |
+    *  | s3a/gs/wasb/other | REFUSED              | rename overwrites; an   |
+    *  |                   |                      | exists+rename+read-back |
+    *  |                   |                      | pair still loses commits|
+    *
+    * Refusing is the correctness-preserving default: a silently-lost
+    * commit on an object store is unbounded damage, an exception naming
+    * the fix (registerClaim with the store's conditional put) is not.
+    */
+  private[graft] def claimStrategy(scheme: String): ClaimStrategy = {
+    val custom = customClaims.get(scheme)
+    if (custom != null) CustomClaim(custom)
+    else if (scheme == "file") HardLinkClaim
+    else if (AtomicRenameSchemes.contains(scheme)) RenameIfAbsentClaim
+    else throw new IllegalStateException(
+      s"no atomic manifest-claim primitive for filesystem scheme '$scheme': " +
+        "its rename replaces existing destinations, so optimistic commits " +
+        "could silently lose updates. Register the store's conditional-put " +
+        s"via Snapshots.registerClaim(\"$scheme\", ...) (S3: If-None-Match, " +
+        "GCS: if-generation-match 0, ABFS: etag-gated create).")
+  }
+
+  /** The rename-if-absent claim, factored out so the contract spec can
+    * drive it against a filesystem with OVERWRITING rename semantics and
+    * demonstrate the lost update that keeps such schemes out of
+    * `AtomicRenameSchemes`.
+    */
+  private[graft] def renameIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                                    tmp: Path, dst: Path,
+                                    readBack: () => String,
+                                    content: String): Boolean =
+    !fs.exists(dst) && fs.rename(tmp, dst) && readBack() == content
+
   /** The commit atom: claim version `v` with `content`. The content is
     * fully staged in a salted dot-file (readers ignore those) and the
-    * version number is then claimed with an atomic-if-absent primitive,
-    * so the claim and the content land together and two writers can
-    * never both win one version:
-    *
-    *  - local filesystems: `link(2)` via `Files.createLink` — the kernel
-    *    rejects an existing target in the same syscall that publishes the
-    *    content. POSIX `rename(2)` is NOT usable here: it silently
-    *    replaces an existing target, so an exists-check+rename pair has a
-    *    lost-update window where a second writer overwrites the first
-    *    winner's commit.
-    *  - other filesystems (HDFS-style): `rename` already fails when the
-    *    destination exists (atomic claim); a content read-back guards any
-    *    remaining store whose rename overwrites — the salted snapshot dir
-    *    names make every writer's content distinct, so a read-back
-    *    mismatch always exposes a stomped commit.
+    * version number is then claimed with the scheme's atomic-if-absent
+    * primitive (`claimStrategy` — see the contract matrix there), so the
+    * claim and the content land together and two writers can never both
+    * win one version. On the local path, POSIX `rename(2)` is NOT usable:
+    * it silently replaces an existing target, so the claim is `link(2)`
+    * via `Files.createLink` — the kernel rejects an existing target in
+    * the same syscall that publishes the content.
     *
     * False (lost the race) means the caller must re-read the current
     * manifest before retrying at a later version.
@@ -454,8 +526,8 @@ object Snapshots {
     val dir = manifestPath(target)
     val tmp = new Path(dir, s".tmp-${fmt(v)}-${newSalt()}")
     val dst = new Path(dir, fmt(v))
-    val local = fs.getScheme == "file"
-    val won =
+    val strategy = claimStrategy(fs.getScheme) // unsupported scheme: throw
+    val won =                                  // BEFORE staging anything
       try {
         // the tmp staging itself can race a concurrent gc (a tmp aimed at
         // an already-superseded version looks like a crashed-writer
@@ -463,18 +535,23 @@ object Snapshots {
         // the claim lands is a lost race, never an error
         val out = fs.create(tmp, true)
         try out.write(content.getBytes("UTF-8")) finally out.close()
-        if (local) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dst.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        } else {
-          !fs.exists(dst) && fs.rename(tmp, dst) &&
-            manifestContent(spark, target, v) == content
+        strategy match {
+          case CustomClaim(p) => p(fs, tmp, dst)
+          case HardLinkClaim =>
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          case RenameIfAbsentClaim =>
+            // the read-back is defense in depth on top of the atomic
+            // rename (salted dir names make every writer's content
+            // distinct), NOT a substitute for it — see AtomicRenameSchemes
+            renameIfAbsent(fs, tmp, dst,
+              () => manifestContent(spark, target, v), content)
         }
       } catch { case _: java.io.IOException => false }
     // the link claim leaves tmp behind (dst shares its inode) — always

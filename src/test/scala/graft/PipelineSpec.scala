@@ -661,6 +661,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, target).count() == 1)
   }
 
+  test("manifest-claim contract matrix: link local, rename allowlist, refuse object stores") {
+    assert(Snapshots.claimStrategy("file") == Snapshots.HardLinkClaim)
+    assert(Snapshots.claimStrategy("hdfs") == Snapshots.RenameIfAbsentClaim)
+    assert(Snapshots.claimStrategy("abfs") == Snapshots.RenameIfAbsentClaim)
+    // an object store with copy-semantics rename is refused, and the
+    // error names the fix
+    val e = intercept[IllegalStateException] { Snapshots.claimStrategy("s3a") }
+    assert(e.getMessage.contains("registerClaim") && e.getMessage.contains("s3a"))
+    // a registered conditional-put primitive lifts the refusal
+    Snapshots.registerClaim("s3a", (_, _, _) => false)
+    try assert(Snapshots.claimStrategy("s3a").isInstanceOf[Snapshots.CustomClaim])
+    finally Snapshots.unregisterClaim("s3a")
+    intercept[IllegalStateException] { Snapshots.claimStrategy("s3a") }
+  }
+
+  test("overwriting rename loses a commit despite read-back — why refusal is right") {
+    // rename(2) on the local filesystem silently replaces an existing
+    // file — the same copy-over semantics S3A emulates — so the factored
+    // rename-if-absent claim can be driven against the RAW local fs to
+    // exhibit the exact double-win the AtomicRenameSchemes allowlist
+    // exists to prevent.
+    val dir = Files.createTempDirectory("graft_claim").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    def stage(name: String, content: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val dst = new org.apache.hadoop.fs.Path(dir, "00000001")
+    def readBack(): String = {
+      val in = fs.open(dst)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val aTmp = stage(".tmp-a", "content-A")
+    val bTmp = stage(".tmp-b", "content-B")
+    // Interleaving: both writers pass the exists probe while v1 is
+    // unclaimed (the claim is three non-atomic steps on such stores).
+    assert(!fs.exists(dst) && !fs.exists(dst))
+    // A completes its whole claim — rename, read-back — and believes it won.
+    assert(fs.rename(aTmp, dst) && readBack() == "content-A")
+    // B's rename then REPLACES A's manifest (no failure!), and B's
+    // read-back sees B's own content: B believes it won too.
+    assert(fs.rename(bTmp, dst),
+      "fixture assumption: raw local rename overwrites like an object store")
+    assert(readBack() == "content-B")
+    // Two winners for one version = A's commit silently lost. This is the
+    // contract violation no read-back ordering can close, hence
+    // claimStrategy refuses schemes with overwriting rename outright.
+  }
+
   test("append-log contention: a won appendCommit is never erased by a racer") {
     import spark.implicits._
     (1 to 6).foreach { it =>
