@@ -378,6 +378,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser.filter(col("stage") =!= 3).count() == 0)
   }
 
+  test("funnel steady state: 24 batches of churning users, flat seconds and state") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val fEnc = Encoders.product[FunnelStream.FEv]
+    val batches = 24
+    val cohortSize = 1000 // 10x the churn spec's cohort
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    def cohortEvents(b: Int) = (0 until cohortSize).flatMap { u =>
+      val user = b.toLong * cohortSize + u
+      val t0 = baseMicros + b * dayMicros + u * 1000L
+      Seq((user, t0, "view"), (user, t0 + 100L, "click"),
+        (user, t0 + 200L, "purchase"))
+    }.toDF("user", "tsMicros", "step")
+    val stats = (0 until batches).map { b =>
+      cohortEvents(b).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      val stream = IngestPipeline
+        .boundedFileStream(spark, src, fEnc.schema).as(fEnc)
+      val q = FunnelStream.track(stream, ttlMicros = 3600L * 1000000L)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[FunnelStream.Funnel], id: Long) =>
+          df.write.mode("append").parquet(out))
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val op = q.recentProgress.flatMap(_.stateOperators).lastOption
+        .getOrElse(fail("no state-operator progress recorded"))
+      (secs, op.numRowsTotal, op.memoryUsedBytes)
+    }
+    // State rows track the active cohort (current + at most one
+    // not-yet-evicted predecessor) across the WHOLE run — 24 cohorts in,
+    // the store holds 1/12th of the users ever seen.
+    assert(stats.map(_._2).max <= 2L * cohortSize,
+      s"state rows accreted: ${stats.map(_._2).toList}")
+    // State memory is flat too: the last batch's store is no bigger than
+    // a small multiple of the early steady state (lumpy allocator
+    // reporting tolerated).
+    val earlyBytes = stats.slice(2, 8).map(_._3).max
+    assert(stats.last._3 <= earlyBytes * 3,
+      s"state bytes grew: early=$earlyBytes last=${stats.last._3}")
+    // Per-batch wall time does not trend with batch count (generous bound
+    // so box load cannot flake the suite).
+    val early = stats.slice(2, 8).map(_._1).sum / 6
+    val late = stats.slice(batches - 6, batches).map(_._1).sum / 6
+    assert(late < early * 5, f"per-batch time grew: early=$early%.2fs late=$late%.2fs")
+    // And the results are right: every user completed the funnel.
+    val byUser = spark.read.parquet(out).groupBy("user")
+      .agg(max("stage").as("stage"))
+    assert(byUser.count() == batches.toLong * cohortSize)
+    assert(byUser.filter(col("stage") =!= 3).count() == 0)
+  }
+
   test("sessionize state is evicted and silent keys' open tails are flushed") {
     import spark.implicits._
     import org.apache.spark.sql.Encoders
