@@ -97,6 +97,8 @@ object SparkEntry {
     "q79_hybrid_search"       -> (Queries.hybridSearch _),
     "q80_dup_rate_by_source"  -> (Queries.dupRateBySource _),
     "q81_star_filtered"       -> (Queries.starFiltered _),
+    "q82_span_dup_rate"       -> (Queries.spanDupRate _),
+    "q83_budget_select"       -> (Queries.budgetSelect _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1136,6 +1138,63 @@ object Queries {
         moneySum(dec2(col("o_totalprice"))).as("total_price"))
       .orderBy("month")
 
+  // --- q82: per-document shared-span rate (memorization risk) -----------------
+  // For each document: what fraction of its distinct n-gram spans also
+  // appears in at least one OTHER document. The per-doc number a dedup
+  // pipeline uses to flag partially-duplicated text that whole-document
+  // near-dup misses (boilerplate headers, quoted passages, templated
+  // spans). No pair join anywhere: span df is one hash-agg over the
+  // exploded grams, the shared-span set (df >= 2) joins back by LEFT SEMI
+  // — cost is O(total grams), never O(doc pairs), and the heavy join key
+  // is the gram itself (uniformly distributed, no skew salt needed).
+  def spanDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withSh = docs.select(col("doc_id"),
+      graft.plans.SignatureExprs.distinctNGrams(
+        TextAnalysis.words(col("text")), JaccardN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shared = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val cnt = ex.join(shared, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(cnt, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("shared_ratio", col("n_shared").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  // --- q83: token-budget curriculum selection WITHOUT a global sort ------------
+  // "Take the highest-quality documents until the token budget is full" —
+  // the selection step between scoring and shard-writing in a training-
+  // data pipeline. The naive form is a global ORDER BY quality + running
+  // sum: one sort of the corpus ending in a single-task window. Here the
+  // global order (quality DESC, doc_id) is bucketed by quality millis
+  // (floor(q·1000), a pure function of the row), so PrefixSum computes
+  // the exact global running token count with per-bucket parallelism and
+  // one tiny bucket-prefix task — the q72 pattern applied to selection.
+  // A document is kept iff the budget was not yet exhausted BEFORE it
+  // (cum − tokens < budget), so the boundary document that crosses the
+  // budget line is included: the budget is a floor, not a cap, and the
+  // rule needs no second pass.
+  val TokenBudget = 10000L
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("tokens"),
+        docQuality.as("quality_score"))
+      .filter(col("tokens") > 0)
+    // bucket must ascend along the global (quality DESC) order
+    val bucketed = scored.withColumn("qb",
+      -floor(col("quality_score") * 1000).cast("long"))
+    PrefixSum.runningSum(bucketed, "qb",
+        Seq(col("quality_score").desc, col("doc_id")), col("tokens"), "cum_tokens")
+      .filter(col("cum_tokens") - col("tokens") < TokenBudget)
+      .select(col("doc_id"), col("tokens"), col("quality_score"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** q80 as a pure consumer of an already-materialized decision table. */
   def dupRateBySourceFrom(table: DataFrame): DataFrame =
     table.groupBy("source")
@@ -2142,6 +2201,40 @@ object Oracles {
                    AS total_price
           FROM ($inner)
           GROUP BY 1"""
+    },
+
+    "q82_span_dup_rate" ->
+      s"""WITH d AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+           FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+          shared AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) >= 2),
+          cnt AS (SELECT doc_id, COUNT(*) AS n_shared
+                  FROM ex JOIN shared USING (s) GROUP BY doc_id)
+          SELECT d.doc_id, len(d.sh) AS n_grams,
+                 COALESCE(cnt.n_shared, 0) AS n_shared,
+                 CAST(COALESCE(cnt.n_shared, 0) AS DOUBLE) / len(d.sh)
+                   AS shared_ratio
+          FROM d LEFT JOIN cnt USING (doc_id)
+          WHERE len(d.sh) > 0""",
+
+    "q83_budget_select" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""WITH q AS (SELECT doc_id, len($ws) AS tokens,
+                 0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                        / len($ws))
+                   + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)
+                   AS quality_score
+               FROM documents
+               WHERE len($ws) > 0),
+          c AS (SELECT *, CAST(SUM(tokens) OVER (ORDER BY quality_score DESC,
+                                                 doc_id) AS BIGINT)
+                       AS cum_tokens
+                FROM q)
+          SELECT doc_id, tokens, quality_score, cum_tokens
+          FROM c WHERE cum_tokens - tokens < ${Queries.TokenBudget}"""
     },
 
     "q65_cluster_canonical" -> {

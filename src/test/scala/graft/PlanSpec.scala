@@ -126,6 +126,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket"), "rank window lost its bucket partition")
   }
 
+  test("q82: shared-span rate joins grams semi-style — no pair join anywhere") {
+    val p = plan("q82_span_dup_rate")
+    assert(p.contains("LeftSemi"), "shared-gram membership must be a semi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q83: budget selection never single-partitions the corpus") {
+    val p = plan("q83_budget_select")
+    // one deliberately tiny single-partition task (the bucket-prefix
+    // window over ~1000 rows); the corpus-wide running sum must ride the
+    // per-bucket partitioning
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("hashpartitioning(qb"), "running sum must partition by quality bucket")
+    assert(p.contains("windowspecdefinition(qb"), "running sum window lost its bucket partition")
+  }
+
   test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
     val p = plan("q69_bm25_search")
     assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
