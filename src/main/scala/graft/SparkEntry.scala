@@ -99,6 +99,8 @@ object SparkEntry {
     "q81_star_filtered"       -> (Queries.starFiltered _),
     "q82_span_dup_rate"       -> (Queries.spanDupRate _),
     "q83_budget_select"       -> (Queries.budgetSelect _),
+    "q84_asof_tolerance"      -> (Queries.asOfWindowAttribution _),
+    "q85_next_conversion"     -> (Queries.nextConversion _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -590,6 +592,56 @@ object Queries {
       keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
     AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts",
       Seq("value", "event_id"), "view_")
+      .orderBy("event_id")
+  }
+
+  // --- q84: as-of join with an attribution window (tolerance) ------------------
+  // q40 with the real-world constraint every attribution system carries: a
+  // view older than the window (3 days here) must NOT be credited. Same
+  // single-shuffle union+window plan; the tolerance is a post-carry
+  // null-out, not a join predicate, so the cost is unchanged.
+  val AsOfWindowMicros: Long = 3L * 86400 * 1000000L
+
+  def asOfWindowAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = Dedup.latestByKey(
+      ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value"),
+      keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
+    AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts",
+      Seq("value", "event_id"), "view_",
+      toleranceMicros = Some(AsOfWindowMicros))
+      .orderBy("event_id")
+  }
+
+  // --- q85: forward as-of — time to conversion ---------------------------------
+  // For every view, the NEXT purchase by the same user within 7 days and
+  // the exact lag — the conversion-latency table funnels are tuned by.
+  // The forward direction is the same union+window carry over the
+  // reversed time order: still one shuffle on user_id, one per-key sort,
+  // never a per-key cross product of views x purchases.
+  val ConversionWindowMicros: Long = 7L * 86400 * 1000000L
+
+  def nextConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = Dedup.latestByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id"),
+        keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
+      .withColumn("purchase_ts", col("ts"))
+    AsOf.asOfJoin(views, purchases, Seq("user_id"), "ts",
+      Seq("event_id", "purchase_ts"), "next_",
+      toleranceMicros = Some(ConversionWindowMicros), forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_event_id"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+          .as("lag_micros"))
       .orderBy("event_id")
   }
 
@@ -2105,6 +2157,43 @@ object Oracles {
           SELECT p.event_id, p.user_id, p.ts, p.value,
                  v.value AS view_value, v.event_id AS view_event_id
           FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q84_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, ts, event_id, value FROM (
+                  SELECT user_id, ts, event_id, value,
+                         row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'view') WHERE rn = 1),
+          j AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+                       v.value AS view_value, v.event_id AS view_event_id,
+                       row_number() OVER (PARTITION BY p.event_id
+                                          ORDER BY v.ts DESC) AS rn
+                FROM p LEFT JOIN v ON p.user_id = v.user_id
+                      AND v.ts <= p.ts
+                      AND v.ts >= p.ts - INTERVAL 3 DAY)
+          SELECT event_id, user_id, ts, value, view_value, view_event_id
+          FROM j WHERE rn = 1""",
+
+    "q85_next_conversion" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, event_id FROM (
+                  SELECT user_id, ts, event_id,
+                         row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+          j AS (SELECT v.event_id, v.user_id, v.ts,
+                       p.event_id AS next_event_id,
+                       date_diff('microseconds', v.ts, p.ts) AS lag_micros,
+                       row_number() OVER (PARTITION BY v.event_id
+                                          ORDER BY p.ts ASC) AS rn
+                FROM v LEFT JOIN p ON v.user_id = p.user_id
+                      AND p.ts >= v.ts
+                      AND p.ts <= v.ts + INTERVAL 7 DAY)
+          SELECT event_id, user_id, ts, next_event_id, lag_micros
+          FROM j WHERE rn = 1""",
 
     "q38_distinct_sketch" -> {
       import graft.functions.Sketches._

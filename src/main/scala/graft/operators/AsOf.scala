@@ -25,25 +25,53 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows + `rightCols` (each renamed with `prefix`) from the as-of
-    * matched right row; null when no right row precedes.
+    * matched right row; null when no right row qualifies.
+    *
+    * `forward = false` (default) matches the LATEST right row with
+    * `right.ts <= left.ts`; `forward = true` matches the EARLIEST right
+    * row with `right.ts >= left.ts` (next-event attribution — time to
+    * conversion, next price tick). Both are inclusive at equal
+    * timestamps.
+    *
+    * `toleranceMicros` bounds the match distance (pandas merge_asof's
+    * `tolerance`): a match farther than the bound — stale state, an
+    * expired attribution window — comes back as nulls instead, exactly
+    * as if no right row qualified. The bound is applied AFTER the
+    * window carry, so the plan cost is unchanged: still one shuffle on
+    * the key and one per-key sort, never a per-key cross product.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, rightCols: Seq[String], prefix: String = "r_"): DataFrame = {
+               tsCol: String, rightCols: Seq[String], prefix: String = "r_",
+               toleranceMicros: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val sideCol = "__side"
+    val rtsCol = "__r_ts"
     val l = rightCols.foldLeft(left.withColumn(sideCol, lit(1)))(
       (d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn(rtsCol, lit(null).cast("long"))
     val r0 = right.select((keys :+ tsCol).map(col) ++ rightCols.map(c => col(c).as(s"__r_$c")): _*)
       .withColumn(sideCol, lit(0))
+      .withColumn(rtsCol, unix_micros(col(tsCol)))
     val r = leftCols.filterNot((keys :+ tsCol).contains)
       .foldLeft(r0)((d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = l.unionByName(r)
+    // forward = the same carry over the REVERSED time order; right rows
+    // sort before left at equal ts either way (side 0 < 1 — inclusive)
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(sideCol).asc)
+      .orderBy(tsOrder, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attributed = rightCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
-    attributed.filter(col(sideCol) === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+    val carried = (rightCols.map(c => s"__r_$c") :+ rtsCol).foldLeft(unioned)(
+      (d, c) => d.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w)))
+    val dist =
+      if (forward) col(s"__m_$rtsCol") - unix_micros(col(tsCol))
+      else unix_micros(col(tsCol)) - col(s"__m_$rtsCol")
+    // null matched-ts makes `within` null, and when() treats null as
+    // false — unmatched rows stay null-padded with no extra branch
+    val within = toleranceMicros.fold(lit(true))(t => dist <= lit(t))
+    carried.filter(col(sideCol) === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => when(within, col(s"__m___r_$c")).as(s"$prefix$c")): _*)
   }
 }

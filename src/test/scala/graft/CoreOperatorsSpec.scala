@@ -60,6 +60,36 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("as-of join: boundary semantics for direction and tolerance") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val us = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, us(10000), "a"), (1L, us(20000), "b"), (2L, us(10000), "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, us(10000), 100L), (1L, us(15000), 150L), (2L, us(30000), 300L))
+      .toDF("k", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "m_v").as[(String, Option[Long])].collect().toMap
+    // backward: equal ts matches (inclusive); latest preceding wins
+    val back = rows(AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_"))
+    assert(back == Map("a" -> Some(100L), "b" -> Some(150L), "c" -> None))
+    // backward tolerance: a match exactly AT the bound stays, one past it nulls
+    val tolIn = rows(AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_",
+      toleranceMicros = Some(5000L * 1000000L)))
+    assert(tolIn("b") == Some(150L), "distance == tolerance is inclusive")
+    val tolOut = rows(AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_",
+      toleranceMicros = Some(4999L * 1000000L)))
+    assert(tolOut("b") == None, "distance > tolerance must null out")
+    assert(tolOut("a") == Some(100L), "distance 0 always matches")
+    // forward: equal ts matches; earliest following wins; tolerance bounds it
+    val fwd = rows(AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_",
+      forward = true))
+    assert(fwd == Map("a" -> Some(100L), "b" -> None, "c" -> Some(300L)))
+    val fwdTol = rows(AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_",
+      toleranceMicros = Some(19999L * 1000000L), forward = true))
+    assert(fwdTol("c") == None, "forward distance > tolerance must null out")
+  }
+
   test("quality split quarantines with per-row failure reasons") {
     import spark.implicits._
     import graft.operators.Quality
