@@ -101,6 +101,7 @@ object SparkEntry {
     "q83_budget_select"       -> (Queries.budgetSelect _),
     "q84_asof_tolerance"      -> (Queries.asOfWindowAttribution _),
     "q85_next_conversion"     -> (Queries.nextConversion _),
+    "q86_epoch_mix"           -> (Queries.epochMix _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1581,6 +1582,34 @@ object Queries {
       .orderBy("lang")
   }
 
+  // --- q86: epoch-mix materialization — weights APPLIED to the corpus ----------
+  // q57 computes the temperature weights; this turns them into an actual
+  // epoch sample: language l's acceptance rate is weight_l · E / tokens_l
+  // (capped at 1 — a filter cannot upsample), and a document is kept iff
+  // its q77-style hash-uniform u falls under its language's rate. No RNG,
+  // no shuffle for the sampling itself: the per-language rate table is a
+  // broadcast of a few rows, the keep decision is a scan-local predicate,
+  // and only the per-language rollup aggregates. The report compares the
+  // achieved token mass per language against the epoch target.
+  val EpochTokens = 10000L
+
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val rates = langMixWeights(spark, dir).select(col("lang"),
+      least(lit(1.0), col("weight") * lit(EpochTokens.toDouble) /
+        col("lang_tokens").cast("double")).as("accept_rate"))
+    val u = (graft.plans.VectorExprs.polyFingerprint(col("doc_id").cast("string"))
+      % lit(SampleResolution)).cast("double") / lit(SampleResolution.toDouble)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
+        u.as("u"))
+      .join(broadcast(rates), "lang")
+      .filter(col("u") < col("accept_rate"))
+      .groupBy("lang", "accept_rate")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   // --- q58: per-shard document manifest with stream offsets -------------------
   // The index file a sequence-packing job ships with each training shard:
   // which documents it holds and at which token offset each begins in the
@@ -2692,6 +2721,34 @@ object Oracles {
           SELECT lang, n_docs, lang_tokens,
                  sqrt(CAST(lang_tokens AS DOUBLE)) / z AS weight
           FROM per, z""",
+
+    "q86_epoch_mix" -> {
+      val r = Queries.SampleResolution
+      s"""WITH per AS (
+            SELECT lang, CAST(SUM(CAST(len($ws) AS BIGINT)) AS BIGINT)
+                     AS lang_tokens
+            FROM documents GROUP BY 1),
+          z AS (SELECT list_reduce(
+                  list_transform(list(lang_tokens ORDER BY lang),
+                    t -> sqrt(CAST(t AS DOUBLE))),
+                  (a, b) -> a + b) AS z
+                FROM per),
+          wt AS (SELECT lang,
+                        least(1.0, sqrt(CAST(lang_tokens AS DOUBLE)) / z
+                                     * ${Queries.EpochTokens}.0
+                                     / CAST(lang_tokens AS DOUBLE))
+                          AS accept_rate
+                 FROM per, z),
+          d AS (SELECT doc_id, lang, CAST(len($ws) AS BIGINT) AS n_tokens,
+                       CAST(${fpSql("CAST(doc_id AS VARCHAR)")} % $r AS DOUBLE)
+                         / $r.0 AS u
+                FROM documents)
+          SELECT lang, accept_rate, COUNT(*) AS n_kept,
+                 CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+          FROM d JOIN wt USING (lang)
+          WHERE u < accept_rate
+          GROUP BY 1, 2"""
+    },
 
     "q58_shard_manifest" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS n_tokens
