@@ -102,6 +102,7 @@ object SparkEntry {
     "q84_asof_tolerance"      -> (Queries.asOfWindowAttribution _),
     "q85_next_conversion"     -> (Queries.nextConversion _),
     "q86_epoch_mix"           -> (Queries.epochMix _),
+    "q87_source_leakage"      -> (Queries.sourceLeakage _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -737,6 +738,20 @@ object Queries {
 
   private val decisionMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The corpus's verified near-dup pair list (LSH candidates + exact
+    * Jaccard ≥ threshold), computed once per (session, dir) — the shared
+    * upstream of the decision table AND the pair-level reports (q87).
+    */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((spark, dir), _ => {
+      val p = NearDup.lshVerifiedJaccardPairs(
+        Tables.documents(spark, dir), "doc_id", "text", JaccardN, JaccardThreshold)
+      p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p
+    })
 
   /** The corpus's dedup decision table (NearDup.componentTable), computed
     * once per (session, data dir) and served from the block-manager cache
@@ -746,7 +761,8 @@ object Queries {
     decisionMemo.computeIfAbsent((spark, dir), _ => {
       val t = NearDup.componentTable(
         Tables.documents(spark, dir), "doc_id", "text",
-        JaccardN, JaccardThreshold, docQuality, carryCols = Seq("source"))
+        JaccardN, JaccardThreshold, docQuality, carryCols = Seq("source"),
+        precomputedPairs = Some(verifiedPairs(spark, dir)))
       t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t
     })
@@ -1248,6 +1264,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- q87: cross-source duplication leakage matrix ----------------------------
+  // WHERE the near-dups come from: verified pairs rolled up by unordered
+  // source pair — the diagonal is within-source boilerplate, off-diagonal
+  // is cross-source leakage (mirrored crawls, syndication). Rides the
+  // memoized pair list (shared with the decision table) and looks sources
+  // up in the cached decision table, so the marginal cost is two joins of
+  // the PAIR frame (small — near-dups only) and one hash-agg. max_jaccard
+  // (not mean) keeps the float aggregation partition-order independent.
+  def sourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val src = dedupDecisionTable(spark, dir).select(col("doc_id"), col("source"))
+    verifiedPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q80 as a pure consumer of an already-materialized decision table. */
   def dupRateBySourceFrom(table: DataFrame): DataFrame =
     table.groupBy("source")
@@ -1689,7 +1725,7 @@ object Oracles {
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
                    ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id),
-        pairs AS (SELECT doc_a, doc_b FROM (
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM (
               SELECT doc_a, doc_b,
                      CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
                        / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
@@ -2320,6 +2356,16 @@ object Oracles {
           FROM ($inner)
           GROUP BY 1"""
     },
+
+    "q87_source_leakage" ->
+      s"""$componentCtes,
+          sp AS (SELECT least(a.source, b.source) AS source_a,
+                        greatest(a.source, b.source) AS source_b, jaccard
+                 FROM pairs JOIN documents a ON pairs.doc_a = a.doc_id
+                            JOIN documents b ON pairs.doc_b = b.doc_id)
+          SELECT source_a, source_b, COUNT(*) AS n_pairs,
+                 MAX(jaccard) AS max_jaccard
+          FROM sp GROUP BY 1, 2""",
 
     "q82_span_dup_rate" ->
       s"""WITH d AS (SELECT doc_id,
