@@ -809,24 +809,34 @@ object Queries {
         "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
       .select(col("user_id"), col("session_seq"), col("session_start"),
         col("session_end"), col("n_events"))
-    def boundary(tsCol: String, kind: Int) = sess.select(
-      unix_micros(col(tsCol)).as("us"), lit(kind).as("kind"), lit(0L).as("w"),
-      col("user_id"), col("session_seq"))
+    // BOTH window boundaries explode out of ONE pass over the sessions
+    // (the sessionize shuffle+sort runs once, not once per boundary
+    // kind), carrying n_events and the start micros so the final rollup
+    // needs no join back to the session frame.
+    val bounds = sess.select(col("user_id"), col("session_seq"),
+        col("n_events"), unix_micros(col("session_start")).as("st"),
+        explode(array(
+          struct(unix_micros(col("session_start")).as("us"), lit(0).as("kind")),
+          struct(unix_micros(col("session_end")).as("us"), lit(2).as("kind"))))
+          .as("e"))
+      .select(col("e.us").as("us"), col("e.kind").as("kind"), lit(0L).as("w"),
+        col("user_id"), col("session_seq"), col("n_events"), col("st"))
     val evr = Tables.events(spark, dir).select(
       unix_micros(col("ts")).as("us"), lit(1).as("kind"), lit(1L).as("w"),
-      lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_seq"))
-    val all = boundary("session_start", 0)
-      .unionByName(evr).unionByName(boundary("session_end", 2))
+      lit(null).cast("long").as("user_id"), lit(null).cast("long").as("session_seq"),
+      lit(null).cast("long").as("n_events"), lit(null).cast("long").as("st"))
+    val all = bounds.unionByName(evr)
       .withColumn("bucket", floor(col("us") / lit(86400000000L)).cast("long"))
     val cum = PrefixSum.runningSum(all, "bucket",
       Seq(col("us"), col("kind"), col("user_id"), col("session_seq")),
       col("w"), "cum")
-    val counts = cum.filter(col("kind") =!= 1)
+    cum.filter(col("kind") =!= 1)
       .groupBy("user_id", "session_seq")
       .agg(min(when(col("kind") === 0, col("cum"))).as("c_start"),
-        max(when(col("kind") === 2, col("cum"))).as("c_end"))
-    sess.join(counts, Seq("user_id", "session_seq"))
-      .select(col("user_id"), col("session_seq"), col("session_start"),
+        max(when(col("kind") === 2, col("cum"))).as("c_end"),
+        max(col("n_events")).as("n_events"), max(col("st")).as("st"))
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("st")).as("session_start"),
         (col("c_end") - col("c_start") - col("n_events")).as("n_concurrent"))
       .orderBy("user_id", "session_seq")
   }
@@ -894,31 +904,35 @@ object Queries {
         "user_id", "ts", Seq("event_id"), "value", SessionGapMicros)
       .select(col("user_id"), col("session_seq"), col("session_start"),
         col("session_end"))
-    val day = (c: Column) => floor(c / lit(86400000000L)).cast("long")
-    // one union per running count: (value rows w=1) + (boundary rows w=0)
-    def runningCount(values: DataFrame, valueTs: String, boundaries: DataFrame,
-                     boundTs: String, boundaryFirst: Boolean, cumCol: String) = {
-      val vk = if (boundaryFirst) 1 else 0 // boundary kind 0 sorts first
-      val bk = 1 - vk
-      val v = values.select(unix_micros(col(valueTs)).as("us"), lit(vk).as("kind"),
-        lit(1L).as("w"), lit(null).cast("long").as("user_id"),
-        lit(null).cast("long").as("session_seq"))
-      val b = boundaries.select(unix_micros(col(boundTs)).as("us"), lit(bk).as("kind"),
-        lit(0L).as("w"), col("user_id"), col("session_seq"))
-      PrefixSum.runningSum(v.unionByName(b).withColumn("bucket", day(col("us"))),
-          "bucket", Seq(col("us"), col("kind"), col("user_id"), col("session_seq")),
-          col("w"), cumCol)
-        .filter(col("kind") === lit(bk))
-        .select(col("user_id"), col("session_seq"), col(cumCol))
-    }
-    val startsUpTo = runningCount(sess, "session_start", sess, "session_end",
-      boundaryFirst = false, "c_starts") // boundary AFTER equal starts
-    val endsBefore = runningCount(sess, "session_end", sess, "session_start",
-      boundaryFirst = true, "c_ends")    // boundary BEFORE equal ends
-    sess.join(startsUpTo, Seq("user_id", "session_seq"))
-      .join(endsBefore, Seq("user_id", "session_seq"))
-      .select(col("user_id"), col("session_seq"), col("session_start"),
-        (col("c_starts") - col("c_ends") - lit(1L)).as("n_overlapping"))
+    // Each session explodes into its two boundary rows in ONE pass (the
+    // sessionize shuffle+sort runs once), and the single kind order
+    // start(0) < end(1) serves BOTH counts at once: at an end row the
+    // start-weight cum is startsUpTo(en) (equal-ts starts sort before),
+    // at a start row the end-weight cum is endsBefore(st) (equal-ts ends
+    // sort after, so end == st is correctly NOT counted). One window +
+    // one bucket-prefix pass via runningSums; the start micros rides the
+    // rows, so no join back to the session frame.
+    val bounds = sess.select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("st"),
+        explode(array(
+          struct(unix_micros(col("session_start")).as("us"), lit(0).as("kind"),
+            lit(1L).as("ws"), lit(0L).as("we")),
+          struct(unix_micros(col("session_end")).as("us"), lit(1).as("kind"),
+            lit(0L).as("ws"), lit(1L).as("we")))).as("e"))
+      .select(col("user_id"), col("session_seq"), col("st"),
+        col("e.us").as("us"), col("e.kind").as("kind"),
+        col("e.ws").as("ws"), col("e.we").as("we"))
+      .withColumn("bucket", floor(col("us") / lit(86400000000L)).cast("long"))
+    val cum = PrefixSum.runningSums(bounds, "bucket",
+      Seq(col("us"), col("kind"), col("user_id"), col("session_seq")),
+      Seq(col("ws") -> "c_starts", col("we") -> "c_ends"))
+    cum.groupBy("user_id", "session_seq")
+      .agg(max(when(col("kind") === 1, col("c_starts"))).as("su"),
+        min(when(col("kind") === 0, col("c_ends"))).as("eb"),
+        max(col("st")).as("st"))
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("st")).as("session_start"),
+        (col("su") - col("eb") - lit(1L)).as("n_overlapping"))
       .orderBy("user_id", "session_seq")
   }
 

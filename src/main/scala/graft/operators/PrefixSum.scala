@@ -31,20 +31,44 @@ object PrefixSum {
     * `orderCols`), inclusive of the current row.
     */
   def runningSum(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
-                 weight: Column, cumCol: String): DataFrame = {
+                 weight: Column, cumCol: String): DataFrame =
+    runningSums(df, bucketCol, orderCols, Seq(weight -> cumCol))
+
+  /** Several running sums over ONE shared global order, paying the
+    * per-bucket sort and the bucket-prefix pass once: the two-counts
+    * queries (session overlap's startsUpTo/endsBefore) would otherwise
+    * stack a second window + prefix join on top of the first.
+    */
+  def runningSums(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
+                  weights: Seq[(Column, String)]): DataFrame = {
     val w = Window.partitionBy(col(bucketCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df.withColumn("__graft_local", sum(weight).over(w))
+    val local = weights.zipWithIndex.foldLeft(df) { case (d, ((wt, _), i)) =>
+      d.withColumn(s"__graft_local_$i", sum(wt).over(w))
+    }
     // exclusive prefix of bucket totals: one row per bucket, so the
-    // unpartitioned window is a deliberately tiny single task
-    val prefix = df.groupBy(col(bucketCol)).agg(sum(weight).as("__graft_btot"))
-      .withColumn("__graft_prefix",
-        coalesce(sum(col("__graft_btot"))
-          .over(Window.orderBy(col(bucketCol)).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(bucketCol), col("__graft_prefix"))
-    local.join(broadcast(prefix), Seq(bucketCol))
-      .withColumn(cumCol, col("__graft_local") + col("__graft_prefix"))
-      .drop("__graft_local", "__graft_prefix")
+    // unpartitioned window is a deliberately tiny single task. Totals are
+    // read OFF the windowed frame (bucket total = max of the inclusive
+    // running sum — exact because the weights of a counting prefix are
+    // non-negative): referencing the window outputs keeps the totals
+    // subtree identical to the join side's, so the planner's exchange
+    // reuse shuffles the (possibly expensive) upstream once instead of
+    // recomputing the whole lineage for a second aggregate over `df`.
+    val pw = Window.orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = local.groupBy(col(bucketCol)).agg(
+      max(col("__graft_local_0")).as("__graft_btot_0"),
+      weights.indices.tail.map { i =>
+        max(col(s"__graft_local_$i")).as(s"__graft_btot_$i")
+      }: _*)
+    val prefix = weights.indices.foldLeft(totals) { (d, i) =>
+      d.withColumn(s"__graft_prefix_$i",
+        coalesce(sum(col(s"__graft_btot_$i")).over(pw), lit(0L)))
+    }.select(col(bucketCol) +: weights.indices.map(i => col(s"__graft_prefix_$i")): _*)
+    val joined = local.join(broadcast(prefix), Seq(bucketCol))
+    weights.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
+      d.withColumn(name, col(s"__graft_local_$i") + col(s"__graft_prefix_$i"))
+        .drop(s"__graft_local_$i", s"__graft_prefix_$i")
+    }
   }
 }
