@@ -35,6 +35,30 @@ class RandomizedSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("runningSums matches a driver-side reference prefix on random weights") {
+    import graft.operators.PrefixSum
+    // counting weights (non-negative), clustered buckets, duplicate order
+    // keys — the shapes the primitive meets in the session queries
+    val rows = (0 until 2000).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, i.toLong,
+        rnd.nextInt(3).toLong, if (rnd.nextBoolean()) 1L else 0L)
+    }
+    val df = rows.toDF("bucket_raw", "ord", "id", "w1", "w2")
+      // bucket must be monotone in the global order: derive it FROM ord
+      .withColumn("bucket", floor(col("ord") / 16).cast("long"))
+    val got = PrefixSum.runningSums(df, "bucket",
+        Seq(col("ord"), col("id")), Seq(col("w1") -> "c1", col("w2") -> "c2"))
+      .select("id", "c1", "c2").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // reference: one sequential pass over the globally sorted rows
+    var (a, b) = (0L, 0L)
+    val expected = rows.sortBy(r => (r._2 / 16, r._2, r._3)).map { r =>
+      a += r._4; b += r._5
+      r._3 -> (a, b)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("NfcCaseFold matches the Java reference pipeline on mixed-script strings") {
     val pieces = Seq("WORT", "Grüße", "ÉCOLE", "Café", "ПРИВЕТ", "数据",
       "ärger", "mixed ASCII 123", "", "ümläut́s")
