@@ -284,4 +284,139 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeAvi(id, bytes, sampleEvery) })
   }
+
+  /** A resized image: source and target dims, the re-encoded payload, and
+    * the output raster's R+G+B sum (the cheap integrity statistic the
+    * specs verify against a reference resample).
+    */
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                                out_w: Int, out_h: Int,
+                                out_bytes: Array[Byte], out_px_sum: Long)
+
+  /** REAL image resize through the plug-point: decode (javax.imageio),
+    * nearest-neighbor resample with the EXPLICIT floor mapping
+    * `src(x·w/outW, y·h/outH)` — hand-rolled rather than Graphics2D so
+    * the output raster is bit-identical on every JVM/platform (AWT
+    * interpolation pipelines are not contractually deterministic) — and
+    * re-encode as PNG. The thumbnail/preprocess step of an image-training
+    * pipeline, minus the learned transforms.
+    */
+  def resizeImage(docId: Long, bytes: Array[Byte], outW: Int, outH: Int): ResizedImage = {
+    require(outW > 0 && outH > 0, s"doc $docId: bad target $outW x $outH")
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, s"doc $docId: payload is not a decodable image")
+    val (w, h) = (src.getWidth, src.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sum = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val rgb = src.getRGB((x.toLong * w / outW).toInt, sy)
+        out.setRGB(x, y, rgb)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(out, "png", bos),
+      s"doc $docId: no PNG writer available")
+    ResizedImage(docId, w, h, outW, outH, bos.toByteArray, sum)
+  }
+
+  /** Batched resize: decode + resample + re-encode per payload inside
+    * `mapPartitions` — one task never holds more than its partition's
+    * rasters.
+    */
+  def resizeImageBatched(media: DataFrame, outW: Int, outH: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeImage(id, bytes, outW, outH) })
+  }
+
+  /** Windowed audio features over one payload: per fixed-size sample
+    * window, the RMS level, the absolute peak, and the zero-crossing
+    * count — the cheap silence/clipping/voice-activity signals an audio
+    * curation pipeline filters on.
+    */
+  final case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Int,
+                               rms: Double, peak: Int, zero_crossings: Long)
+
+  /** REAL audio feature extraction through the plug-point: RIFF/WAVE
+    * container walk (same parser contract as `decodeWav`), then 16-bit
+    * little-endian PCM samples folded SEQUENTIALLY per window — fixed
+    * fold order, so rms doubles are bit-identical everywhere. Requires
+    * bits_per_sample == 16 (the PCM depth the fixtures and real speech
+    * corpora use); channels are treated as one interleaved stream, which
+    * leaves window boundaries sample-aligned for any channel count.
+    */
+  def audioFeatures(docId: Long, bytes: Array[Byte],
+                    windowSamples: Int): Seq[AudioWindow] = {
+    require(windowSamples > 0, s"doc $docId: bad window $windowSamples")
+    val wav = decodeWav(docId, bytes)
+    require(wav.bits_per_sample == 16,
+      s"doc $docId: audioFeatures needs 16-bit PCM, got ${wav.bits_per_sample}")
+    // re-walk to the data chunk (decodeWav validated the container)
+    def le32(off: Int) =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def ascii(off: Int) =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var off = 12
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length && dataOff < 0) {
+      val (id, size) = (ascii(off), le32(off + 4))
+      if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(dataOff >= 0, s"doc $docId: no data chunk")
+    val n = dataLen / 2
+    val windows = Seq.newBuilder[AudioWindow]
+    var w = 0
+    while (w * windowSamples < n) {
+      val lo = w * windowSamples
+      val hi = math.min(lo + windowSamples, n)
+      var i = lo
+      var sumSq = 0.0
+      var peak = 0
+      var crossings = 0L
+      var prevSign = 0
+      while (i < hi) {
+        val o = dataOff + i * 2
+        val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        sumSq += s.toDouble * s.toDouble
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val sign = Integer.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+        }
+        i += 1
+      }
+      windows += AudioWindow(docId, w, hi - lo,
+        math.sqrt(sumSq / (hi - lo)), peak, crossings)
+      w += 1
+    }
+    windows.result()
+  }
+
+  /** Batched audio features: one container walk + PCM pass per payload
+    * inside `mapPartitions`, windows flat-mapped out — payload bytes
+    * never cross the operator boundary, only the per-window rows.
+    */
+  def audioFeaturesBatched(media: DataFrame, windowSamples: Int): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFeatures(id, bytes, windowSamples)
+      })
+  }
 }

@@ -338,6 +338,114 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("image resize: exact nearest-neighbor raster, decodable output, deterministic bytes") {
+    import spark.implicits._
+    def px(i: Int)(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7 + i) % 256, (y * 13 + i) % 256, (x + y) % 256)
+    def makeImage(i: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(i)(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, if (i % 2 == 0) "png" else "bmp", bos))
+      bos.toByteArray
+    }
+    val (outW, outH) = (16, 12)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 30).map { i =>
+      val (w, h) = (4 + rnd.nextInt(60), 4 + rnd.nextInt(60))
+      // reference resample: the operator's documented floor mapping over
+      // the closed-form source raster — computed WITHOUT the operator
+      val expSum = (for (y <- 0 until outH; x <- 0 until outW) yield {
+        val (r, g, b) = px(i)((x.toLong * w / outW).toInt, (y.toLong * h / outH).toInt)
+        (r + g + b).toLong
+      }).sum
+      (i.toLong, w, h, expSum, makeImage(i, w, h))
+    }
+    val df = rows.map(r => (r._1, r._5)).toDF("doc_id", "payload").repartition(5)
+    val got = Multimodal.resizeImageBatched(df, outW, outH).collect()
+      .map(r => r.doc_id -> r).toMap
+    rows.foreach { case (id, w, h, expSum, _) =>
+      val r = got(id)
+      assert((r.width, r.height, r.out_w, r.out_h) == (w, h, outW, outH))
+      assert(r.out_px_sum == expSum, s"doc $id: resampled raster diverged")
+      // the re-encoded payload really is a decodable image of the target
+      // size whose pixels are the resampled raster
+      val round = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.out_bytes))
+      assert(round.getWidth == outW && round.getHeight == outH)
+      val roundSum = (for (y <- 0 until outH; x <- 0 until outW) yield {
+        val rgb = round.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+      }).sum
+      assert(roundSum == expSum, s"doc $id: PNG roundtrip lost pixels")
+    }
+    // bit-deterministic: the same payload resizes to identical bytes
+    val twice = Multimodal.resizeImage(0L, rows.head._5, outW, outH)
+    assert(java.util.Arrays.equals(twice.out_bytes, got(0L).out_bytes))
+  }
+
+  test("audio features: windowed RMS/peak/crossings over real PCM match a reference fold") {
+    import spark.implicits._
+    def makeWav16(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val size = 4 + (8 + 16) + (8 + dataLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(size).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(32000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val window = 256
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 20).map { i =>
+      val n = 300 + rnd.nextInt(900) // 2-5 windows, last one partial
+      val samples = Array.tabulate(n)(j =>
+        ((j * 37 + i * 101) % 2001 - 1000).toShort)
+      (i.toLong, samples, makeWav16(samples))
+    }
+    val df = rows.map(r => (r._1, r._3)).toDF("doc_id", "payload").repartition(4)
+    val got = Multimodal.audioFeaturesBatched(df, window).collect()
+      .map(r => (r.doc_id, r.window_idx) -> r).toMap
+    rows.foreach { case (id, samples, _) =>
+      samples.grouped(window).zipWithIndex.foreach { case (win, idx) =>
+        // reference: the operator's documented sequential fold
+        var (sumSq, peak, crossings, prevSign) = (0.0, 0, 0L, 0)
+        win.foreach { s =>
+          sumSq += s.toDouble * s.toDouble
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val sign = Integer.signum(s)
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) crossings += 1
+            prevSign = sign
+          }
+        }
+        val r = got((id, idx))
+        assert(r.n_samples == win.length)
+        assert(r.rms == math.sqrt(sumSq / win.length), s"doc $id win $idx rms")
+        assert(r.peak == peak && r.zero_crossings == crossings)
+      }
+      assert(!got.contains((id, samples.length / window + 1)), "phantom window")
+    }
+    // silence is exactly zero everywhere
+    val silent = Multimodal.audioFeatures(90L, makeWav16(new Array[Short](512)), 256)
+    assert(silent.forall(w => w.rms == 0.0 && w.peak == 0 && w.zero_crossings == 0L))
+    // non-16-bit PCM is refused (the quarantine-sink contract)
+    intercept[Exception] {
+      val bad = makeWav16(Array[Short](1, 2, 3))
+      // patch bits_per_sample to 8 in the fmt chunk
+      bad(34) = 8
+      Multimodal.audioFeatures(91L, bad, 256)
+    }
+  }
+
   test("avi demuxer samples frames at the container level and decodes exactly them") {
     import spark.implicits._
     import java.nio.{ByteBuffer, ByteOrder}
