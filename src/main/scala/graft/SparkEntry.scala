@@ -103,6 +103,7 @@ object SparkEntry {
     "q85_next_conversion"     -> (Queries.nextConversion _),
     "q86_epoch_mix"           -> (Queries.epochMix _),
     "q87_source_leakage"      -> (Queries.sourceLeakage _),
+    "q88_sketch_percentiles"  -> (Queries.sketchPercentiles _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1088,6 +1089,25 @@ object Queries {
         element_at(col("qs"), 2).as("p50"),
         element_at(col("qs"), 3).as("p75"),
         element_at(col("qs"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  // --- q88: histogram-sketch percentiles — q68's one-pass mergeable twin -------
+  // Same report shape as q68 without the distributed per-group sort: one
+  // hash-agg over (flag, price-bin), a cumulative over ≤1100 tiny rows
+  // per flag, linear interpolation inside the boundary bin. Error ≤ the
+  // 100-unit bin width (~0.1% of the price range); bin counts are
+  // ADDITIVE, so day-over-day / cluster-over-cluster merges are vector
+  // adds with no merge-order sensitivity — the property rank-based
+  // sketches (KLL/GK) give up. The spec pins every estimate within one
+  // bin width of q68's exact answer.
+  val SketchBinWidth = 100.0
+  val SketchBins = 1100
+  val SketchQs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99)
+
+  def sketchPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.histogramQuantiles(
+        Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", SketchBinWidth, SketchBins, SketchQs)
       .orderBy("l_returnflag")
 
   // --- q69: BM25 top-k retrieval over the corpus -------------------------------
@@ -2466,6 +2486,35 @@ object Oracles {
                  COUNT(DISTINCT e.user_id) AS n_users
           FROM e JOIN f USING (user_id)
           GROUP BY 1, 2""",
+
+    "q88_sketch_percentiles" -> {
+      val w = Queries.SketchBinWidth
+      val cap = Queries.SketchBins - 1
+      val qList = Queries.SketchQs
+        .map(q => s"CAST($q AS DOUBLE)").mkString("[", ", ", "]")
+      val qCols = Queries.SketchQs.map { q =>
+        s"MAX(CASE WHEN q = $q THEN est END) AS est_${q.toString.replace('.', '_')}"
+      }.mkString(",\n                 ")
+      s"""WITH b AS (SELECT l_returnflag AS g,
+                  CAST(least(greatest(floor(l_extendedprice / $w), 0), $cap)
+                       AS BIGINT) AS bin
+           FROM lineitem),
+          c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+          cc AS (SELECT g, bin, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+                 FROM c),
+          qq AS (SELECT unnest($qList) AS q),
+          sel AS (SELECT g, q,
+                    $w * (CAST(bin AS DOUBLE) + (q * n - (cum - cnt)) / cnt)
+                      AS est
+                  FROM cc, qq
+                  WHERE cum >= q * n AND cum - cnt < q * n)
+          SELECT g AS l_returnflag,
+                 $qCols
+          FROM sel GROUP BY 1"""
+    },
 
     "q68_percentile_report" ->
       """SELECT l_returnflag,

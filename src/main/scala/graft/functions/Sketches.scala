@@ -42,4 +42,55 @@ object Sketches {
     */
   def hashSampled(hash: Column, rate: Column): Column =
     (hash.cast("double") / lit(P.toDouble)) < rate
+
+  /** Histogram-sketch per-group quantiles — the one-pass MERGEABLE scale
+    * twin of the exact per-group percentile sort: values drop into
+    * fixed-width bins (one hash-agg over (group, bin) — map-side
+    * combined, one narrow shuffle), the per-group cumulative runs over at
+    * most `nBins` tiny rows, and each requested quantile resolves to the
+    * unique boundary bin with a linear interpolation inside it. Error is
+    * bounded by `binWidth`; memory by `nBins` counts per group.
+    *
+    * Unlike rank-based sketches (KLL/GK/t-digest), bin counts are
+    * ADDITIVE: merging two sketches — two days, two clusters, a
+    * streaming state and a batch — is a vector add with NO dependence on
+    * merge order, so estimates are bit-identical on any partitioning,
+    * retry, or incremental-merge schedule (the q14 partial-agg pattern
+    * applies as-is to the (group, bin, cnt) frame). Every arithmetic
+    * step is plain IEEE double, so a SQL engine replaying the same
+    * formula reproduces the estimates exactly.
+    *
+    * Output: one row per group with an `est_<q>` column per requested
+    * quantile (q rendered with '_' for '.': est_0_5 for the median).
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         binWidth: Double, nBins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(greatest(floor(col(valueCol) / lit(binWidth)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val counts = df.groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    // the boundary bin for q: cumPrev < q·n <= ... <= cum — unique by
+    // construction (a bin whose cumPrev already reaches q·n is excluded)
+    val sel = cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= col("q") * col("n") &&
+        col("cum") - col("cnt") < col("q") * col("n"))
+      .select(col(groupCol), col("q"),
+        (lit(binWidth) * (col("bin").cast("double") +
+          (col("q") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est"))
+    def qName(q: Double) = "est_" + q.toString.replace('.', '_')
+    sel.groupBy(groupCol).agg(
+      max(when(col("q") === qs.head, col("est"))).as(qName(qs.head)),
+      qs.tail.map(q =>
+        max(when(col("q") === q, col("est"))).as(qName(q))): _*)
+  }
 }

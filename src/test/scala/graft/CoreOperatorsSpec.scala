@@ -60,6 +60,38 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("sketch percentiles land within one bin width of the exact answer") {
+    val exact = Queries.percentileReport(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val sketch = Queries.sketchPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(sketch.keySet == exact.keySet)
+    // q68 asks (0.25, 0.5, 0.75, 0.99), q88 the same list: each estimate
+    // must sit within one bin width of the true percentile
+    sketch.foreach { case (flag, ests) =>
+      ests.zip(exact(flag)).zipWithIndex.foreach { case ((est, ex), i) =>
+        assert(math.abs(est - ex) <= Queries.SketchBinWidth,
+          f"flag $flag q#$i: sketch $est%.2f vs exact $ex%.2f")
+      }
+    }
+    // mergeability: the sketch over two disjoint halves, merged by ADDING
+    // bin counts, equals the whole-table sketch — here expressed as the
+    // union of halves (bin counting is a plain sum, so union ≡ vector add)
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_extendedprice")
+    val whole = graft.functions.Sketches.histogramQuantiles(li,
+      "l_returnflag", "l_extendedprice", Queries.SketchBinWidth,
+      Queries.SketchBins, Queries.SketchQs)
+    val halves = graft.functions.Sketches.histogramQuantiles(
+      li.filter(col("l_extendedprice") < 50000)
+        .unionByName(li.filter(col("l_extendedprice") >= 50000)),
+      "l_returnflag", "l_extendedprice", Queries.SketchBinWidth,
+      Queries.SketchBins, Queries.SketchQs)
+    assert(whole.except(halves).count() == 0 && halves.except(whole).count() == 0,
+      "merge (union of disjoint halves) must reproduce the whole-table sketch")
+  }
+
   test("as-of join: boundary semantics for direction and tolerance") {
     import spark.implicits._
     import graft.operators.AsOf

@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(qb"), "running sum window lost its bucket partition")
   }
 
+  test("q88: sketch percentiles never sort the fact values") {
+    val p = plan("q88_sketch_percentiles")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, "one scan of lineitem")
+    // the only sorts may run over the tiny (flag, bin) frame — a sort
+    // keyed on the raw price column would be the exact-percentile shape
+    // this sketch exists to avoid
+    assert(!"Sort \\[[^\\]]*l_extendedprice".r.findFirstIn(p).isDefined,
+      s"fact values sorted: $p")
+  }
+
   test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
     val p = plan("q69_bm25_search")
     assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
