@@ -104,6 +104,7 @@ object SparkEntry {
     "q86_epoch_mix"           -> (Queries.epochMix _),
     "q87_source_leakage"      -> (Queries.sourceLeakage _),
     "q88_sketch_percentiles"  -> (Queries.sketchPercentiles _),
+    "q89_quality_dup_calibration" -> (Queries.qualityDupCalibration _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1318,6 +1319,28 @@ object Queries {
       .orderBy("source_a", "source_b")
   }
 
+  // --- q89: quality-decile duplication calibration -----------------------------
+  // Does low quality predict duplication? The corpus-health cross every
+  // curation pipeline sanity-checks before filtering on either signal:
+  // decision-table rows bucketed by quality decile, each decile's dup
+  // rate and mean cluster size. A pure rollup of the cached decision
+  // table — one hash-agg on the decile. Ratios are single divisions of
+  // exact integer sums (bit-stable); the decile is floor(q·10) clamped
+  // to 9 so quality exactly 1.0 lands in the top decile.
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame =
+    dedupDecisionTable(spark, dir)
+      .select(least(floor(col("quality_score") * lit(10.0)), lit(9.0))
+        .cast("long").as("decile"),
+        col("cluster_size"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("cluster_size")).as("size_sum"))
+      .select(col("decile"), col("n_docs"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("size_sum").cast("double") / col("n_docs")).as("mean_cluster_size"))
+      .orderBy("decile")
+
   /** q80 as a pure consumer of an already-materialized decision table. */
   def dupRateBySourceFrom(table: DataFrame): DataFrame =
     table.groupBy("source")
@@ -2400,6 +2423,30 @@ object Oracles {
           SELECT source_a, source_b, COUNT(*) AS n_pairs,
                  MAX(jaccard) AS max_jaccard
           FROM sp GROUP BY 1, 2""",
+
+    "q89_quality_dup_calibration" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""$componentCtes,
+          comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+          q AS (SELECT doc_id,
+                       0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                              / len($ws))
+                         + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)
+                         AS quality_score
+                FROM documents),
+          dd AS (SELECT CAST(least(floor(quality_score * 10.0), 9) AS BIGINT)
+                          AS decile,
+                        cluster_size
+                 FROM comp JOIN sizes USING (label)
+                           JOIN q ON comp.id = q.doc_id)
+          SELECT decile, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_rate,
+                 CAST(SUM(cluster_size) AS DOUBLE) / COUNT(*)
+                   AS mean_cluster_size
+          FROM dd GROUP BY 1"""
+    },
 
     "q82_span_dup_rate" ->
       s"""WITH d AS (SELECT doc_id,
