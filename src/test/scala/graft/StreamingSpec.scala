@@ -485,6 +485,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(tails.filter(col("n_events") =!= 1 || col("total_cents") =!= 25).count() == 0)
   }
 
+  test("sessionize steady state: 24 batches of churning keys, flat seconds and state") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val batches = 24
+    val cohortSize = 800
+    val gap = 60L * 1000000L
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    def cohortEvents(b: Int) = (0 until cohortSize).flatMap { k =>
+      val key = b.toLong * cohortSize + k
+      val t0 = baseMicros + b * dayMicros + k * 1000L
+      Seq((key, t0, 100L), (key, t0 + 1000L, 50L))
+    }.toDF("key", "tsMicros", "cents")
+    val stats = (0 until batches).map { b =>
+      cohortEvents(b).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      val stream = IngestPipeline
+        .boundedFileStream(spark, src, evEnc.schema).as(evEnc)
+      val q = SessionizeStream.sessionize(stream, gap)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val op = q.recentProgress.flatMap(_.stateOperators).lastOption
+        .getOrElse(fail("no state-operator progress recorded"))
+      (secs, op.numRowsTotal)
+    }
+    assert(stats.map(_._2).max <= 2L * cohortSize,
+      s"state accreted under churn: ${stats.map(_._2).toList}")
+    val early = stats.slice(2, 8).map(_._1).sum / 6
+    val late = stats.slice(batches - 6, batches).map(_._1).sum / 6
+    assert(late < early * 5, f"per-batch time grew: early=$early%.2fs late=$late%.2fs")
+    // once the watermark passes a cohort, its sessions are COMPLETE in
+    // the output: one flushed session per key with both events in it
+    val settled = spark.read.parquet(out)
+      .filter(col("key") < (batches - 1).toLong * cohortSize)
+    assert(settled.count() == (batches - 1).toLong * cohortSize)
+    assert(settled.filter(col("n_events") =!= 2 || col("total_cents") =!= 150).count() == 0)
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
