@@ -987,21 +987,36 @@ object Queries {
   // the oracle.
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("us")).as("t_view"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .join(views, "user_id")
-      .filter(col("us") > col("t_view"))
-      .groupBy("user_id").agg(min(col("us")).as("t_click"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .join(clicks, "user_id")
-      .filter(col("us") > col("t_click"))
-      .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
-    ev.select("user_id").distinct()
-      .join(views, Seq("user_id"), "left")
-      .join(clicks, Seq("user_id"), "left")
-      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    // ONE scan, one shuffle: the chain (first view → first click after it
+    // → first purchase after that) resolves with two running mins over
+    // the SAME per-user time-ordered window — `rv` is the first view so
+    // far, `rc` the first QUALIFYING click so far (strictly after the
+    // first view; a null rv compares false, exactly the join-filter
+    // semantics) — then one grouped aggregate reads the chain off the
+    // rows. The second window references the first's output, so the two
+    // Window nodes stack on one sort with no new exchange, and the final
+    // groupBy rides the same user_id partitioning. Equivalent to the
+    // former three conditional-min-agg + join-back form (which scanned
+    // events seven times); rows stay constant-size — no per-user
+    // collected histories, so a bot with 10M clicks still costs one
+    // running min, not one giant row.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val chained = ev
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("rc",
+        min(when(col("event_type") === "click" && col("rv") < col("us"),
+          col("us"))).over(w))
+    chained.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"),
+        min(when(col("event_type") === "click" && col("rv") < col("us"),
+          col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("rc") < col("us"),
+          col("us"))).as("t_purchase"))
       .select(col("user_id"),
         timestamp_micros(col("t_view")).as("view_ts"),
         timestamp_micros(col("t_click")).as("click_ts"),
