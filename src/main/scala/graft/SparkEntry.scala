@@ -985,10 +985,16 @@ object Queries {
   // shuffles share the user_id key, so AQE coalesces them over one
   // partitioning. Comparison domain is integer epoch-micros, shared with
   // the oracle.
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us")))
+
+  /** The funnel over any (user_id, event_type, event_id, us) frame —
+    * factored out so the randomized spec can drive it with adversarial
+    * tie patterns.
+    */
+  def funnelFrom(ev: DataFrame): DataFrame = {
     // ONE scan, one shuffle: the chain (first view → first click after it
     // → first purchase after that) resolves with two running mins over
     // the SAME per-user time-ordered window — `rv` is the first view so

@@ -258,6 +258,66 @@ class RandomizedSpec extends AnyFunSuite {
         "side must be checkpointed before the caches are dropped")
   }
 
+  test("funnel chain matches a driver-side reference on adversarial tie soups") {
+    import spark.implicits._
+    // heavy timestamp collisions: every step type can land on the same
+    // microsecond, the exact patterns the strict-inequality chain must
+    // resolve identically to the reference fold
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (0 until 4000).map { i =>
+      (rnd.nextInt(120).toLong, types(rnd.nextInt(types.size)), i.toLong,
+        (1000 + rnd.nextInt(40)).toLong)
+    }
+    val got = Queries.funnelFrom(rows.toDF("user_id", "event_type", "event_id", "us"))
+      .select("user_id", "stage", "view_ts", "click_ts", "purchase_ts")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.getTimestamp(3)).map(_.getTime),
+        Option(r.getTimestamp(4)).map(_.getTime))).toMap
+    val expected = rows.groupBy(_._1).map { case (u, evs) =>
+      val tView = evs.filter(_._2 == "view").map(_._4).minOption
+      val tClick = tView.flatMap(v =>
+        evs.filter(e => e._2 == "click" && e._4 > v).map(_._4).minOption)
+      val tPurchase = tClick.flatMap(c =>
+        evs.filter(e => e._2 == "purchase" && e._4 > c).map(_._4).minOption)
+      val stage =
+        if (tPurchase.isDefined) 3 else if (tClick.isDefined) 2
+        else if (tView.isDefined) 1 else 0
+      // us is micros; Timestamp.getTime is millis
+      u -> (stage, tView.map(_ / 1000), tClick.map(_ / 1000), tPurchase.map(_ / 1000))
+    }
+    assert(got == expected)
+  }
+
+  test("as-of joins match a driver-side reference in all direction/tolerance corners") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val ts = (s: Long) => new java.sql.Timestamp(s)
+    val leftRows = (0 until 600).map(i =>
+      (rnd.nextInt(25).toLong, (1000 + rnd.nextInt(50)).toLong * 1000, i.toLong))
+    // right side unique per (k, ts) — the operator's documented precondition
+    val rightRows = (0 until 600).map(i =>
+      (rnd.nextInt(25).toLong, (1000 + rnd.nextInt(50)).toLong * 1000, i.toLong * 10))
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val left = leftRows.map(r => (r._1, ts(r._2), r._3)).toDF("k", "ts", "lid")
+    val right = rightRows.map(r => (r._1, ts(r._2), r._3)).toDF("k", "ts", "v")
+    for (forward <- Seq(false, true); tolMs <- Seq(None, Some(7000L))) {
+      val got = AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v"), "m_",
+          toleranceMicros = tolMs.map(_ * 1000), forward = forward)
+        .select("lid", "m_v").as[(Long, Option[Long])].collect().toMap
+      val expected = leftRows.map { case (k, lts, lid) =>
+        val cand = rightRows.filter(r => r._1 == k &&
+          (if (forward) r._2 >= lts else r._2 <= lts) &&
+          tolMs.forall(t => math.abs(r._2 - lts) <= t))
+        val pick =
+          if (forward) cand.sortBy(_._2).headOption else cand.sortBy(_._2).lastOption
+        lid -> pick.map(_._3)
+      }.toMap
+      assert(got == expected, s"forward=$forward tol=$tolMs")
+    }
+  }
+
   test("interval joins match naive inequality joins on random interval soups") {
     import graft.operators.RangeJoin
     // random intervals with lengths from zero to many buckets, clustered
