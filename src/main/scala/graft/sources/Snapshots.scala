@@ -191,12 +191,42 @@ object Snapshots {
       }
     }.getOrElse(0L)
 
+  /** Every version still readable at `target`, ascending — the retained
+    * time-travel window. gc keeps `retainManifests` previous versions
+    * plus the current one, so history depth is a store policy, exactly
+    * like transaction-log table formats' retention.
+    */
+  def versions(spark: SparkSession, target: String): Seq[Long] = {
+    val fs = fsOf(spark, target)
+    val dir = manifestPath(target)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+  }
+
+  /** Time travel: read the snapshot a SPECIFIC published version pointed
+    * at. Fails with the retained window in the message when `v` has aged
+    * out (or was never published) — a gc'd version's data dirs may
+    * already be deleted, so there is nothing consistent to read.
+    */
+  def readAt(spark: SparkSession, target: String, v: Long): DataFrame = {
+    val live = versions(spark, target)
+    require(live.contains(v),
+      s"version $v is not readable at $target; retained versions: " +
+        (if (live.isEmpty) "none" else s"${live.min}..${live.max}"))
+    readResolved(spark, target, v)
+  }
+
   /** Read the current snapshot (any flavor): the set of dirs the highest
     * manifest points at.
     */
   def read(spark: SparkSession, target: String): DataFrame = {
     val v = currentVersion(spark, target).getOrElse(
       throw new IllegalStateException(s"no published snapshot at $target"))
+    readResolved(spark, target, v)
+  }
+
+  private def readResolved(spark: SparkSession, target: String, v: Long): DataFrame = {
     readManifest(spark, target, v) match {
       case WholeTable(name) => spark.read.parquet(new Path(target, name).toString)
       case Bucketed(_, entries) =>

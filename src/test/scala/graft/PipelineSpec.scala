@@ -661,6 +661,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, target).count() == 1)
   }
 
+  test("time travel: retained versions read their historical snapshots") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft_tt").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), target, retainManifests = 2)
+    Snapshots.commit(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), target,
+      retainManifests = 2)
+    Snapshots.commit(Seq((3L, "d")).toDF("id", "v"), target, retainManifests = 2)
+    val vs = Snapshots.versions(spark, target)
+    assert(vs.size == 3, s"three commits, three retained versions: $vs")
+    // each historical version reads ITS snapshot, not the current one
+    assert(Snapshots.readAt(spark, target, vs(0))
+      .as[(Long, String)].collect().toSet == Set(1L -> "a"))
+    assert(Snapshots.readAt(spark, target, vs(1))
+      .as[(Long, String)].collect().toSet == Set(1L -> "b", 2L -> "c"))
+    assert(Snapshots.readAt(spark, target, vs(2))
+      .as[(Long, String)].collect().toSet == Set(3L -> "d"))
+    // the default retention ages the oldest out; a gc'd version refuses
+    // with the retained window (its data dirs may already be deleted)
+    Snapshots.commit(Seq((4L, "e")).toDF("id", "v"), target)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAt(spark, target, vs(0))
+    }
+    assert(e.getMessage.contains("retained versions"))
+    assert(Snapshots.readAt(spark, target,
+      Snapshots.versions(spark, target).max)
+      .as[(Long, String)].collect().toSet == Set(4L -> "e"))
+  }
+
   test("manifest-claim contract matrix: link local, rename allowlist, refuse object stores") {
     assert(Snapshots.claimStrategy("file") == Snapshots.HardLinkClaim)
     assert(Snapshots.claimStrategy("hdfs") == Snapshots.RenameIfAbsentClaim)
