@@ -105,6 +105,7 @@ object SparkEntry {
     "q87_source_leakage"      -> (Queries.sourceLeakage _),
     "q88_sketch_percentiles"  -> (Queries.sketchPercentiles _),
     "q89_quality_dup_calibration" -> (Queries.qualityDupCalibration _),
+    "q90_grouped_distinct_sketch" -> (Queries.groupedDistinctSketch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1131,6 +1132,29 @@ object Queries {
         Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
         "l_returnflag", "l_extendedprice", SketchBinWidth, SketchBins, SketchQs)
       .orderBy("l_returnflag")
+
+  // --- q90: per-group KMV distinct sketches (q38 partitioned) ------------------
+  // "Distinct users/ids per segment" without a per-segment COUNT(DISTINCT)
+  // over the raw table: the k-th smallest distinct hash per group. The
+  // report joins the exact count only to expose est_ratio for monitoring;
+  // the sketch side alone is the production shape (exact COUNT(DISTINCT)
+  // per group re-shuffles every raw row; the sketch dedups (group, hash)
+  // pairs once and ranks a tiny distinct frame).
+  // k sized to the SMALLEST corpus the library contracts to run on
+  // (sf0.001 has ~190 distinct ids per type; a group below k emits no
+  // sketch row by design, and the surface contract is rows > 0)
+  val GroupKmvK = 128
+
+  def groupedDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "event_id")
+    graft.functions.Sketches.groupedKmvDistinct(ev, "event_type", "event_id", GroupKmvK)
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct("event_id").as("exact_distinct")), "event_type")
+      .select(col("event_type"), col("k"), col("exact_distinct"),
+        col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double")).as("est_ratio"))
+      .orderBy("event_type")
+  }
 
   // --- q69: BM25 top-k retrieval over the corpus -------------------------------
   // Broadcast-stats retrieval: ONE row of corpus statistics (N, Σdl, per-term
@@ -2337,6 +2361,26 @@ object Oracles {
                       AND p.ts <= v.ts + INTERVAL 7 DAY)
           SELECT event_id, user_id, ts, next_event_id, lag_micros
           FROM j WHERE rn = 1""",
+
+    "q90_grouped_distinct_sketch" -> {
+      import graft.functions.Sketches._
+      val k = Queries.GroupKmvK
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                       ($HA * event_id + $HB) % $P AS h FROM events),
+          kth AS (SELECT event_type, h AS kth FROM (
+                    SELECT event_type, h,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY h) AS rn
+                    FROM h) WHERE rn = $k),
+          ex AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+                 FROM events GROUP BY 1)
+          SELECT event_type, $k AS k, exact_distinct,
+                 ${(k - 1).toDouble} / (CAST(kth AS DOUBLE) / ${P.toDouble})
+                   AS est_distinct,
+                 (${(k - 1).toDouble} / (CAST(kth AS DOUBLE) / ${P.toDouble}))
+                   / CAST(exact_distinct AS DOUBLE) AS est_ratio
+          FROM kth JOIN ex USING (event_type)"""
+    },
 
     "q38_distinct_sketch" -> {
       import graft.functions.Sketches._

@@ -43,6 +43,27 @@ object Sketches {
   def hashSampled(hash: Column, rate: Column): Column =
     (hash.cast("double") / lit(P.toDouble)) < rate
 
+  /** Per-group KMV distinct-count estimates — `kmvDistinctEstimate`
+    * partitioned: the k-th smallest distinct hash per group comes from a
+    * per-group rank over the DISTINCT (group, hash) frame, so the heavy
+    * dedup is one hash-agg and the per-group sort runs over distinct
+    * hashes only. Groups with fewer than k distinct keys emit no row —
+    * at that size the exact count is cheaper than any sketch, which is
+    * the correct regime split. Deterministic: the hash is the portable
+    * affine family, no RNG.
+    */
+  def groupedKmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                         k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    df.select(col(groupCol), keyHash(col(keyCol)).as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col(groupCol), lit(k).as("k"),
+        (lit((k - 1).toDouble) / (col("h").cast("double") / lit(P.toDouble)))
+          .as("est_distinct"))
+  }
+
   /** Histogram-sketch per-group quantiles — the one-pass MERGEABLE scale
     * twin of the exact per-group percentile sort: values drop into
     * fixed-width bins (one hash-agg over (group, bin) — map-side
