@@ -84,19 +84,41 @@ object Sketches {
     * Output: one row per group with an `est_<q>` column per requested
     * quantile (q rendered with '_' for '.': est_0_5 for the median).
     */
+  /** The sketch's bin assignment — public so a STREAMING sink can count
+    * (group, bin) pairs per micro-batch and commit the additive partials
+    * (e.g. `Snapshots.appendCommit`); `quantilesFromBinCounts` over the
+    * summed segments then equals the batch sketch exactly, which is what
+    * additive bins buy.
+    */
+  def binOf(value: Column, binWidth: Double, nBins: Int): Column =
+    least(greatest(floor(value / lit(binWidth)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          binWidth: Double, nBins: Int,
                          qs: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bin = least(greatest(floor(col(valueCol) / lit(binWidth)), lit(0.0)),
-      lit((nBins - 1).toDouble)).cast("long")
-    val counts = df.groupBy(col(groupCol), bin.as("bin"))
+    val counts = df.groupBy(col(groupCol),
+        binOf(col(valueCol), binWidth, nBins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
+    quantilesFromBinCounts(counts, groupCol, "bin", "cnt", binWidth, qs)
+  }
+
+  /** Finalize quantile estimates from an already-aggregated (group, bin,
+    * cnt) frame — the shared tail of the batch path and any
+    * merged-partials path (streaming segments, per-day sketches,
+    * cross-cluster unions: sum the counts, then call this).
+    */
+  def quantilesFromBinCounts(counts: DataFrame, groupCol: String,
+                             binCol: String, cntCol: String,
+                             binWidth: Double, qs: Seq[Double]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = counts.withColumn("cum", sum("cnt").over(w))
+    val cum = counts
+      .select(col(groupCol), col(binCol).as("bin"), col(cntCol).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
       .withColumn("n", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
     // the boundary bin for q: cumPrev < q·n <= ... <= cum — unique by

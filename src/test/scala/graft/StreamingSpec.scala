@@ -531,6 +531,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(settled.filter(col("n_events") =!= 2 || col("total_cents") =!= 150).count() == 0)
   }
 
+  test("streaming histogram sketch: committed per-batch bins finalize to the batch quantiles") {
+    val dir = tmp()
+    val (src, cp, store) = (s"$dir/src", s"$dir/cp", s"$dir/bins")
+    val (width, bins) = (5.0, 200)
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    // Each micro-batch commits ONLY its own (event_type, bin) partial
+    // counts as an append-log segment — O(batch) state, no read of prior
+    // segments. Additivity is the whole trick: finalizing over the SUM of
+    // all segments must equal the single-pass batch sketch, whatever the
+    // batch boundaries were.
+    def run(): Unit =
+      IngestPipeline.boundedFileStream(spark, src, ev.schema)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val part = df.groupBy(col("event_type"),
+              graft.functions.Sketches.binOf(col("value"), width, bins).as("bin"))
+            .agg(count(lit(1)).as("cnt"))
+          graft.sources.Snapshots.appendCommit(part, store, token = id)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    half1.write.mode("append").parquet(src)
+    run()
+    half2.write.mode("append").parquet(src)
+    run()
+    val merged = graft.sources.Snapshots.read(spark, store)
+      .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+    val got = graft.functions.Sketches.quantilesFromBinCounts(
+      merged, "event_type", "bin", "cnt", width, qs)
+    val expected = graft.functions.Sketches.histogramQuantiles(
+      ev.select("event_type", "value"), "event_type", "value", width, bins, qs)
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.except(expected).count() == 0 && expected.except(got).count() == 0,
+      "merged streaming partials must reproduce the batch sketch exactly")
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
