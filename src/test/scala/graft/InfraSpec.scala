@@ -219,6 +219,53 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("the q08 star over co-bucketed facts: same rows, no fact-fact exchange") {
+    // the deployed 100 TB shape for the star family's fact-fact edge
+    // (PLANS round-7): lineitem and orders landed bucketed by order key,
+    // the q08 rollup rides the co-location with zero exchange below the
+    // fact join — and produces exactly q08's oracle-gated rows
+    val dir = Files.createTempDirectory("graft_star_buckets").toString
+    operators.Bucketing.saveBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "bs_lineitem", s"$dir/li", "l_orderkey", 8)
+    operators.Bucketing.saveBucketed(
+      Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")),
+      "bs_orders", s"$dir/o", "l_orderkey", 8)
+    try {
+      val joined = operators.Bucketing.colocatedJoin(
+        spark, "bs_lineitem", "bs_orders", "l_orderkey")
+      val c = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(spark, sf)
+      val r = Tables.region(spark, sf)
+      val star = joined
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(Cols.moneySum(Cols.discounted(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select("region", "nation", "revenue", "n_items")
+      val plan = star.queryExecution.executedPlan.toString
+      // the ONLY exchange below the aggregate is the agg's own; the
+      // fact-fact join itself is exchange-free
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange hashpartitioning"),
+        s"bucketed fact join must not shuffle:\n$joinPlan")
+      assert(!plan.contains("SortMergeJoin") ||
+        !"Exchange hashpartitioning\\(l_orderkey".r.findFirstIn(plan).isDefined,
+        s"fact-fact edge re-shuffled:\n$plan")
+      val expected = Queries.starRevenue(spark, sf)
+      val got = star.orderBy("region", "nation")
+      assert(got.except(expected).count() == 0 && expected.except(got).count() == 0,
+        "bucketed star must reproduce q08's oracle-gated rows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bs_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bs_orders")
+    }
+  }
+
   test("salted join equals the plain join on skewed keys") {
     // ~600 rows share 3 hot keys — the skew shape salting exists for
     val fact = Tables.lineitem(spark, sf)
