@@ -152,6 +152,15 @@ class PlanSpec extends AnyFunSuite {
       s"fact values sorted: $p")
   }
 
+  test("q90: the per-group KMV rank runs over the deduped hash frame") {
+    val p = plan("q90_grouped_distinct_sketch")
+    assert(p.contains("windowspecdefinition(event_type"),
+      "rank window must partition by the group")
+    // two scans: the sketch side and the exact-count monitor column — the
+    // sketch side itself never window-ranks raw rows (dedup first)
+    assert("FileScan parquet".r.findAllIn(p).length == 2, p)
+  }
+
   test("q69: corpus stats broadcast; top-k is TakeOrdered, never a global sort") {
     val p = plan("q69_bm25_search")
     assert(p.contains("BroadcastExchange"), "one-row stats must broadcast")
