@@ -60,6 +60,23 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("grouped KMV: small groups emit no sketch row; estimates are hash-exact") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    // group "big" has 500 distinct keys, "small" only 3 — below k, so it
+    // must emit NO row (the documented regime split: exact is cheaper
+    // there), never a garbage estimate from a partial rank
+    val df = ((0 until 500).map(i => ("big", i.toLong)) ++
+      Seq(("small", 1L), ("small", 2L), ("small", 3L), ("small", 3L)))
+      .toDF("g", "key")
+    val got = Sketches.groupedKmvDistinct(df, "g", "key", 64).collect()
+    assert(got.length == 1 && got.head.getString(0) == "big")
+    // reference: the k-th smallest distinct affine hash, computed driver-side
+    val kth = (0 until 500).map(i =>
+      (Sketches.HA * i + Sketches.HB) % Sketches.P).distinct.sorted.apply(63)
+    assert(got.head.getDouble(2) == 63.0 / (kth.toDouble / Sketches.P.toDouble))
+  }
+
   test("sketch percentiles land within one bin width of the exact answer") {
     val exact = Queries.percentileReport(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
