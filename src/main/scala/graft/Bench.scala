@@ -77,19 +77,31 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Stdout summary uses SHORT keys (the qNN prefix) and 3-decimal
+    // seconds: the driver keeps only a byte-bounded tail of stdout, and
+    // round-6/7 artifacts show the full-name summary line (~3KB at 90
+    // queries) getting its head truncated ("parsed": null). ~1.2KB
+    // survives the capture; the full-name line still lands in the
+    // results file below for the human record.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.mkString("{", ",", "}")
     // failed queries are EXCLUDED from total (their -1 sentinel would make
     // it nonsense), so name them explicitly — otherwise a broken query
     // shrinks the total and reads as a fleet-wide speedup round-over-round
     val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val fq = failures.mkString("[", ",", "]")
     val total = if (failures.nonEmpty) -1.0 else results.values.sum
-    val summary =
+    val fullSummary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fq,"sf":"$sfDir"}"""
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failures":$fq,"sf":"$sfDir"}"""
     // Belt and braces: the full summary also lands in a file next to the
     // repo so the round's perf record never depends on stdout capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "bench_results.json")), summary)
+        "bench_results.json")), fullSummary)
     catch { case _: Throwable => () }
     println(summary)
     spark.stop()

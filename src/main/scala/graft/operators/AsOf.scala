@@ -45,8 +45,22 @@ object AsOf {
                toleranceMicros: Option[Long] = None,
                forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    val sideCol = "__side"
-    val rtsCol = "__r_ts"
+    // Collision-proof sentinels: "__r_ts" would collide with the renamed
+    // right column when the caller puts the ts column itself in
+    // `rightCols` (a natural ask — "return the matched row's timestamp"),
+    // making the left/right union branches disagree on its type. Pick
+    // names fresh against every column either branch will carry.
+    val taken = (leftCols ++ right.columns ++ rightCols.map(c => s"__r_$c")).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !taken(n)).get
+    val sideCol = fresh("__side")
+    val rtsCol = fresh("__graft_asof_rts")
+    // The carry columns are named by prefixing, so the prefix must not be
+    // a prefix of ANY existing column (withColumn would replace it).
+    val mPrefix = Iterator.from(0)
+      .map(i => if (i == 0) "__m_" else s"__m${i}_")
+      .find(p => !taken.exists(_.startsWith(p))).get
     val l = rightCols.foldLeft(left.withColumn(sideCol, lit(1)))(
       (d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
       .withColumn(rtsCol, lit(null).cast("long"))
@@ -63,15 +77,15 @@ object AsOf {
       .orderBy(tsOrder, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (rightCols.map(c => s"__r_$c") :+ rtsCol).foldLeft(unioned)(
-      (d, c) => d.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w)))
+      (d, c) => d.withColumn(s"$mPrefix$c", last(col(c), ignoreNulls = true).over(w)))
     val dist =
-      if (forward) col(s"__m_$rtsCol") - unix_micros(col(tsCol))
-      else unix_micros(col(tsCol)) - col(s"__m_$rtsCol")
+      if (forward) col(s"$mPrefix$rtsCol") - unix_micros(col(tsCol))
+      else unix_micros(col(tsCol)) - col(s"$mPrefix$rtsCol")
     // null matched-ts makes `within` null, and when() treats null as
     // false — unmatched rows stay null-padded with no extra branch
     val within = toleranceMicros.fold(lit(true))(t => dist <= lit(t))
     carried.filter(col(sideCol) === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => when(within, col(s"__m___r_$c")).as(s"$prefix$c")): _*)
+        rightCols.map(c => when(within, col(s"${mPrefix}__r_$c")).as(s"$prefix$c")): _*)
   }
 }

@@ -38,28 +38,39 @@ object PrefixSum {
     * per-bucket sort and the bucket-prefix pass once: the two-counts
     * queries (session overlap's startsUpTo/endsBefore) would otherwise
     * stack a second window + prefix join on top of the first.
+    *
+    * Weights may be ANY sign (a +1/-1 balance sweep is fine): bucket
+    * totals are order-independent sums of the materialized weights, not
+    * a max over the running column.
     */
   def runningSums(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
                   weights: Seq[(Column, String)]): DataFrame = {
     val w = Window.partitionBy(col(bucketCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = weights.zipWithIndex.foldLeft(df) { case (d, ((wt, _), i)) =>
-      d.withColumn(s"__graft_local_$i", sum(wt).over(w))
+    // Materialize each weight once so the bucket-totals aggregate below
+    // can sum the SAME column values the running sums consumed.
+    val weighted = weights.zipWithIndex.foldLeft(df) { case (d, ((wt, _), i)) =>
+      d.withColumn(s"__graft_w_$i", wt)
+    }
+    val local = weights.indices.foldLeft(weighted) { (d, i) =>
+      d.withColumn(s"__graft_local_$i", sum(col(s"__graft_w_$i")).over(w))
     }
     // exclusive prefix of bucket totals: one row per bucket, so the
     // unpartitioned window is a deliberately tiny single task. Totals are
-    // read OFF the windowed frame (bucket total = max of the inclusive
-    // running sum — exact because the weights of a counting prefix are
-    // non-negative): referencing the window outputs keeps the totals
-    // subtree identical to the join side's, so the planner's exchange
-    // reuse shuffles the (possibly expensive) upstream once instead of
-    // recomputing the whole lineage for a second aggregate over `df`.
+    // summed OFF the windowed frame — order-independent, so exact for
+    // weights of ANY sign (a +1/-1 balance sweep included), unlike the
+    // max-of-running-sum shortcut which silently assumed non-negative
+    // counting weights. Aggregating over `local` keeps the totals subtree
+    // rooted at the same windowed child as the join side's, so the
+    // planner's exchange reuse shuffles the (possibly expensive) upstream
+    // once instead of recomputing the whole lineage for a second
+    // aggregate over `df`.
     val pw = Window.orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totals = local.groupBy(col(bucketCol)).agg(
-      max(col("__graft_local_0")).as("__graft_btot_0"),
+      sum(col("__graft_w_0")).as("__graft_btot_0"),
       weights.indices.tail.map { i =>
-        max(col(s"__graft_local_$i")).as(s"__graft_btot_$i")
+        sum(col(s"__graft_w_$i")).as(s"__graft_btot_$i")
       }: _*)
     val prefix = weights.indices.foldLeft(totals) { (d, i) =>
       d.withColumn(s"__graft_prefix_$i",
@@ -68,7 +79,7 @@ object PrefixSum {
     val joined = local.join(broadcast(prefix), Seq(bucketCol))
     weights.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
       d.withColumn(name, col(s"__graft_local_$i") + col(s"__graft_prefix_$i"))
-        .drop(s"__graft_local_$i", s"__graft_prefix_$i")
+        .drop(s"__graft_local_$i", s"__graft_prefix_$i", s"__graft_w_$i")
     }
   }
 }

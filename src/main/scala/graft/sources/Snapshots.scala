@@ -859,10 +859,14 @@ object Snapshots {
     * MaxCommitRetries times before dying with a misleading "lost the
     * publish race" story; it must propagate immediately as itself.
     */
-  private def fileNotFoundRooted(t: Throwable, target: String): Boolean = {
+  private[graft] def fileNotFoundRooted(t: Throwable, target: String): Boolean = {
     // Prefixes an in-store path carries in error messages: the raw target,
     // its scheme-stripped URI path, and file:-qualified forms of either.
-    val bases = Seq(target, new Path(target).toUri.getPath).distinct
+    // Normalize a trailing slash first — "$b/" built from "store/" would
+    // be "store//", matching nothing, and a genuine gc race would then
+    // propagate as a hard failure instead of retrying.
+    val t0 = if (target.length > 1) target.stripSuffix("/") else target
+    val bases = Seq(t0, new Path(t0).toUri.getPath).distinct
     val prefixes = bases.flatMap(b => Seq(s"$b/", s"file:$b/", s"file://$b/",
       s"file:///${b.stripPrefix("/")}/"))
     var c: Throwable = t

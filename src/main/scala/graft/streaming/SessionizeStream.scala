@@ -88,7 +88,12 @@ object SessionizeStream {
               // Evict once the watermark passes the gap after the last
               // event (ms granularity, rounded up; must exceed the
               // current watermark or Spark rejects the timestamp).
-              val evictAtMs = (o.last + gapMicros) / 1000 + 1
+              // Saturating add, mirroring FunnelStream.track: a
+              // "never expire" gap near Long.MaxValue must not overflow
+              // into the past and flush every open session early.
+              val evictAtMs =
+                if (Long.MaxValue - gapMicros < o.last) Long.MaxValue
+                else (o.last + gapMicros) / 1000 + 1
               state.setTimeoutTimestamp(
                 math.max(evictAtMs, state.getCurrentWatermarkMs + 1))
             }

@@ -139,6 +139,32 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(fwdTol("c") == None, "forward distance > tolerance must null out")
   }
 
+  test("as-of join: the ts column itself in rightCols returns the matched timestamp") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val us = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, us(10000), "a"), (1L, us(20000), "b"), (2L, us(10000), "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, us(9000), 90L), (1L, us(15000), 150L), (2L, us(30000), 300L))
+      .toDF("k", "ts", "v")
+    // round-7 advice: "__r_ts" as an internal sentinel collided with the
+    // renamed right ts column, breaking the union's type agreement — the
+    // natural "give me the matched row's timestamp" ask must just work.
+    val got = AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("v", "ts"), "m_")
+      .select("tag", "m_v", "m_ts")
+      .as[(String, Option[Long], Option[java.sql.Timestamp])].collect()
+      .map(r => r._1 -> ((r._2, r._3.map(_.getTime / 1000)))).toMap
+    assert(got == Map(
+      "a" -> ((Some(90L), Some(9000L))),
+      "b" -> ((Some(150L), Some(15000L))),
+      "c" -> ((None, None))))
+    val fwd = AsOf.asOfJoin(left, right, Seq("k"), "ts", Seq("ts"), "m_",
+      forward = true)
+      .select("tag", "m_ts").as[(String, Option[java.sql.Timestamp])].collect()
+      .map(r => r._1 -> r._2.map(_.getTime / 1000)).toMap
+    assert(fwd == Map("a" -> Some(15000L), "b" -> None, "c" -> Some(30000L)))
+  }
+
   test("quality split quarantines with per-row failure reasons") {
     import spark.implicits._
     import graft.operators.Quality

@@ -630,6 +630,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("OCC missing-file classifier: trailing-slash target still matches in-store paths") {
+    // round-7 advice: prefixes built as s"$b/" from a target handed in as
+    // "store/" produced "store//", matching nothing — a genuinely
+    // retryable gc race would then propagate as a hard failure.
+    val store = "/tmp/graft_clsfr_store"
+    val gcRace = new RuntimeException("boom",
+      new RuntimeException(s"File file:$store/buckets/b3/part-0001.parquet does not exist"))
+    assert(Snapshots.fileNotFoundRooted(gcRace, store))
+    assert(Snapshots.fileNotFoundRooted(gcRace, s"$store/"),
+      "a trailing slash in the configured target must not defeat the prefix match")
+    val elsewhere = new RuntimeException(
+      "File file:/tmp/graft_elsewhere/no_such_table does not exist")
+    assert(!Snapshots.fileNotFoundRooted(elsewhere, s"$store/"))
+    assert(!Snapshots.fileNotFoundRooted(
+      new RuntimeException(s"File file:$store/buckets/b1/x.parquet is corrupt"), store),
+      "a non-missing-file error under the store must not classify as retryable")
+  }
+
   test("a missing table OUTSIDE the store fails the commit immediately, unretried") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_fnf").toString

@@ -37,11 +37,14 @@ class RandomizedSpec extends AnyFunSuite {
 
   test("runningSums matches a driver-side reference prefix on random weights") {
     import graft.operators.PrefixSum
-    // counting weights (non-negative), clustered buckets, duplicate order
-    // keys — the shapes the primitive meets in the session queries
+    // SIGNED weights (a −3..3 mix and a ±1 balance sweep), clustered
+    // buckets, duplicate order keys: negative weights are the round-7
+    // advice case — bucket totals read as max() of the inclusive running
+    // sum are only correct for counting weights, so the totals must be
+    // order-independent sums for this to pass.
     val rows = (0 until 2000).map { i =>
       (rnd.nextInt(40).toLong, rnd.nextInt(500).toLong, i.toLong,
-        rnd.nextInt(3).toLong, if (rnd.nextBoolean()) 1L else 0L)
+        rnd.nextInt(7).toLong - 3L, if (rnd.nextBoolean()) 1L else -1L)
     }
     val df = rows.toDF("bucket_raw", "ord", "id", "w1", "w2")
       // bucket must be monotone in the global order: derive it FROM ord

@@ -485,6 +485,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(tails.filter(col("n_events") =!= 1 || col("total_cents") =!= 25).count() == 0)
   }
 
+  test("sessionize: a never-expire gap must not flush open sessions early") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    // round-7 advice: evictAtMs = (last + gap)/1000 + 1 overflowed for a
+    // huge "never expire" gap, the max() clamped the negative result to
+    // watermark+1, and every open session was flushed on the next batch —
+    // premature emission plus session_seq resetting for later events.
+    val dir = tmp()
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val keys = 10
+    val gap = Long.MaxValue - 1L
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    def runBatch(b: Int): Long = {
+      (0 until keys).map(k =>
+        (k.toLong, baseMicros + b * 2 * dayMicros + k * 1000L, 10L))
+        .toDF("key", "tsMicros", "cents")
+        .write.mode("append").parquet(src)
+      val stream = IngestPipeline
+        .boundedFileStream(spark, src, evEnc.schema).as(evEnc)
+      val q = SessionizeStream.sessionize(stream, gap)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).lastOption
+        .getOrElse(0L)
+    }
+    val stateRows = (0 until 3).map(runBatch)
+    // every key's session is still OPEN (one state row each, n growing)
+    assert(stateRows.last == keys.toLong,
+      s"state rows per run: ${stateRows.toList}")
+    val emitted =
+      try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+    assert(emitted == 0L,
+      s"$emitted sessions emitted despite an effectively-infinite gap")
+  }
+
   test("sessionize steady state: 24 batches of churning keys, flat seconds and state") {
     import spark.implicits._
     import org.apache.spark.sql.Encoders
