@@ -106,6 +106,9 @@ object SparkEntry {
     "q88_sketch_percentiles"  -> (Queries.sketchPercentiles _),
     "q89_quality_dup_calibration" -> (Queries.qualityDupCalibration _),
     "q90_grouped_distinct_sketch" -> (Queries.groupedDistinctSketch _),
+    "q92_copurchase_pairs"    -> (Queries.copurchasePairs _),
+    "q93_revenue_anomaly"     -> (Queries.revenueAnomaly _),
+    "q95_sliding_active_users" -> (Queries.slidingActiveUsers _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1155,6 +1158,72 @@ object Queries {
         (col("est_distinct") / col("exact_distinct").cast("double")).as("est_ratio"))
       .orderBy("event_type")
   }
+
+  // --- q92: market-basket co-purchase pairs ------------------------------------
+  // "Customers whose order contained X also bought Y": item-pair support
+  // over orders, the recommender co-occurrence primitive. Fan-out is the
+  // basket size squared (TPC-H orders hold ≤ ~13 distinct parts), so the
+  // pair explosion is bounded per order; the support filter + top-k keep
+  // the output tiny however large the corpus. Top-k is a total order
+  // (support DESC, then both keys) so ties can't flap between engines.
+  val CoMinSupport = 2L
+  val CoTopK = 100
+
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    Analytics.coOccurrencePairs(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", CoMinSupport)
+      .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
+      .limit(CoTopK)
+
+  // --- q93: trailing-window revenue anomaly flags -------------------------------
+  // Daily revenue vs its own trailing 28-day baseline: exact decimal daily
+  // sums (one hash-agg over the fact table — the only scan), then the
+  // trailing mean/var/z ride the tiny O(days) daily frame. The time-series
+  // ops-report twin of q70's per-group z-scores. Baseline stats run on the
+  // day total quantized to KILODOLLAR units (q42/q70's quantize-then-moment
+  // recipe): integer Σv and Σv² stay exactly double-representable, so the
+  // z is bit-stable cross-engine; the unit is the operator's knob — size
+  // it so Σv² over the window < 2^53 at your scale (a 1e-4 relative
+  // quantization is noise against a 2σ alarm threshold).
+  val AnomalyWindowDays = 28
+  val AnomalyMinPrior = 8
+  val AnomalyZ = 2.0
+  val AnomalyUnit = 1000.0
+
+  def revenueAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .withColumn("day_num", datediff(col("ship_day"), lit("1970-01-01").cast("date")))
+      // the decimal→double conversion is ≤ 15 significant digits (exact
+      // same nearest-double in any engine); the floor is unambiguous
+      // except at exact multiples of the unit, where the division is
+      // itself exact — deterministic either way
+      .withColumn("rev_ku",
+        floor(col("rev_dec").cast("double") / lit(AnomalyUnit)).cast("long"))
+    Analytics.trailingZScore(daily, "day_num", "rev_ku",
+        AnomalyWindowDays, AnomalyMinPrior)
+      .select(col("ship_day"),
+        col("rev_dec").cast("double").as("daily_revenue"),
+        col("n_prior"), col("trailing_mean"), col("z_score"),
+        (abs(col("z_score")) > lit(AnomalyZ)).as("is_anomaly"))
+      .orderBy("ship_day")
+  }
+
+  // --- q95: sliding 7-day distinct active users ---------------------------------
+  // Rolling reach (the WAU curve): sliding COUNT(DISTINCT user) per window
+  // end, decomposed into a bounded ×7 explode + two hash-dedups — never a
+  // day-range join (whose probe side grows with the window) and never a
+  // growing distinct state. Same decomposition family as q74.
+  val SlidingWindowDays = 7
+
+  def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Analytics.slidingDistinctCount(
+      Tables.events(spark, dir)
+        .select(col("user_id"), Cols.utcDate(col("ts")).as("day")),
+      "user_id", "day", SlidingWindowDays, "n_users_7d")
+      .orderBy("window_end")
 
   // --- q69: BM25 top-k retrieval over the corpus -------------------------------
   // Broadcast-stats retrieval: ONE row of corpus statistics (N, Σdl, per-term
@@ -2361,6 +2430,62 @@ object Oracles {
                       AND p.ts <= v.ts + INTERVAL 7 DAY)
           SELECT event_id, user_id, ts, next_event_id, lag_micros
           FROM j WHERE rn = 1""",
+
+    "q92_copurchase_pairs" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+          SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+          FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= ${Queries.CoMinSupport}
+          ORDER BY n_baskets DESC, item_a, item_b
+          LIMIT ${Queries.CoTopK}""",
+
+    "q93_revenue_anomaly" -> {
+      val wd = Queries.AnomalyWindowDays
+      s"""WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS ship_day,
+                   SUM($discTerm) AS rev_dec,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num
+            FROM lineitem GROUP BY 1, 3),
+          ku AS (
+            SELECT ship_day, rev_dec, day_num,
+                   CAST(floor(CAST(rev_dec AS DOUBLE) / ${Queries.AnomalyUnit})
+                        AS BIGINT) AS rev_ku
+            FROM daily),
+          st AS (
+            SELECT ship_day, rev_dec, rev_ku,
+                   COUNT(*) OVER tw AS n_prior,
+                   SUM(rev_ku) OVER tw AS s,
+                   SUM(rev_ku * rev_ku) OVER tw AS ss
+            FROM ku
+            WINDOW tw AS (ORDER BY day_num RANGE BETWEEN $wd PRECEDING AND 1 PRECEDING)),
+          z AS (
+            SELECT ship_day, CAST(rev_dec AS DOUBLE) AS daily_revenue, n_prior,
+                   CASE WHEN n_prior >= ${Queries.AnomalyMinPrior}
+                        THEN CAST(s AS DOUBLE) / n_prior END AS trailing_mean,
+                   CASE WHEN n_prior >= ${Queries.AnomalyMinPrior}
+                         AND (CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                             / (n_prior - 1.0) > 0.0
+                        THEN (CAST(rev_ku AS DOUBLE) - CAST(s AS DOUBLE) / n_prior)
+                             / sqrt((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                                    / (n_prior - 1.0)) END AS z_score
+            FROM st)
+          SELECT ship_day, daily_revenue, n_prior, trailing_mean, z_score,
+                 (abs(z_score) > ${Queries.AnomalyZ}) AS is_anomaly
+          FROM z"""
+    },
+
+    "q95_sliding_active_users" -> {
+      val w = Queries.SlidingWindowDays - 1
+      s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          days AS (SELECT DISTINCT d AS window_end FROM ud)
+          SELECT w.window_end, COUNT(DISTINCT u.user_id) AS n_users_7d
+          FROM days w JOIN ud u
+            ON u.d <= w.window_end AND u.d >= w.window_end - $w
+          GROUP BY 1"""
+    },
 
     "q90_grouped_distinct_sketch" -> {
       import graft.functions.Sketches._

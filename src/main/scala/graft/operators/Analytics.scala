@@ -47,4 +47,88 @@ object Analytics {
   def rollingSumDays(dayNumCol: String, valueCol: String, days: Int): Column =
     sum(col(valueCol))
       .over(Window.orderBy(col(dayNumCol)).rangeBetween(-(days - 1), 0))
+
+  /** Within-basket item co-occurrence counts — the market-basket /
+    * "users who bought X also bought Y" support table. Distinct
+    * (basket, item) first (repeat lines must not double-count), then a
+    * per-basket self-join with `item_a < item_b` so each unordered pair
+    * counts once per basket. The join fans out as the basket size
+    * SQUARED, so scale is governed by the basket-size bound the pipeline
+    * enforces upstream (an order has dozens of lines; a "basket" with
+    * 10^4 items is a bot/crawler and belongs in a quarantine, not this
+    * join) — with bounded baskets the whole shape is two hash shuffles
+    * on uniform keys.
+    */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Long): DataFrame = {
+    val items = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .distinct()
+    val a = items.alias("a")
+    val b = items.alias("b")
+    a.join(b, col("a.__basket") === col("b.__basket") &&
+        col("a.__item") < col("b.__item"))
+      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
+
+  /** Sliding `windowDays`-day distinct-entity count per window end —
+    * rolling DAU/WAU-style reach — WITHOUT a day-range join or a growing
+    * distinct state: each distinct (entity, day) contributes to at most
+    * `windowDays` window ends, so it explodes to exactly those, a second
+    * hash-dedup collapses entities active on several days of one window,
+    * and a count per window end remains. Cost is O(distinct rows ×
+    * windowDays) with every shuffle on uniform hash keys — the bounded
+    * fan-out decomposition of a sliding COUNT(DISTINCT), same family as
+    * q74's running-distinct rewrite. Window ends with no activity on the
+    * end day itself are dropped (left-semi against observed days), which
+    * keeps the output domain = the observed days.
+    */
+  def slidingDistinctCount(df: DataFrame, entityCol: String, dayCol: String,
+                           windowDays: Int, outCol: String): DataFrame = {
+    val ud = df.select(col(entityCol).as("__e"), col(dayCol).as("__d")).distinct()
+    val days = ud.select(col("__d").as("window_end")).distinct()
+    ud.select(col("__e"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+          .as("window_end"))
+      .distinct()
+      .join(days, Seq("window_end"), "left_semi")
+      .groupBy("window_end")
+      .agg(count(lit(1)).as(outCol))
+  }
+
+  /** Trailing-window z-score anomaly columns over a daily frame: for each
+    * day, mean/variance of `valueLongCol` (an INTEGER-quantized metric —
+    * the caller picks units coarse enough that Σv and Σv² stay below
+    * 2^53, e.g. kilodollars for revenue; the q42/q70 quantize-then-moment
+    * recipe) over the `days` days strictly BEFORE it (RANGE on
+    * `dayNumCol`), and the z-score of the day's value against that
+    * trailing baseline. Integer window sums are exact and convert to
+    * double exactly, so the fixed-shape mean/var/z doubles are
+    * bit-stable across partitionings and engines — no decimal→double
+    * rounding ever happens. Days with fewer than `minPrior` trailing
+    * observations (or zero variance) get a null z. The window rides the
+    * already-aggregated daily frame — O(days) rows — so the
+    * unpartitioned RANGE window is a deliberately tiny task, as in
+    * `rollingSumDays`.
+    */
+  def trailingZScore(daily: DataFrame, dayNumCol: String, valueLongCol: String,
+                     days: Int, minPrior: Int): DataFrame = {
+    val w = Window.orderBy(col(dayNumCol)).rangeBetween(-days, -1)
+    val withStats = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col(valueLongCol)).over(w))
+      .withColumn("__ss", sum(col(valueLongCol) * col(valueLongCol)).over(w))
+    val n = col("__n").cast("double")
+    val s = col("__s").cast("double")
+    val mean = s / n
+    val variance = (col("__ss").cast("double") - s * s / n) / (n - lit(1.0))
+    withStats
+      .withColumn("n_prior", col("__n"))
+      .withColumn("trailing_mean", when(col("__n") >= minPrior, mean))
+      .withColumn("z_score",
+        when(col("__n") >= minPrior && variance > lit(0.0),
+          (col(valueLongCol).cast("double") - mean) / sqrt(variance)))
+      .drop("__n", "__s", "__ss")
+  }
 }
