@@ -106,9 +106,12 @@ object SparkEntry {
     "q88_sketch_percentiles"  -> (Queries.sketchPercentiles _),
     "q89_quality_dup_calibration" -> (Queries.qualityDupCalibration _),
     "q90_grouped_distinct_sketch" -> (Queries.groupedDistinctSketch _),
+    "q91_semantic_dedup"      -> (Queries.semanticDedup _),
     "q92_copurchase_pairs"    -> (Queries.copurchasePairs _),
+    "q94_cms_heavy_hitters"   -> (Queries.cmsHeavyHitters _),
     "q93_revenue_anomaly"     -> (Queries.revenueAnomaly _),
     "q95_sliding_active_users" -> (Queries.slidingActiveUsers _),
+    "q96_containment_pairs"   -> (Queries.containmentPairs _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1159,6 +1162,58 @@ object Queries {
       .orderBy("event_type")
   }
 
+  // --- q91: semantic cluster-pruned embedding dedup (SemDeDup shape) -----------
+  // Cluster first, compare only within clusters: the published recipe for
+  // embedding dedup at web scale (k ~ 50k clusters there; the centroid
+  // count is the knob). Centroids here are a fixed id-order draw so the
+  // SQL twin replays them verbatim — production trains them
+  // (Ivf.trainKMeans) and the operator is unchanged.
+  val SemLists = 16
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.orderBy("vec_id").limit(SemLists)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    NearDup.clusterCosinePairs(emb, "vec_id", "embedding", cents, CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --- q94: count-min-sketch word frequencies -----------------------------------
+  // The bounded-memory frequency monitor: depth×width integer cells from
+  // one corpus pass, additive across shards/days/batches (vector add — the
+  // mergeability that lets a 100 TB run sketch per-partition and combine).
+  // The report joins the head words' exact counts with their CMS
+  // estimates, exposing the overestimate the ε·N bound promises.
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsTopK = 50
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+    val fp = graft.plans.VectorExprs.polyFingerprint(col("word"))
+    val counters = graft.functions.Sketches.cmsCounters(words, fp, CmsDepth, CmsWidth)
+    val top = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(CmsTopK)
+    graft.functions.Sketches.cmsEstimates(top, fp, counters,
+        CmsDepth, CmsWidth, "cms_est")
+      .withColumn("overcount", col("cms_est") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
+  // --- q96: asymmetric containment pairs ----------------------------------------
+  // The truncation/expansion duplicates Jaccard can't see (an excerpt
+  // inside a page scores Jaccard ~|A|/|B| but containment 1.0). Threshold
+  // 0.9 ≈ "nine tenths of the smaller document appears verbatim in the
+  // other" — the document-level decontamination/memorization signal.
+  val ContainmentThreshold = 0.9
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.ngramContainmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardN, ContainmentThreshold, JaccardMaxPostings)
+      .orderBy("doc_a", "doc_b")
+
   // --- q92: market-basket co-purchase pairs ------------------------------------
   // "Customers whose order contained X also bought Y": item-pair support
   // over orders, the recommender co-occurrence primitive. Fan-out is the
@@ -2185,6 +2240,30 @@ object Oracles {
                   CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
          WHERE jaccard >= ${Queries.JaccardThreshold}""",
 
+    "q96_containment_pairs" ->
+      // same df-capped posting domain as q21; only the normalization
+      // (per-side set size instead of union size) differs
+      s"""WITH d AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+           FROM documents),
+          ex0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+          ok AS (SELECT s FROM ex0 GROUP BY s
+                 HAVING COUNT(*) <= ${Queries.JaccardMaxPostings}),
+          ex AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, s
+                 FROM (SELECT doc_id, s FROM ex0 JOIN ok USING (s))),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb, COUNT(*) AS common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, common, cont_a_in_b, cont_b_in_a, jaccard FROM (
+           SELECT doc_a, doc_b, common,
+                  CAST(common AS DOUBLE) / na AS cont_a_in_b,
+                  CAST(common AS DOUBLE) / nb AS cont_b_in_a,
+                  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
+         WHERE greatest(cont_a_in_b, cont_b_in_a) >= ${Queries.ContainmentThreshold}""",
+
     "q22_dedup_minhash_lsh" ->
       minHashSql(graft.functions.Lsh.Mh16),
 
@@ -2430,6 +2509,64 @@ object Oracles {
                       AND p.ts <= v.ts + INTERVAL 7 DAY)
           SELECT event_id, user_id, ts, next_event_id, lag_micros
           FROM j WHERE rn = 1""",
+
+    "q91_semantic_dedup" ->
+      s"""WITH base AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS list,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT ${Queries.SemLists})),
+          u AS (SELECT list, CASE WHEN nrm = 0 THEN cent
+                                  ELSE list_transform(cent, x -> x / nrm) END AS ucent
+                FROM (SELECT list, cent,
+                             sqrt(list_reduce(list_transform(cent, x -> x*x),
+                                              (a,b) -> a+b)) AS nrm
+                      FROM base)),
+          v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       $nrmSql AS nrm
+                FROM embeddings),
+          asn AS (SELECT vec_id, list FROM (
+                    SELECT v.vec_id, u.list,
+                           row_number() OVER (PARTITION BY v.vec_id
+                                              ORDER BY ${dotSql("u.ucent", "v.v")} DESC,
+                                                       u.list) AS rn
+                    FROM v, u)
+                  WHERE rn = 1)
+          SELECT list, vec_a, vec_b, cos FROM (
+            SELECT aa.list, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+            FROM v a, asn aa, v b, asn bb
+            WHERE a.vec_id = aa.vec_id AND b.vec_id = bb.vec_id
+              AND aa.list = bb.list AND a.vec_id < b.vec_id)
+          WHERE cos >= ${Queries.CosineThreshold}""",
+
+    "q94_cms_heavy_hitters" -> {
+      import graft.functions.{Lsh, Sketches}
+      val d = Queries.CmsDepth
+      val wdt = Queries.CmsWidth
+      val buckets = (0 until d).map(i =>
+        s"((${Lsh.A(i)} * f + ${Lsh.B(i)}) % ${Sketches.P}) % $wdt AS b$i").mkString(", ")
+      s"""WITH w AS (SELECT unnest($ws) AS word FROM documents),
+          fp AS (SELECT word, ${fpSql("word")} AS f FROM w),
+          cells AS (SELECT word, $buckets FROM fp),
+          counters AS (
+            SELECT d, bucket, COUNT(*) AS cnt FROM (
+              ${(0 until d).map(i => s"SELECT $i AS d, b$i AS bucket FROM cells")
+                .mkString(" UNION ALL ")})
+            GROUP BY 1, 2),
+          top AS (SELECT word, COUNT(*) AS exact_n FROM w GROUP BY 1
+                  ORDER BY exact_n DESC, word LIMIT ${Queries.CmsTopK}),
+          est AS (SELECT t.word, t.exact_n, MIN(c.cnt) AS cms_est
+                  FROM top t
+                  JOIN (SELECT DISTINCT word, ${(0 until d).map(i => s"b$i")
+                          .mkString(", ")} FROM cells) x ON t.word = x.word
+                  JOIN counters c ON (
+                    ${(0 until d).map(i => s"(c.d = $i AND c.bucket = x.b$i)")
+                      .mkString(" OR ")})
+                  GROUP BY 1, 2)
+          SELECT word, exact_n, cms_est, cms_est - exact_n AS overcount
+          FROM est"""
+    },
 
     "q92_copurchase_pairs" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)

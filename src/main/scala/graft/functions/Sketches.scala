@@ -136,4 +136,50 @@ object Sketches {
       qs.tail.map(q =>
         max(when(col("q") === q, col("est"))).as(qName(q))): _*)
   }
+
+  // --- Count-min sketch ------------------------------------------------------
+
+  /** CMS row hashes from the shared affine family: row d's bucket for a
+    * key with portable fingerprint `fp` (∈ [0, P)) is
+    * ((A(d)·fp + B(d)) mod P) mod width. All operands stay below 2^63
+    * (A, fp < P ≈ 2^30), every step is integer — identical in any engine.
+    */
+  def cmsBucket(fp: Column, d: Int, width: Int): Column =
+    ((lit(Lsh.A(d)) * fp + lit(Lsh.B(d))) % lit(P)) % lit(width)
+
+  /** Count-min sketch counters over a key column: `depth × width` integer
+    * cells as a (d, bucket, cnt) frame — ONE pass over the data (each row
+    * fans out to `depth` cells, collapsed map-side), fixed O(depth·width)
+    * output whatever the key cardinality. Like the histogram sketch the
+    * cells are ADDITIVE: merging days/shards/streaming batches is a
+    * vector add with no order sensitivity, so a per-batch-committed
+    * stream sums to exactly the batch sketch. `keyFpCol` must be the
+    * portable polynomial fingerprint of the key (VectorExprs
+    * .polyFingerprint), which the SQL twin reproduces.
+    */
+  def cmsCounters(df: DataFrame, keyFpCol: Column,
+                  depth: Int, width: Int): DataFrame =
+    df.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), cmsBucket(keyFpCol, d, width).as("bucket"))): _*))
+        .as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate lookup: each item's count estimate is the MIN over
+    * the depth rows of its bucket's counter — the classic CMS guarantee
+    * (estimate >= true count; error <= ε·N with prob 1−δ at width=e/ε,
+    * depth=ln(1/δ)). `items` is expected to be small (a head/candidate
+    * set); the counter frame is depth×width rows and broadcasts.
+    */
+  def cmsEstimates(items: DataFrame, keyFpCol: Column, counters: DataFrame,
+                   depth: Int, width: Int, estCol: String): DataFrame = {
+    val probes = items.withColumn("__db",
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"), cmsBucket(keyFpCol, d, width).as("bucket"))): _*)))
+      .select(items.columns.map(col) :+ col("__db.d").as("d") :+
+        col("__db.bucket").as("bucket"): _*)
+    probes.join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(col("cnt")).as(estCol))
+  }
 }

@@ -613,4 +613,129 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     val full = operators.Scd.scd2FromChangelog(ev, Seq("user_id"), "ts", Seq("event_id"))
     assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
   }
+
+  test("cluster-pruned cosine pairs = brute-force pairs restricted to shared clusters") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.orderBy("vec_id").limit(Queries.SemLists)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val pruned = NearDup.clusterCosinePairs(emb, "vec_id", "embedding",
+      cents, Queries.CosineThreshold)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val asn = Ivf.assignListsByJoin(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", cents, "list")
+      .select("vec_id", "list").as[(Long, Int)].collect().toMap
+    val brute = NearDup.embeddingCosinePairs(emb, "vec_id", "embedding",
+      Queries.CosineThreshold)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = brute.filter { case (a, b) => asn(a) == asn(b) }
+    assert(pruned == expected,
+      s"pruned≠same-cluster-brute: extra=${pruned.diff(expected).take(5)} missing=${expected.diff(pruned).take(5)}")
+    assert(pruned.nonEmpty, "corpus should contain same-cluster near-dups")
+  }
+
+  test("co-occurrence pairs: repeat basket lines count once, support is per-basket") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // repeat (1,20) must not double
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 10L),                       // order within basket irrelevant
+      (4L, 40L)                                   // singleton basket: no pairs
+    ).toDF("basket", "item")
+    val got = Analytics.coOccurrencePairs(df, "basket", "item", 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("sliding distinct users matches a brute-force window count") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // multi-day entities: each (entity, day) grid point present with prob
+    // ~1/2 by a deterministic rule; windows overlap heavily
+    val rows = for { e <- 0 until 40; d <- 0 until 25
+                     if (e * 31 + d * 17) % 7 < 3 }
+      yield (e.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+    val df = rows.toDF("entity", "day")
+    val got = Analytics.slidingDistinctCount(df, "entity", "day", 7, "n")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val byDay = rows.groupBy(_._2).keySet
+    val naive = byDay.map { wend =>
+      val we = wend.toLocalDate
+      wend -> rows.filter { case (_, d) =>
+        val ld = d.toLocalDate
+        !ld.isAfter(we) && ld.isAfter(we.minusDays(7))
+      }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("trailingZScore matches a sequential reference and nulls thin/flat baselines") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val vals = (0 until 60).map(i => (i.toLong, ((i * 37) % 11).toLong)) ++
+      // a flat stretch far from the varied prefix: zero variance → null z
+      (100 until 120).map(i => (i.toLong, 5L))
+    val df = vals.toDF("day_num", "v")
+    val got = Analytics.trailingZScore(df, "day_num", "v", 28, 8)
+      .select("day_num", "n_prior", "trailing_mean", "z_score")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    vals.foreach { case (day, v) =>
+      val prior = vals.filter { case (d, _) => d >= day - 28 && d <= day - 1 }.map(_._2)
+      val (n, mean, z) = got(day)
+      assert(n == prior.size)
+      if (prior.size < 8) assert(mean.isEmpty && z.isEmpty, s"day $day")
+      else {
+        val m = prior.sum.toDouble / prior.size
+        assert(math.abs(mean.get - m) < 1e-12, s"day $day")
+        val va = (prior.map(x => x.toDouble * x).sum - prior.sum.toDouble * prior.sum / prior.size) /
+          (prior.size - 1)
+        if (va > 0.0) assert(math.abs(z.get - (v - m) / math.sqrt(va)) < 1e-12, s"day $day")
+        else assert(z.isEmpty, s"day $day: zero variance must null the z")
+      }
+    }
+  }
+
+  test("containment pairs surface an excerpt-in-page duplicate Jaccard misses") {
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"w$i")
+    val page = words.mkString(" ")
+    val excerpt = words.take(60).mkString(" ")         // fully inside page
+    val other = (0 until 200).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, page), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val cont = NearDup.ngramContainmentPairs(docs, "doc_id", "text",
+      Queries.JaccardN, Queries.ContainmentThreshold)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 58.0 / 198.0, 1.0)),
+      s"expected the excerpt fully contained: ${cont.toSeq}")
+    val jac = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      Queries.JaccardN, Queries.JaccardThreshold)
+    assert(jac.count() == 0, "Jaccard at the dedup threshold must miss the excerpt pair")
+  }
+
+  test("CMS estimates dominate exact counts and counters merge additively") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val docs = Tables.documents(spark, sf)
+    val words = docs.select(explode(graft.functions.TextAnalysis.words(col("text"))).as("word"))
+    val fp = graft.plans.VectorExprs.polyFingerprint(col("word"))
+    val whole = Sketches.cmsCounters(words, fp, Queries.CmsDepth, Queries.CmsWidth)
+    val exact = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimates(exact, fp, whole,
+      Queries.CmsDepth, Queries.CmsWidth, "est")
+    // the one-sided CMS guarantee holds for EVERY key, not just the head
+    assert(est.filter(col("est") < col("exact_n")).count() == 0)
+    // additivity: per-half counters vector-added == whole-corpus counters
+    val h1 = Sketches.cmsCounters(words.filter(fp % 2 === 0), fp,
+      Queries.CmsDepth, Queries.CmsWidth)
+    val h2 = Sketches.cmsCounters(words.filter(fp % 2 === 1), fp,
+      Queries.CmsDepth, Queries.CmsWidth)
+    val merged = h1.unionByName(h2).groupBy("d", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    assert(merged.except(whole).count() == 0 && whole.except(merged).count() == 0)
+  }
 }

@@ -204,4 +204,36 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q10_agg_report")
     assert(p.contains("partial_"), "no partial aggregate before the exchange")
   }
+
+  test("q91: centroid assignment broadcasts; the cluster self-join is an equi-join") {
+    val p = plan("q91_semantic_dedup")
+    assert(p.contains("BroadcastExchange"), "centroid table must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairing fell back to a cartesian — the list equi-key is lost")
+  }
+
+  test("q92: co-occurrence is hash-joined on the basket key, never nested-loop") {
+    val p = plan("q92_copurchase_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k by support must be TakeOrdered, not a global sort")
+  }
+
+  test("q93: anomaly stats ride the daily frame — one scan of lineitem") {
+    val p = plan("q93_revenue_anomaly")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q95: sliding distinct is explode+dedup — no range join, no cartesian") {
+    val p = plan("q95_sliding_active_users")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), "the bounded window-end explode is missing")
+  }
+
+  test("q94: CMS estimate joins the tiny counter frame by broadcast") {
+    val p = plan("q94_cms_heavy_hitters")
+    assert(p.contains("BroadcastExchange"), "counter frame must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "head-word selection must be TakeOrdered, not a global sort")
+  }
 }
