@@ -610,6 +610,44 @@ class StreamingSpec extends AnyFunSuite {
       "merged streaming partials must reproduce the batch sketch exactly")
   }
 
+  test("streaming CMS: committed per-batch counters finalize to the batch sketch") {
+    val dir = tmp()
+    val (src, cp, store) = (s"$dir/src", s"$dir/cp", s"$dir/cms")
+    val (depth, width) = (Queries.CmsDepth, Queries.CmsWidth)
+    def fp(c: org.apache.spark.sql.Column) = graft.functions.Sketches.keyHash(c)
+    // Same contract as the histogram sketch: each micro-batch commits ONLY
+    // its own depth×width partial cells (O(batch) work, O(d·w) rows);
+    // additivity makes the summed segments equal the single-pass batch
+    // sketch regardless of batch boundaries.
+    def run(): Unit =
+      IngestPipeline.boundedFileStream(spark, src, ev.schema)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val part = graft.functions.Sketches.cmsCounters(
+            df, fp(col("user_id")), depth, width)
+          graft.sources.Snapshots.appendCommit(part, store, token = id)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    half1.write.mode("append").parquet(src)
+    run()
+    half2.write.mode("append").parquet(src)
+    run()
+    val merged = graft.sources.Snapshots.read(spark, store)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = graft.functions.Sketches.cmsCounters(
+      ev, fp(col("user_id")), depth, width)
+    assert(merged.except(whole).count() == 0 && whole.except(merged).count() == 0,
+      "merged streaming partials must reproduce the batch CMS exactly")
+    // the finalized estimates keep the one-sided guarantee for every user
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val est = graft.functions.Sketches.cmsEstimates(exact, fp(col("user_id")),
+      merged, depth, width, "est")
+    assert(est.count() > 0 && est.filter(col("est") < col("exact_n")).count() == 0)
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
