@@ -112,6 +112,10 @@ object SparkEntry {
     "q93_revenue_anomaly"     -> (Queries.revenueAnomaly _),
     "q95_sliding_active_users" -> (Queries.slidingActiveUsers _),
     "q96_containment_pairs"   -> (Queries.containmentPairs _),
+    "q97_copurchase_similarity" -> (Queries.copurchaseSimilarity _),
+    "q98_source_drift"        -> (Queries.sourceDrift _),
+    "q99_decayed_value"       -> (Queries.decayedCustomerValue _),
+    "q100_local_supplier_volume" -> (Queries.localSupplierVolume _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1279,6 +1283,127 @@ object Queries {
         .select(col("user_id"), Cols.utcDate(col("ts")).as("day")),
       "user_id", "day", SlidingWindowDays, "n_users_7d")
       .orderBy("window_end")
+
+  // --- q97: item-item cosine similarity (normalized co-occurrence) --------------
+  // q92's support counts normalized to the bipartite-projection cosine
+  // n_ab / √(n_a·n_b) — the actual item-recommender score (raw support
+  // just ranks popular items). Same bounded join; the per-item frequency
+  // table joins in by hash. Deterministic: integer counts, one sqrt, one
+  // division, total tiebreak order.
+  val SimTopK = 100
+
+  def copurchaseSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    val freq = items.groupBy("i").agg(count(lit(1)).as("n"))
+    Analytics.coOccurrencePairs(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", CoMinSupport)
+      .join(freq.select(col("i").as("item_a"), col("n").as("na")), Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("n").as("nb")), Seq("item_b"))
+      .withColumn("cosine",
+        col("n_baskets").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")))
+      .select("item_a", "item_b", "n_baskets", "cosine")
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(SimTopK)
+  }
+
+  // --- q98: cross-source quality-distribution drift ------------------------------
+  // Has one source's quality distribution drifted from another's? The
+  // monitoring question behind every ingestion mix decision. Per-source
+  // decile histograms (one hash-agg), then pairwise chi-square distance
+  // Σ (p−q)²/(p+q) over the 10 bins — folded in FIXED bin order via an
+  // array fold (sort_array + aggregate), never a float SUM whose
+  // combination order floats with partitioning. Counts are integers,
+  // proportions one division each: bit-stable cross-engine.
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val binned = docs.select(col("source"),
+        least(floor(docQuality * lit(10.0)), lit(9.0)).cast("long").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    // densify to the full 0..9 bin domain BEFORE building the per-source
+    // arrays: zip_with aligns positionally, so a bin empty in one source
+    // but not the other would otherwise misalign every later bin
+    val grid = docs.select("source").distinct()
+      .crossJoin(spark.range(10).select(col("id").as("bin")))
+    val full = grid.join(binned, Seq("source", "bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val withP = full
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
+    val hist = withP.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("bin"), col("p")))).as("h"))
+    val a = hist.select(col("source").as("source_a"), col("h").as("ha"))
+    val b = hist.select(col("source").as("source_b"), col("h").as("hb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("chi2", expr(
+        """aggregate(
+             zip_with(ha, hb, (x, y) ->
+               CASE WHEN x.p + y.p = 0.0D THEN 0.0D
+                    ELSE (x.p - y.p) * (x.p - y.p) / (x.p + y.p) END),
+             0.0D, (acc, v) -> acc + v)"""))
+      .select("source_a", "source_b", "chi2")
+      .orderBy("source_a", "source_b")
+  }
+
+  // --- q99: time-decayed customer value ------------------------------------------
+  // Recency-weighted lifetime value: Σ over the customer's order days of
+  // day_revenue · 2^−age. The decay weight is an EXACT power of two
+  // (1/(1<<age), ages capped at 50): multiplying by it only shifts the
+  // exponent — no rounding — so the only float rounding left is the
+  // per-day decimal→double conversion and the final fold, which runs in
+  // FIXED day order via sort_array+aggregate (both engines fold
+  // sequentially over the same sorted list). The per-customer list is
+  // bounded by the customer's distinct order days, never the corpus.
+  val DecayCapDays = 50
+
+  def decayedCustomerValue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val daily = o.groupBy(col("o_custkey"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    daily.crossJoin(broadcast(maxDay))
+      .withColumn("age",
+        least(datediff(col("max_day"), col("day")), lit(DecayCapDays)).cast("int"))
+      .withColumn("wv",
+        col("rev_dec").cast("double") / expr("cast(shiftleft(1L, age) as double)"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .groupBy("o_custkey")
+      .agg(expr("""aggregate(
+             transform(sort_array(collect_list(struct(day_num, wv))), s -> s.wv),
+             0.0D, (acc, v) -> acc + v)""").as("decayed_value"),
+        count(lit(1)).as("n_days"))
+      .orderBy("o_custkey")
+  }
+
+  // --- q100: local-supplier-volume star (TPC-H Q5 shape) --------------------------
+  // The join-GRAPH query the plain star lacks: lineitem ⋈ orders ⋈
+  // customer ⋈ supplier with the cross-dimension equality
+  // c_nationkey = s_nationkey (revenue where the customer's nation
+  // supplied the part), closed through broadcast nation/region. Exercises
+  // a join cycle — the optimizer must place the nationkey filter after
+  // both dim joins — while revenue stays decimal-exact.
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .filter(c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("region", "nation")
+  }
 
   // --- q69: BM25 top-k retrieval over the corpus -------------------------------
   // Broadcast-stats retrieval: ONE row of corpus statistics (N, Σdl, per-term
@@ -2567,6 +2692,91 @@ object Oracles {
           SELECT word, exact_n, cms_est, cms_est - exact_n AS overcount
           FROM est"""
     },
+
+    "q97_copurchase_similarity" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          freq AS (SELECT i, COUNT(*) AS n FROM items GROUP BY 1),
+          pairs AS (
+            SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+            FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= ${Queries.CoMinSupport})
+          SELECT item_a, item_b, n_baskets,
+                 CAST(n_baskets AS DOUBLE)
+                   / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cosine
+          FROM pairs JOIN freq fa ON item_a = fa.i
+                     JOIN freq fb ON item_b = fb.i
+          ORDER BY cosine DESC, item_a, item_b
+          LIMIT ${Queries.SimTopK}""",
+
+    "q98_source_drift" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""WITH q AS (SELECT source,
+                       least(floor((0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops))
+                                           AS DOUBLE) / len($ws))
+                              + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0))
+                             * 10.0), 9.0) AS bin
+                FROM documents),
+          binned AS (SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS cnt
+                     FROM q GROUP BY 1, 2),
+          grid AS (SELECT s.source, g.bin
+                   FROM (SELECT DISTINCT source FROM documents) s,
+                        (SELECT unnest(generate_series(0, 9)) AS bin) g),
+          full_h AS (SELECT grid.source, grid.bin,
+                            COALESCE(binned.cnt, 0) AS cnt
+                     FROM grid LEFT JOIN binned
+                       ON grid.source = binned.source AND grid.bin = binned.bin),
+          p AS (SELECT source, bin,
+                       CAST(cnt AS DOUBLE)
+                         / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE) AS p
+                FROM full_h),
+          hist AS (SELECT source,
+                          list_transform(
+                            list_sort(list({'bin': bin, 'p': p})),
+                            s -> s.p) AS h
+                   FROM p GROUP BY 1)
+          SELECT a.source AS source_a, b.source AS source_b,
+                 list_reduce(
+                   list_transform(generate_series(1, 10), i ->
+                     CASE WHEN a.h[i] + b.h[i] = 0.0 THEN 0.0
+                          ELSE (a.h[i] - b.h[i]) * (a.h[i] - b.h[i])
+                               / (a.h[i] + b.h[i]) END),
+                   (x, y) -> x + y) AS chi2
+          FROM hist a JOIN hist b ON a.source < b.source"""
+    },
+
+    "q99_decayed_value" ->
+      s"""WITH daily AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     AS day_num
+            FROM orders GROUP BY 1, 2, 4),
+          mx AS (SELECT MAX(day) AS max_day FROM daily),
+          wv AS (SELECT o_custkey, day_num,
+                        rev / CAST(1::BIGINT << least(
+                                date_diff('day', day, max_day),
+                                ${Queries.DecayCapDays}) AS DOUBLE) AS wv
+                 FROM daily, mx)
+          SELECT o_custkey,
+                 list_reduce(
+                   list_transform(list_sort(list({'d': day_num, 'w': wv})),
+                                  s -> s.w),
+                   (x, y) -> x + y) AS decayed_value,
+                 COUNT(*) AS n_days
+          FROM wv GROUP BY 1""",
+
+    "q100_local_supplier_volume" ->
+      s"""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_items,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE c_nationkey = s_nationkey
+          GROUP BY 1, 2""",
 
     "q92_copurchase_pairs" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)

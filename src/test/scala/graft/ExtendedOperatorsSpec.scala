@@ -717,6 +717,56 @@ class ExtendedOperatorsSpec extends AnyFunSuite {
     assert(jac.count() == 0, "Jaccard at the dedup threshold must miss the excerpt pair")
   }
 
+  test("decayed customer value matches a driver-side sequential fold") {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(Cols.dec2(col("o_totalprice"))).as("rev_dec"))
+      .select(col("o_custkey"), col("day"), col("rev_dec").cast("double").as("rev"))
+      .as[(Long, java.sql.Date, Double)].collect()
+    val maxDay = daily.map(_._2.toLocalDate).max
+    val expected = daily.groupBy(_._1).map { case (ck, rows) =>
+      val v = rows.sortBy(_._2.toLocalDate.toEpochDay).map { case (_, d, rev) =>
+        val age = math.min(
+          java.time.temporal.ChronoUnit.DAYS.between(d.toLocalDate, maxDay),
+          Queries.DecayCapDays.toLong).toInt
+        rev / (1L << age).toDouble
+      }.foldLeft(0.0)(_ + _)
+      ck -> ((v, rows.size.toLong))
+    }
+    val got = Queries.decayedCustomerValue(spark, sf)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected, "fixed-order fold must be bit-identical to the reference")
+  }
+
+  test("source drift: full pair coverage, chi-square within [0, 2]") {
+    import spark.implicits._
+    val drift = Queries.sourceDrift(spark, sf)
+      .as[(String, String, Double)].collect()
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(drift.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    assert(drift.forall { case (a, b, x) => a < b && x >= 0.0 && x <= 2.0 },
+      "chi-square distance over proportions is bounded by 2")
+  }
+
+  test("co-purchase cosine normalizes support by item popularity") {
+    import spark.implicits._
+    val sim = Queries.copurchaseSimilarity(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(sim.nonEmpty && sim.forall { case (_, _, n, c) =>
+      n >= Queries.CoMinSupport && c > 0.0 && c <= 1.0 })
+    // cosine must equal support / sqrt(na·nb) for a sampled pair
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val (ia, ib, n, c) = sim.head
+    val na = items.filter(col("l_partkey") === ia).count()
+    val nb = items.filter(col("l_partkey") === ib).count()
+    assert(math.abs(c - n / math.sqrt(na.toDouble * nb)) < 1e-15)
+  }
+
   test("CMS estimates dominate exact counts and counters merge additively") {
     import spark.implicits._
     import graft.functions.Sketches

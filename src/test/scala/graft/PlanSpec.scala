@@ -236,4 +236,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "head-word selection must be TakeOrdered, not a global sort")
   }
+
+  test("q97: similarity top-k is TakeOrdered over hash joins only") {
+    val p = plan("q97_copurchase_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+  }
+
+  test("q99: the only nested-loop is the single-row max-day broadcast") {
+    val p = plan("q99_decayed_value")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the one-row max-day frame may cross-broadcast")
+  }
+
+  test("q100: suppliers/nations/regions broadcast; no cartesian in the join cycle") {
+    val p = plan("q100_local_supplier_volume")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "the three small dims must broadcast")
+  }
 }
