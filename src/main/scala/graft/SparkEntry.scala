@@ -640,7 +640,10 @@ object Queries {
   // never a per-key cross product of views x purchases.
   val ConversionWindowMicros: Long = 7L * 86400 * 1000000L
 
-  def nextConversion(spark: SparkSession, dir: String): DataFrame = {
+  /** The q85 view→next-purchase frame, unsorted — shared with q109's
+    * latency rollup.
+    */
+  private def nextConversionFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select("user_id", "event_id", "event_type", "ts")
     val views = ev.filter(col("event_type") === "view")
@@ -657,8 +660,10 @@ object Queries {
         col("next_event_id"),
         (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
           .as("lag_micros"))
-      .orderBy("event_id")
   }
+
+  def nextConversion(spark: SparkSession, dir: String): DataFrame =
+    nextConversionFrame(spark, dir).orderBy("event_id")
 
   // --- q38: KMV distinct-count sketch vs exact ---------------------------------
   val KmvK = 256

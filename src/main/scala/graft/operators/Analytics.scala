@@ -97,6 +97,37 @@ object Analytics {
       .agg(count(lit(1)).as(outCol))
   }
 
+  /** Calendar densification + forward fill over a sparse per-key daily
+    * frame: every key gets a row for EVERY day of the global [min, max]
+    * span, gap days carry the key's most recent observed value. The fill
+    * uses the gap-and-island trick — a running COUNT of non-null values
+    * assigns each gap row to the island opened by the last observation,
+    * and MAX over (key, island) recovers that observation — instead of
+    * `last(ignoreNulls)` whose frame-walk cost is quadratic in gap length
+    * on some engines and which has no ANSI twin. Scale: the dense frame
+    * is O(keys × span-days) — a report-sized output (the INPUT fact table
+    * was already aggregated to daily rows); the per-key windows
+    * hash-distribute by key. Value column must be exact (decimal/long) so
+    * MAX is order-independent. Days before a key's first observation stay
+    * null (nothing to carry). Returns the dense frame with `valCol` (null
+    * on gaps), `filled_<valCol>` (carried), and `is_gap`.
+    */
+  def gapFillForward(daily: DataFrame, keyCol: String, dayCol: String,
+                     valCol: String): DataFrame = {
+    val span = daily.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as(dayCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val wIsland = Window.partitionBy(col(keyCol), col("__island"))
+    grid.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("__island", count(col(valCol)).over(wRun))
+      .withColumn(s"filled_$valCol", max(col(valCol)).over(wIsland))
+      .withColumn("is_gap", col(valCol).isNull)
+      .drop("__island")
+  }
+
   /** Trailing-window z-score anomaly columns over a daily frame: for each
     * day, mean/variance of `valueLongCol` (an INTEGER-quantized metric —
     * the caller picks units coarse enough that Σv and Σv² stay below
