@@ -2025,6 +2025,249 @@ object Queries {
           ";").as("manifest"))
       .orderBy("source", "shard")
   }
+
+  // --- q101: calendar densification + forward fill --------------------------------
+  // Daily revenue per market segment with EVERY day of the global span
+  // materialized and gap days carrying the segment's last observed value
+  // (Analytics.gapFillForward — the gap-and-island rewrite of
+  // last(ignoreNulls)). The fill runs on the exact DECIMAL column, so the
+  // carried value is bit-identical to the observed one; doubles appear
+  // only in the final projection.
+  def gapFillRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    Analytics.gapFillForward(daily, "segment", "day", "rev_dec")
+      .select(col("segment"), col("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("filled_rev_dec").cast("double").as("filled_revenue"),
+        col("is_gap"))
+      .orderBy("segment", "day")
+  }
+
+  // --- q102: per-supplier load islands (gaps-and-islands) --------------------------
+  // For each supplier, the maximal day spans where the count of
+  // concurrently OPEN order lines (interval = the order↔ship milestone
+  // span; this synthetic data draws the two dates independently, so the
+  // span is least..greatest) exceeds the supplier's own average
+  // concurrency. Intervals.thresholdIslands: boundary ±1 rows, per-key
+  // prefix-sum concurrency, integer threshold compare, adjacent
+  // qualifying segments merged — all windows hash-partitioned by
+  // supplier.
+  def supplierLoadIslands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val epoch = lit("1970-01-01").cast("date")
+    val od = datediff(col("o_orderdate").cast("date"), epoch)
+    val sd = datediff(col("l_shipdate").cast("date"), epoch)
+    val iv = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_suppkey").as("suppkey"),
+        least(od, sd).cast("long").as("st"),
+        greatest(od, sd).cast("long").as("en"))
+    Intervals.thresholdIslands(iv, "suppkey", "st", "en")
+      .select(col("suppkey"), col("island_seq"),
+        date_add(epoch, col("island_start").cast("int")).as("start_day"),
+        date_add(epoch, col("island_end").cast("int")).as("end_day"),
+        col("n_days"), col("peak_open"))
+      .orderBy("suppkey", "island_seq")
+  }
+
+  // --- q103: month-over-month revenue growth ---------------------------------------
+  // Period-over-period comparison on the aggregated monthly frame: exact
+  // decimal monthly sums per nation, a per-nation lag window (the frame is
+  // O(nations × months) — report-sized), absolute change in exact
+  // decimals, and pct change as ONE double division of two decimal-exact
+  // values.
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val monthKey = (year(col("o_orderdate")) * lit(100) + month(col("o_orderdate")))
+      .cast("long")
+    val m = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), monthKey.as("month_key"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation").orderBy("month_key")
+    m.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("nation"), col("month_key"),
+        col("rev").cast("double").as("revenue"),
+        col("prev").cast("double").as("prev_revenue"),
+        (col("rev") - col("prev")).cast("double").as("change"),
+        when(col("prev").isNull, lit(null).cast("double"))
+          .otherwise((col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double")).as("pct_change"))
+      .orderBy("nation", "month_key")
+  }
+
+  // --- q104: dormant high-value customers (TPC-H Q22 shape) ------------------------
+  // Above-average-balance customers with NO orders since the cutoff: a
+  // broadcast scalar threshold (exact decimal sum / count, one double
+  // division), then a LEFT ANTI join against the distinct custkeys of the
+  // recent order window — the NOT EXISTS plan shape. The anti join's
+  // build side is the distinct-key aggregate, not the raw fact table.
+  val DormantCutoff = "2000-06-01 00:00:00"
+
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("__t"))
+    val recent = o.filter(col("o_orderdate") >= ntzTs(DormantCutoff))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("__t"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_balance"))
+      .orderBy("segment")
+  }
+
+  // --- q105: fuzzy product-name linkage (blocking + edit distance) -----------------
+  // Duplicate-listing detection over the part catalog: dictionary of
+  // distinct names (64 strings for 20k parts at sf0.1), blocked on the
+  // LAST name token (edits in this class live in the qualifier token, so
+  // the block preserves recall), verified by levenshtein ≤ 2 — the
+  // quadratic work never touches the entity table.
+  val FuzzyMaxDist = 2
+
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Linkage.nameDictionary(Tables.part(spark, dir), "p_name")
+    Linkage.fuzzyPairs(dict, nm => element_at(split(nm, " "), -1), FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("edit_dist"),
+        col("n_rows_a").as("n_parts_a"), col("n_rows_b").as("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  // --- q106: per-user modal event type ---------------------------------------------
+  // Mode per group with a deterministic tiebreak (highest count, then
+  // lexicographic min): one hash-agg to (user, type) counts, then a
+  // row_number window over the tiny per-user frame.
+  def topEventType(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_event_type"),
+        col("cnt").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // --- q107: integer-quantized Pearson correlation ---------------------------------
+  // Correlation of quantity vs (kilodollar-quantized) price per return
+  // flag from EXACT integer moments: x, y, x², y², xy all sum in longs
+  // (ranges sized so every sum stays far below 2^63 at bench scales; at
+  // larger corpora quantize coarser or lift the sums to DECIMAL(38,0)),
+  // and doubles appear only in the final fixed-shape corr expression —
+  // long→double conversion is IEEE round-to-nearest in both engines, so
+  // the result is bit-stable. The built-in corr() is NOT used: its
+  // streaming-moment implementation is partitioning-order dependent.
+  def metricCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val q = li.select(col("l_returnflag").as("returnflag"),
+      dec2(col("l_quantity")).cast("long").as("x"),
+      expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100000")
+        .as("y"))
+    val s = q.groupBy("returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("returnflag"), col("n").as("n_rows"),
+        (num / (sqrt(denx) * sqrt(deny))).as("corr_qty_price"))
+      .orderBy("returnflag")
+  }
+
+  // --- q108: per-source token Gini concentration -----------------------------------
+  // Corpus-health inequality metric: is a source's token mass concentrated
+  // in a few giant documents? Rank docs within source by (tokens, doc_id)
+  // — a per-source window, parallel across sources; for a single enormous
+  // group the rank decomposes over PrefixSum value-buckets exactly as
+  // q72's global rank — then Gini from exact integer sums
+  // (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), one double division at the end.
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("tok"), col("doc_id"))
+    val r = t.withColumn("__i", row_number().over(w).cast("long"))
+    r.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(col("__i") * col("tok")).as("__si"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        ((lit(2L) * col("__si") - (col("n_docs") + lit(1L)) * col("total_tokens"))
+          .cast("double") /
+          (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
+      .orderBy("source")
+  }
+
+  // --- q109: inter-arrival gap histogram -------------------------------------------
+  // Distribution of per-user inter-event gaps in fixed log-ish buckets:
+  // one per-user lag window in exact epoch micros, a CASE bucket, one
+  // hash-agg; the share division is the only double op (two exact longs).
+  def interarrivalHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val bucket = when(col("__gap") < 1000000L, "0_lt_1s")
+      .when(col("__gap") < 60000000L, "1_1s_1m")
+      .when(col("__gap") < 3600000000L, "2_1m_1h")
+      .when(col("__gap") < 86400000000L, "3_1h_1d")
+      .otherwise("4_ge_1d")
+    val counts = Tables.events(spark, dir)
+      .withColumn("__gap", gap)
+      .filter(col("__gap").isNotNull)
+      .select(bucket.as("gap_bucket"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n_gaps"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()  // ≤5 rows: the histogram frame, not the events
+    counts
+      .withColumn("share",
+        col("n_gaps").cast("double") / sum(col("n_gaps")).over(wAll).cast("double"))
+      .orderBy("gap_bucket")
+  }
+
+  // --- q110: referential-integrity audit (orphan foreign keys) ---------------------
+  // DQ over the star's join graph: for each FK relationship, total rows
+  // and rows whose key misses the dimension — ONE scan per fact side (a
+  // left join against the distinct-key aggregate, nulls counted), never a
+  // second anti-join pass. Zero orphans is the expected healthy answer;
+  // the query's value is that it PROVES it, per edge.
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def audit(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame = {
+      val keys = dim.select(col(pk)).distinct()
+      fact.select(col(fk)).join(keys, fact(fk) === keys(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))
+    }
+    audit("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(audit("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(audit("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(audit("orders_customer", o, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("relationship")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
