@@ -123,11 +123,17 @@ object ScaleGen {
     scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — read through the raw-nanos
-    // accessor (plain reads throw PARQUET_TYPE_ILLEGAL). The copy writes ts
-    // as plain INT64 nanos, which the same accessor reads identically; the
-    // scaled dir feeds Bench only, never the DuckDB oracle.
-    scaleEvents(Tables.eventsRawNanos(spark, src), factor)
+    // events.ts format follows the source fixtures (Tables.eventsTsUnit
+    // detects TIMESTAMP(MICROS) vs TIMESTAMP(NANOS)). MICROS sources copy
+    // through as native TimestampType (written back as TIMESTAMP(MICROS),
+    // which Tables.events re-detects); NANOS sources copy as raw INT64
+    // nanos, which the long-read path picks up. The scaled dir feeds Bench
+    // only, never the DuckDB oracle.
+    val evSrc = Tables.eventsTsUnit(spark, src) match {
+      case Tables.TsMicros => Tables.events(spark, src)
+      case Tables.TsNanos  => Tables.eventsRawNanos(spark, src)
+    }
+    scaleEvents(evSrc, factor)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 

@@ -136,10 +136,20 @@ object Queries {
   }
 
   def incrementalExtract(spark: SparkSession, dir: String): DataFrame =
-    Incremental.extractWindowNanos(Tables.eventsRawNanos(spark, dir), "ts",
-      utcMicros(WmLow), utcMicros(WmHigh))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    Tables.eventsTsUnit(spark, dir) match {
+      case Tables.TsMicros =>
+        // MICROS files: the window predicate on the native TimestampType
+        // column pushes into the scan as GreaterThan/LessThanOrEqual —
+        // no long-domain translation needed.
+        Incremental.extractWindow(Tables.events(spark, dir), "ts",
+          lit(WmLow).cast("timestamp"), lit(WmHigh).cast("timestamp"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case Tables.TsNanos =>
+        Incremental.extractWindowNanos(Tables.eventsRawNanos(spark, dir), "ts",
+          utcMicros(WmLow), utcMicros(WmHigh))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
 
   // --- q02: dedup by business key, latest by sequence ----------------------
   def dedupLatest(spark: SparkSession, dir: String): DataFrame =

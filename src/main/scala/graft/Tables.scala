@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Schema-on-read accessors for the star-schema testdata.
   *
@@ -15,46 +16,101 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark cannot
-    * map to its microsecond TimestampType directly. Read it as raw nanos
-    * and truncate to micros with integer division — exactly the truncation
-    * DuckDB applies when it reads the same file into its microsecond
-    * TIMESTAMP, so both engines see identical instants. (Plain `/ 1000`
-    * would round-trip through double and lose precision: epoch-nanos
-    * ≈ 1.7e18 > 2^53.)
+  /** `events.ts` has shipped in two physical formats across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark cannot map to its
+    * microsecond TimestampType — the scan must read raw longs), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark maps natively).
+    * Nothing in the engine may assume one format: the generator regenerated
+    * the fixtures mid-flight once already and silently flipped every
+    * timestamp-derived result. `events` detects the file's declared unit
+    * from the footer (one schema-inference read per directory, memoized)
+    * and branches, so both formats produce the SAME logical table:
+    * `ts: TimestampType` carrying the file's micros truncation — exactly
+    * the instants DuckDB sees when it reads the same file.
+    */
+  sealed trait TsUnit
+  case object TsMicros extends TsUnit
+  case object TsNanos  extends TsUnit
+
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsUnit]()
+
+  /** Detected physical unit of `events.ts` under `dir`. MICROS when the
+    * footer declares a Spark-readable timestamp logical type; NANOS when
+    * schema inference rejects the file (TIMESTAMP(NANOS) throws
+    * `Illegal Parquet type`) or the column is a bare INT64 (ScaleGen's
+    * nanos-era copies write raw longs with no logical annotation).
+    */
+  def eventsTsUnit(spark: SparkSession, dir: String): TsUnit =
+    tsUnitCache.computeIfAbsent(s"$dir/events.parquet", path =>
+      try {
+        spark.read.parquet(path).schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => TsMicros
+          case _                                => TsNanos
+        }
+      } catch {
+        // Schema inference throws on TIMESTAMP(NANOS) columns.
+        case _: org.apache.spark.sql.AnalysisException => TsNanos
+        case _: org.apache.spark.SparkException        => TsNanos
+      })
+
+  /** Unified events read: `ts` is TimestampType (UTC micros) regardless of
+    * the file's physical unit.
+    *
+    *  - MICROS files are read with an explicit TimestampType schema — the
+    *    raw micros land in the column unshifted (the NTZ wall-clock equals
+    *    the UTC instant under the engine-wide UTC session timezone), and
+    *    range predicates on `ts` push into the parquet scan as plain
+    *    `GreaterThan(ts, …)` filters (verified via explain: PushedFilters).
+    *  - NANOS files are read as raw longs and truncated with integer
+    *    division (`ts div 1000`) — the same truncation DuckDB applies —
+    *    because plain `/ 1000` would round-trip through double and lose
+    *    precision (epoch-nanos ≈ 1.7e18 > 2^53).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRawNanos(spark, dir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    eventsTsUnit(spark, dir) match {
+      case TsMicros =>
+        spark.read.schema(EventsSchemaMicros).parquet(s"$dir/events.parquet")
+      case TsNanos =>
+        eventsRawNanos(spark, dir)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
 
-  /** Explicit read schema for events: declaring `ts` as LongType lets the
-    * parquet reader hand back the raw nanos WITHOUT the global
-    * `spark.sql.legacy.parquet.nanosAsLong` flag — no session conf is
-    * mutated, so the accessor is safe under any caller session and
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Explicit read schema for MICROS-format events: declaring `ts` as
+    * TimestampType makes the vectorized reader hand back the stored micros
+    * as the session-TZ-independent column value (UTC instants under the
+    * engine's UTC session timezone) and keeps `ts` a bare attribute for
+    * filter pushdown.
+    */
+  private val EventsSchemaMicros = eventsSchema(TimestampType)
+
+  /** Explicit read schema for NANOS-format events: declaring `ts` as
+    * LongType lets the parquet reader hand back the raw nanos WITHOUT the
+    * global `spark.sql.legacy.parquet.nanosAsLong` flag — no session conf
+    * is mutated, so the accessor is safe under any caller session and
     * concurrent readers.
     */
-  private val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("user_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value",
-      org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props",
-      org.apache.spark.sql.types.StringType)))
+  private val EventsSchemaNanos = eventsSchema(LongType)
 
-  /** `events` with `ts` still raw epoch-nanos (LongType). Time-window
-    * operators filter THIS form so the range predicate reaches the parquet
-    * scan as a plain long comparison — `timestamp_micros(ts div 1000) > X`
-    * is opaque to the reader and would scan the full table at 100 TB.
+  /** NANOS-format `events` with `ts` still raw epoch-nanos (LongType).
+    * Only valid when `eventsTsUnit` is TsNanos — time-window operators on
+    * that format filter THIS form so the range predicate reaches the
+    * parquet scan as a plain long comparison (`timestamp_micros(ts div
+    * 1000) > X` is opaque to the reader and would scan the full table at
+    * 100 TB). MICROS-format files don't need it: TimestampType predicates
+    * push down natively via `events`.
     */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
+    spark.read.schema(EventsSchemaNanos).parquet(s"$dir/events.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
