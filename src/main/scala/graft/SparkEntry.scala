@@ -116,6 +116,26 @@ object SparkEntry {
     "q98_source_drift"        -> (Queries.sourceDrift _),
     "q99_decayed_value"       -> (Queries.decayedCustomerValue _),
     "q100_local_supplier_volume" -> (Queries.localSupplierVolume _),
+    "q101_gap_fill_revenue"   -> (Queries.gapFillRevenue _),
+    "q102_supplier_load_islands" -> (Queries.supplierLoadIslands _),
+    "q103_mom_growth"         -> (Queries.momGrowth _),
+    "q104_dormant_customers"  -> (Queries.dormantCustomers _),
+    "q105_fuzzy_part_names"   -> (Queries.fuzzyPartNames _),
+    "q106_top_event_type"     -> (Queries.topEventType _),
+    "q107_metric_correlation" -> (Queries.metricCorrelation _),
+    "q108_token_gini"         -> (Queries.tokenGini _),
+    "q109_interarrival_hist"  -> (Queries.interarrivalHist _),
+    "q110_fk_audit"           -> (Queries.fkAudit _),
+    "q111_source_doc_cap"     -> (Queries.sourceDocCap _),
+    "q112_multi_touch"        -> (Queries.multiTouchAttribution _),
+    "q113_token_deciles"      -> (Queries.tokenDeciles _),
+    "q114_revenue_autocorr"   -> (Queries.revenueAutocorr _),
+    "q115_scd2_audit"         -> (Queries.scd2Audit _),
+    "q116_transition_probs"   -> (Queries.transitionProbs _),
+    "q117_join_key_skew"      -> (Queries.joinKeySkew _),
+    "q118_user_diversity"     -> (Queries.userDiversity _),
+    "q119_cluster_histogram"  -> (Queries.clusterSizeHistogram _),
+    "q120_segment_activity"   -> (Queries.segmentActivity _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2090,7 +2110,9 @@ object Queries {
   // decimal monthly sums per nation, a per-nation lag window (the frame is
   // O(nations × months) — report-sized), absolute change in exact
   // decimals, and pct change as ONE double division of two decimal-exact
-  // values.
+  // values. The lag is gated on CALENDAR adjacency: if a nation has no
+  // orders in the previous calendar month, prev/change/pct are null
+  // rather than silently comparing against a multi-month-older value.
   def momGrowth(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -2103,7 +2125,14 @@ object Queries {
       .agg(sum(dec2(col("o_totalprice"))).as("rev"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("nation").orderBy("month_key")
-    m.withColumn("prev", lag(col("rev"), 1).over(w))
+    // yyyymm arithmetic: January's calendar predecessor is December of the
+    // prior year (yyyymm - 89); any other month's is yyyymm - 1.
+    val adjacentPrevKey = when(col("month_key") % 100 === 1,
+      col("month_key") - 89).otherwise(col("month_key") - 1)
+    m.withColumn("__lag_key", lag(col("month_key"), 1).over(w))
+      .withColumn("__lag_rev", lag(col("rev"), 1).over(w))
+      .withColumn("prev",
+        when(col("__lag_key") === adjacentPrevKey, col("__lag_rev")))
       .select(col("nation"), col("month_key"),
         col("rev").cast("double").as("revenue"),
         col("prev").cast("double").as("prev_revenue"),
@@ -2208,9 +2237,13 @@ object Queries {
   // q72's global rank — then Gini from exact integer sums
   // (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), one double division at the end.
   def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    // Null text coalesces to 0 tokens (the doc still counts toward
+    // n_docs), and a source whose token mass is zero gets a null gini
+    // instead of a 0/0 NaN — both guards mirrored in the oracle.
     val t = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(TextAnalysis.words(col("text"))).cast("long").as("tok"))
+        coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L))
+          .as("tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("tok"), col("doc_id"))
     val r = t.withColumn("__i", row_number().over(w).cast("long"))
@@ -2219,9 +2252,10 @@ object Queries {
         sum(col("tok")).as("total_tokens"),
         sum(col("__i") * col("tok")).as("__si"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        ((lit(2L) * col("__si") - (col("n_docs") + lit(1L)) * col("total_tokens"))
-          .cast("double") /
-          (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
+        when(col("total_tokens") > 0L,
+          (lit(2L) * col("__si") - (col("n_docs") + lit(1L)) * col("total_tokens"))
+            .cast("double") /
+            (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
       .orderBy("source")
   }
 
@@ -2277,6 +2311,233 @@ object Queries {
       .unionByName(audit("orders_customer", o, "o_custkey",
         Tables.customer(spark, dir), "c_custkey"))
       .orderBy("relationship")
+  }
+
+  // --- q111: per-source document cap -----------------------------------------------
+  // The training-data per-domain cap: keep at most `SourceCap` documents
+  // per source, best-quality first (deterministic tiebreak on doc_id) —
+  // the standard guard against one crawl domain dominating the mix. The
+  // per-source window distributes across sources; a single enormous
+  // source caps via per-partition pre-truncation (each map partition can
+  // contribute at most `SourceCap` survivors, so a mapPartitions
+  // pre-filter bounds the windowed rows at partitions×cap) — noted, not
+  // needed at report scale.
+  val SourceCap = 15
+
+  def sourceDocCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), docQuality.as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= SourceCap)
+      .orderBy("source", "rank_in_source")
+  }
+
+  // --- q112: linear multi-touch attribution ----------------------------------------
+  // For each purchase, every click by the same user EARLIER in the
+  // (ts, event_id) order shares the conversion credit equally (1/n).
+  // One per-user window computes the strictly-preceding click count via
+  // a ROWS frame ending at -1 — no self-join, no per-pair blowup.
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev.withColumn("n_touches",
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("n_touches"),
+        when(col("n_touches") > 0L,
+          lit(1.0) / col("n_touches").cast("double")).as("credit_per_touch"))
+      .orderBy("user_id", "purchase_event_id")
+  }
+
+  // --- q113: global decile assignment without a global sort ------------------------
+  // NTILE over the whole corpus (token-count deciles) from the q72
+  // PrefixSum rank: bucket by tok div 8 (monotone in the (tok, doc_id)
+  // order), two-level cumsum for the global rank, then the exact-integer
+  // ntile formula ((rank-1)·K) div n — all integer ops, bit-deterministic,
+  // and the only unpartitioned work is the O(buckets) prefix task.
+  val NtileK = 10
+
+  def tokenDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(col("doc_id"),
+      coalesce(size(TextAnalysis.words(col("text"))).cast("long"), lit(0L))
+        .as("tok"))
+    val bucketed = t.withColumn("bucket", (col("tok") / lit(8L)).cast("long"))
+    val ranked = PrefixSum.runningSum(bucketed, "bucket",
+      Seq(col("tok"), col("doc_id")), lit(1L), "rnk")
+    val n = t.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      // SQL `div` = exact integer division on longs (Column./ would go
+      // through doubles) — identical to DuckDB's `//` by construction
+      .withColumn("decile",
+        least(expr(s"((rnk - 1) * $NtileK) div __n"),
+          lit((NtileK - 1).toLong)).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tok")).as("lo_tokens"), max(col("tok")).as("hi_tokens"),
+        sum(col("tok")).as("total_tokens"))
+      .orderBy("decile")
+  }
+
+  // --- q114: lag-k autocorrelation of daily revenue --------------------------------
+  // Time-series self-similarity at 1-day and 7-day lags, on the
+  // aggregated daily frame: kilodollar-quantized integer values (the
+  // q93/q107 quantize-then-moment recipe), pairs (x_t, x_{t−k}) via an
+  // equi-join of the O(days) frame against itself shifted k days
+  // (calendar shift, not row lag — a missing day contributes no pair),
+  // exact integer moments, one fixed-shape corr expression in doubles.
+  val AutocorrLags: Seq[Int] = Seq(1, 7)
+  val AutocorrUnit = 1000.0
+
+  def revenueAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .select(datediff(col("d"), epoch).cast("long").as("day_num"),
+        floor(col("rev_dec").cast("double") / lit(AutocorrUnit)).cast("long")
+          .as("v"))
+    val lagged = AutocorrLags.map { k =>
+      val a = daily.select(col("day_num"), col("v").as("x"))
+      val b = daily.select((col("day_num") + lit(k.toLong)).as("day_num"),
+        col("v").as("y"))
+      val s = a.join(b, "day_num").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      s.select(lit(k.toLong).as("lag_days"), col("n").as("n_pairs"),
+        (num / (sqrt(denx) * sqrt(deny))).as("autocorr"))
+    }
+    lagged.reduce(_ unionByName _).orderBy("lag_days")
+  }
+
+  // --- q115: SCD2 validity audit ---------------------------------------------------
+  // DQ over the q03 SCD2 build: per key, version count, overlap count
+  // (previous effective_to AFTER this effective_from), gap count
+  // (previous effective_to BEFORE this effective_from — half-open
+  // intervals must chain exactly), and current-row count. The build is
+  // correct iff overlaps = gaps = 0 and exactly one current row per key —
+  // this PROVES it per key instead of assuming it.
+  def scd2Audit(spark: SparkSession, dir: String): DataFrame = {
+    val scd = scd2Build(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("effective_from"), col("event_id"))
+    scd.withColumn("__prev_to", lag(col("effective_to"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("__prev_to") > col("effective_from"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("__prev_to") < col("effective_from"), 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
+      .orderBy("user_id")
+  }
+
+  // --- q116: event-transition probability matrix -----------------------------------
+  // The Markov-chain estimate over q75's transition counts: row-normalize
+  // by the from-state marginal (a keyed window over the tiny
+  // types×types frame) — exact long counts, one double division.
+  def transitionProbs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventTransitions(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    counts
+      .withColumn("n_from", sum(col("n_transitions")).over(w))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // --- q117: join-key skew diagnostic ----------------------------------------------
+  // The frequency-of-frequency histogram of a join key (l_partkey) — the
+  // report that decides salting/AQE-skew settings BEFORE a 100 TB join:
+  // per-key counts (one hash-agg), then the distribution of those counts
+  // (a second, tiny hash-agg), with each class's share of total rows.
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perKey = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("key_rows"))
+    val total = li.agg(count(lit(1)).as("__total"))
+    perKey.groupBy(col("key_rows")).agg(count(lit(1)).as("n_keys"))
+      .withColumn("n_rows", col("key_rows") * col("n_keys"))
+      .crossJoin(broadcast(total))
+      .withColumn("row_share",
+        col("n_rows").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+      .orderBy(col("key_rows").desc)
+  }
+
+  // --- q118: per-user behavioral diversity (Gini–Simpson) --------------------------
+  // Diversity of each user's event-type mix as 1 − Σ(c/n)² — chosen over
+  // Shannon entropy deliberately: the Simpson form needs only exact
+  // integer sums (Σc² in longs) and ONE double division, so it is
+  // bit-stable across engines and partitionings, where a float Σ p·log p
+  // would depend on libm rounding and fold order.
+  def userDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * col("cnt")).as("__ss"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_events") * col("n_events")).cast("double"))
+          .as("simpson_diversity"))
+      .orderBy("user_id")
+  }
+
+  // --- q119: dedup cluster-size histogram ------------------------------------------
+  // The dup-structure report every dedup pipeline publishes: how many
+  // clusters of each size, how many documents they hold, and their share
+  // of the corpus. Projects the memoized q34/q65/q80 decision table —
+  // zero new heavy work — then two tiny aggregates.
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupDecisionTable(spark, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    clusters.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+      .orderBy("cluster_size")
+  }
+
+  // --- q120: customer-segment activity conformance ---------------------------------
+  // Cross-domain join of the behavioral stream onto the customer
+  // dimension: per market segment, how many customers exist, how many
+  // are active in the events stream, and the engagement depth. The
+  // events side collapses to a per-user aggregate FIRST and broadcasts —
+  // the dimension is never shuffled, the fact is read once.
+  def segmentActivity(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(perUser), c("c_custkey") === perUser("user_id"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_ev").isNotNull, 1L).otherwise(0L)).as("n_active"),
+        sum(coalesce(col("n_ev"), lit(0L))).as("n_events"))
+      .withColumn("activity_rate",
+        col("n_active").cast("double") / col("n_customers").cast("double"))
+      .withColumn("events_per_active",
+        when(col("n_active") > 0L,
+          col("n_events").cast("double") / col("n_active").cast("double")))
+      .orderBy("segment")
   }
 }
 
@@ -3828,6 +4089,397 @@ object Oracles {
           SELECT event_id, d.event_type, value, med, mad
           FROM d JOIN mad USING (event_type)
           WHERE dev > 3.0 * mad""",
+
+    "q101_gap_fill_revenue" ->
+      """WITH daily AS (
+           SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+          span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          grid AS (
+            SELECT s.segment, CAST(g.d AS DATE) AS day
+            FROM (SELECT DISTINCT segment FROM daily) s
+            CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+                        FROM span) g),
+          j AS (
+            SELECT g.segment, g.day, d.rev_dec,
+                   COUNT(d.rev_dec) OVER (PARTITION BY g.segment ORDER BY g.day
+                                          ROWS UNBOUNDED PRECEDING) AS island
+            FROM grid g LEFT JOIN daily d
+              ON d.segment = g.segment AND d.day = g.day)
+          SELECT segment, day,
+                 CAST(rev_dec AS DOUBLE) AS revenue,
+                 CAST(MAX(rev_dec) OVER (PARTITION BY segment, island)
+                      AS DOUBLE) AS filled_revenue,
+                 (rev_dec IS NULL) AS is_gap
+          FROM j""",
+
+    "q102_supplier_load_islands" ->
+      """WITH iv AS (
+           SELECT l_suppkey AS suppkey,
+                  LEAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+                        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+                    AS st,
+                  GREATEST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+                           date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)))
+                    AS en
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          tot AS (SELECT suppkey, SUM(en - st + 1) AS dur,
+                         MIN(st) AS lo, MAX(en) AS hi
+                  FROM iv GROUP BY 1),
+          bounds AS (
+            SELECT suppkey, st AS ts, 1 AS delta FROM iv
+            UNION ALL
+            SELECT suppkey, en + 1 AS ts, -1 AS delta FROM iv),
+          run AS (
+            SELECT suppkey, ts, delta,
+                   SUM(delta) OVER (PARTITION BY suppkey ORDER BY ts, delta
+                                    ROWS UNBOUNDED PRECEDING) AS cnt,
+                   LEAD(ts) OVER (PARTITION BY suppkey ORDER BY ts, delta) AS nxt
+            FROM bounds),
+          seg AS (
+            SELECT r.suppkey, r.ts, r.nxt, r.cnt
+            FROM run r JOIN tot t ON r.suppkey = t.suppkey
+            WHERE r.nxt IS NOT NULL AND r.nxt > r.ts
+              AND r.cnt * (t.hi - t.lo + 1) > t.dur),
+          isl AS (
+            SELECT *, CASE WHEN LAG(nxt) OVER (PARTITION BY suppkey ORDER BY ts)
+                                = ts THEN 0 ELSE 1 END AS f
+            FROM seg),
+          isl2 AS (
+            SELECT *, CAST(SUM(f) OVER (PARTITION BY suppkey ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS island_seq
+            FROM isl)
+          SELECT suppkey, island_seq,
+                 DATE '1970-01-01' + CAST(MIN(ts) AS INT) AS start_day,
+                 DATE '1970-01-01' + CAST(MAX(nxt) - 1 AS INT) AS end_day,
+                 CAST(MAX(nxt) - MIN(ts) AS BIGINT) AS n_days,
+                 CAST(MAX(cnt) AS BIGINT) AS peak_open
+          FROM isl2 GROUP BY 1, 2""",
+
+    "q103_mom_growth" ->
+      """WITH m AS (
+           SELECT n_name AS nation,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                    AS month_key,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+          l AS (
+            SELECT nation, month_key, rev,
+                   LAG(month_key) OVER w AS lag_key,
+                   LAG(rev) OVER w AS lag_rev
+            FROM m WINDOW w AS (PARTITION BY nation ORDER BY month_key)),
+          g AS (
+            SELECT nation, month_key, rev,
+                   CASE WHEN lag_key = CASE WHEN month_key % 100 = 1
+                                            THEN month_key - 89
+                                            ELSE month_key - 1 END
+                        THEN lag_rev END AS prev
+            FROM l)
+          SELECT nation, month_key,
+                 CAST(rev AS DOUBLE) AS revenue,
+                 CAST(prev AS DOUBLE) AS prev_revenue,
+                 CAST(rev - prev AS DOUBLE) AS change,
+                 CASE WHEN prev IS NOT NULL
+                      THEN CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                 END AS pct_change
+          FROM g""",
+
+    "q104_dormant_customers" -> {
+      s"""WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*) AS t
+            FROM customer WHERE c_acctbal > 0.0),
+          recent AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '${Queries.DormantCutoff}')
+          SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_balance
+          FROM customer CROSS JOIN thr
+          WHERE c_acctbal > t
+            AND NOT EXISTS (SELECT 1 FROM recent
+                            WHERE recent.o_custkey = customer.c_custkey)
+          GROUP BY 1"""
+    },
+
+    "q105_fuzzy_part_names" -> {
+      val d = Queries.FuzzyMaxDist
+      s"""WITH dict AS (SELECT p_name AS name, COUNT(*) AS n_rows
+                        FROM part GROUP BY 1),
+          b AS (SELECT name, n_rows,
+                       list_extract(string_split(name, ' '), -1) AS blk
+                FROM dict)
+          SELECT a.name AS name_a, b2.name AS name_b,
+                 CAST(levenshtein(a.name, b2.name) AS BIGINT) AS edit_dist,
+                 a.n_rows AS n_parts_a, b2.n_rows AS n_parts_b
+          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+          WHERE levenshtein(a.name, b2.name) <= $d"""
+    },
+
+    "q106_top_event_type" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY cnt DESC, event_type) AS rn
+                FROM c)
+          SELECT user_id, event_type AS top_event_type, cnt AS n_events
+          FROM r WHERE rn = 1""",
+
+    "q107_metric_correlation" ->
+      """WITH q AS (
+           SELECT l_returnflag AS returnflag,
+                  CAST(trunc(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 100000 AS y
+           FROM lineitem),
+          s AS (SELECT returnflag, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x*x) AS BIGINT) AS sxx,
+                       CAST(SUM(y*y) AS BIGINT) AS syy,
+                       CAST(SUM(x*y) AS BIGINT) AS sxy
+                FROM q GROUP BY 1)
+          SELECT returnflag, n AS n_rows,
+                 CAST(n*sxy - sx*sy AS DOUBLE) /
+                   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price
+          FROM s""",
+
+    "q108_token_gini" ->
+      s"""WITH t AS (
+            SELECT source, doc_id,
+                   COALESCE(CAST(len($ws) AS BIGINT), 0) AS tok
+            FROM documents),
+          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY tok, doc_id) AS BIGINT) AS i
+                FROM t),
+          g AS (SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                       CAST(SUM(i * tok) AS BIGINT) AS si
+                FROM r GROUP BY 1)
+          SELECT source, n_docs, total_tokens,
+                 CASE WHEN total_tokens > 0 THEN
+                   CAST(2*si - (n_docs + 1)*total_tokens AS DOUBLE)
+                     / CAST(n_docs * total_tokens AS DOUBLE)
+                 END AS gini
+          FROM g""",
+
+    "q109_interarrival_hist" ->
+      """WITH g AS (
+           SELECT epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap
+           FROM events),
+          b AS (SELECT CASE WHEN gap < 1000000 THEN '0_lt_1s'
+                            WHEN gap < 60000000 THEN '1_1s_1m'
+                            WHEN gap < 3600000000 THEN '2_1m_1h'
+                            WHEN gap < 86400000000 THEN '3_1h_1d'
+                            ELSE '4_ge_1d' END AS gap_bucket
+                FROM g WHERE gap IS NOT NULL),
+          c AS (SELECT gap_bucket, COUNT(*) AS n_gaps FROM b GROUP BY 1)
+          SELECT gap_bucket, n_gaps,
+                 CAST(n_gaps AS DOUBLE)
+                   / CAST(SUM(n_gaps) OVER () AS DOUBLE) AS share
+          FROM c""",
+
+    "q110_fk_audit" ->
+      """WITH a1 AS (
+           SELECT 'lineitem_orders' AS relationship, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+             ON l.l_orderkey = k.o_orderkey),
+          a2 AS (
+           SELECT 'lineitem_part' AS relationship, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN k.p_partkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) k
+             ON l.l_partkey = k.p_partkey),
+          a3 AS (
+           SELECT 'lineitem_supplier' AS relationship, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN k.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) k
+             ON l.l_suppkey = k.s_suppkey),
+          a4 AS (
+           SELECT 'orders_customer' AS relationship, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN k.c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphans
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) k
+             ON o.o_custkey = k.c_custkey)
+          SELECT * FROM a1 UNION ALL SELECT * FROM a2
+          UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""",
+
+    "q111_source_doc_cap" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      s"""WITH q AS (
+            SELECT source, doc_id,
+                   0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+                          / len($ws))
+                     + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)
+                     AS quality_score
+            FROM documents),
+          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) AS BIGINT)
+                            AS rank_in_source
+                FROM q)
+          SELECT source, doc_id, quality_score, rank_in_source
+          FROM r WHERE rank_in_source <= ${Queries.SourceCap}"""
+    },
+
+    "q112_multi_touch" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+          n AS (
+           SELECT *, COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+                                       ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_touches
+           FROM ev)
+          SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+                 CAST(n_touches AS BIGINT) AS n_touches,
+                 CASE WHEN n_touches > 0
+                      THEN 1.0 / CAST(n_touches AS DOUBLE) END
+                   AS credit_per_touch
+          FROM n WHERE event_type = 'purchase'""",
+
+    "q113_token_deciles" -> {
+      val k = Queries.NtileK
+      s"""WITH t AS (
+            SELECT doc_id,
+                   COALESCE(CAST(len($ws) AS BIGINT), 0) AS tok
+            FROM documents),
+          r AS (SELECT tok,
+                       CAST(ROW_NUMBER() OVER (ORDER BY tok, doc_id) AS BIGINT)
+                         AS rnk,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n
+                FROM t)
+          SELECT CAST(least(((rnk - 1) * $k) // n, ${k - 1}) AS BIGINT)
+                   AS decile,
+                 COUNT(*) AS n_docs,
+                 MIN(tok) AS lo_tokens, MAX(tok) AS hi_tokens,
+                 CAST(SUM(tok) AS BIGINT) AS total_tokens
+          FROM r GROUP BY 1"""
+    },
+
+    "q114_revenue_autocorr" -> {
+      val u = Queries.AutocorrUnit
+      def one(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS lag_days, n AS n_pairs,
+                   CAST(n*sxy - sx*sy AS DOUBLE) /
+                     (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS autocorr
+            FROM (SELECT COUNT(*) AS n,
+                         CAST(SUM(a.v) AS BIGINT) AS sx,
+                         CAST(SUM(b.v) AS BIGINT) AS sy,
+                         CAST(SUM(a.v*a.v) AS BIGINT) AS sxx,
+                         CAST(SUM(b.v*b.v) AS BIGINT) AS syy,
+                         CAST(SUM(a.v*b.v) AS BIGINT) AS sxy
+                  FROM daily a JOIN daily b ON a.day_num = b.day_num + $k)"""
+      s"""WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                     AS day_num,
+                   CAST(floor(CAST(SUM($discTerm) AS DOUBLE) / $u) AS BIGINT)
+                     AS v
+            FROM lineitem GROUP BY 1)
+          ${Queries.AutocorrLags.map(one).mkString("\n UNION ALL \n")}"""
+    },
+
+    "q115_scd2_audit" ->
+      """WITH scd AS (
+           SELECT user_id, event_id, ts AS effective_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS effective_to
+           FROM events),
+          l AS (
+           SELECT user_id, effective_from, effective_to,
+                  (effective_to IS NULL) AS is_current,
+                  LAG(effective_to) OVER (PARTITION BY user_id
+                                          ORDER BY effective_from, event_id)
+                    AS prev_to
+           FROM scd)
+          SELECT user_id, COUNT(*) AS n_versions,
+                 CAST(SUM(CASE WHEN prev_to > effective_from THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_overlaps,
+                 CAST(SUM(CASE WHEN prev_to < effective_from THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_gaps,
+                 CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_current
+          FROM l GROUP BY 1""",
+
+    "q116_transition_probs" ->
+      """WITH c AS (
+           SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+           FROM (SELECT event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS from_type
+                 FROM events)
+           WHERE from_type IS NOT NULL
+           GROUP BY 1, 2)
+          SELECT from_type, to_type, n_transitions,
+                 CAST(n_transitions AS DOUBLE) /
+                   CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                        AS DOUBLE) AS p
+          FROM c""",
+
+    "q117_join_key_skew" ->
+      """WITH pk AS (SELECT l_partkey, COUNT(*) AS key_rows
+                     FROM lineitem GROUP BY 1),
+          t AS (SELECT COUNT(*) AS total FROM lineitem)
+          SELECT key_rows, COUNT(*) AS n_keys,
+                 CAST(key_rows * COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(key_rows * COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS row_share
+          FROM pk CROSS JOIN t
+          GROUP BY key_rows, total""",
+
+    "q118_user_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2)
+          SELECT user_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 COUNT(*) AS n_types,
+                 1.0 - CAST(SUM(cnt*cnt) AS DOUBLE)
+                         / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
+                   AS simpson_diversity
+          FROM c GROUP BY 1""",
+
+    "q119_cluster_histogram" ->
+      s"""$componentCtes,
+          comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                    FROM comp GROUP BY 1),
+          h AS (SELECT cluster_size, COUNT(*) AS n_clusters,
+                       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+                FROM sizes GROUP BY 1)
+          SELECT cluster_size, n_clusters, n_docs,
+                 CAST(n_docs AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
+          FROM h""",
+
+    "q120_segment_activity" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1),
+          s AS (
+           SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+                  CAST(SUM(CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_active,
+                  CAST(SUM(COALESCE(pu.n_ev, 0)) AS BIGINT) AS n_events
+           FROM customer LEFT JOIN pu ON c_custkey = pu.user_id
+           GROUP BY 1)
+          SELECT segment, n_customers, n_active, n_events,
+                 CAST(n_active AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                   AS activity_rate,
+                 CASE WHEN n_active > 0
+                      THEN CAST(n_events AS DOUBLE) / CAST(n_active AS DOUBLE)
+                 END AS events_per_active
+          FROM s""",
   )
 
   private lazy val sessionOverlapSql: String =
