@@ -160,9 +160,13 @@ object Queries {
       case Tables.TsMicros =>
         // MICROS files: the window predicate on the native TimestampType
         // column pushes into the scan as GreaterThan/LessThanOrEqual —
-        // no long-domain translation needed.
+        // no long-domain translation needed. Bounds are built from exact
+        // UTC epoch micros (timestamp_micros), NOT a string cast, which
+        // would parse in the caller's session timezone and move the
+        // window under a non-UTC session.
         Incremental.extractWindow(Tables.events(spark, dir), "ts",
-          lit(WmLow).cast("timestamp"), lit(WmHigh).cast("timestamp"))
+          timestamp_micros(lit(utcMicros(WmLow))),
+          timestamp_micros(lit(utcMicros(WmHigh))))
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
       case Tables.TsNanos =>
         Incremental.extractWindowNanos(Tables.eventsRawNanos(spark, dir), "ts",
