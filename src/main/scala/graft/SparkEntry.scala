@@ -136,6 +136,10 @@ object SparkEntry {
     "q118_user_diversity"     -> (Queries.userDiversity _),
     "q119_cluster_histogram"  -> (Queries.clusterSizeHistogram _),
     "q120_segment_activity"   -> (Queries.segmentActivity _),
+    "q121_hll_distinct"       -> (Queries.hllDistinct _),
+    "q122_hll_grouped"        -> (Queries.groupedHllDistinct _),
+    "q123_source_novelty"     -> (Queries.sourceNovelty _),
+    "q124_embedding_dim_health" -> (Queries.embeddingDimHealth _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2543,6 +2547,105 @@ object Queries {
           col("n_events").cast("double") / col("n_active").cast("double")))
       .orderBy("segment")
   }
+
+  // --- q121: HyperLogLog distinct sketch -------------------------------------------
+  // The KMV estimator's classic sibling, with a different merge algebra:
+  // KMV merges by re-selecting k minima, HLL registers merge by per-index
+  // MAX — idempotent (re-delivered batches are absorbed), O(m) state.
+  // Portable-exact: register indices/rhos are pure integer ops on the
+  // shared affine hash, and the Σ2^−rho sum is a sum of exact powers of
+  // two (order-independent), so DuckDB reproduces the ESTIMATE bit-for-
+  // bit — an oracle-verified approximate sketch. Raw-regime estimator by
+  // design (n ≳ 2.5m); below that regime KMV (q38) is the right tool.
+  val HllM = 256
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val regs = graft.functions.Sketches.hllRegisters(li, col("l_orderkey"), HllM)
+    val est = graft.functions.Sketches.hllEstimate(regs, Nil, HllM, "est_distinct")
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    est.crossJoin(broadcast(exact))
+      .select(lit(HllM.toLong).as("m"), col("exact_distinct"),
+        col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double"))
+          .as("est_ratio"))
+  }
+
+  // --- q122: per-group HLL distinct ------------------------------------------------
+  // q90's grouped-KMV counterpart on the HLL algebra: per-(group,
+  // register) MAX, a groups×m dense grid, one estimate row per group.
+  val HllGroupM = 64
+
+  def groupedHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val regs = graft.functions.Sketches.groupedHllRegisters(ev, "event_type", col("event_id"),
+      HllGroupM)
+    val est = graft.functions.Sketches.hllEstimate(regs, Seq("event_type"), HllGroupM,
+      "est_distinct")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("exact_distinct"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), lit(HllGroupM.toLong).as("m"),
+        col("exact_distinct"), col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double"))
+          .as("est_ratio"))
+      .orderBy("event_type")
+  }
+
+  // --- q123: per-source shingle novelty --------------------------------------------
+  // How much of each source's n-gram vocabulary is UNIQUE to it — the
+  // corpus-composition complement of q87's pairwise leakage: novelty ~1
+  // means the source adds genuinely new text, ~0 means it restates the
+  // rest of the corpus. Two hash-aggs ((source, shingle) dedup, then
+  // per-shingle source counts) + one equi-join on the shingle — never a
+  // source×source comparison.
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.plans.SignatureExprs.distinctNGrams(
+          TextAnalysis.words(col("text")), JaccardN)).as("s"))
+      .distinct()
+    val perShingle = pairs.groupBy(col("s"))
+      .agg(count(lit(1)).as("ns"))
+    pairs.join(perShingle, "s")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ns") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_rate",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("source")
+  }
+
+  // --- q124: embedding dimension health --------------------------------------------
+  // Per-dimension moment audit of the embedding corpus — the QA report
+  // that catches collapsed/dead/shifted dimensions before a similarity
+  // index is built on them. Values quantize by 2^20 (multiply by a power
+  // of two is EXACT on doubles, floor is exact → deterministic longs),
+  // moments sum exactly, and the fixed-shape mean/variance doubles are
+  // engine-identical (the q107 integer-moment recipe on floats).
+  val DimQuantScale = 1048576L // 2^20
+
+  def embeddingDimHealth(spark: SparkSession, dir: String): DataFrame = {
+    val scale2 = DimQuantScale.toDouble * DimQuantScale.toDouble
+    val x = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("v"))
+      .withColumn("qv", floor(col("v") * lit(DimQuantScale.toDouble)).cast("long"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qv")).as("__sq"),
+        sum(col("qv") * col("qv")).as("__sqq"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+      .select(col("dim"), col("n_vecs"),
+        (col("__sq").cast("double") /
+          (col("n_vecs") * lit(DimQuantScale)).cast("double")).as("mean_val"),
+        ((col("n_vecs") * col("__sqq") - col("__sq") * col("__sq")).cast("double")
+          / (col("n_vecs").cast("double") * (col("n_vecs") - lit(1L)).cast("double")
+             * lit(scale2))).as("var_val"),
+        col("min_val"), col("max_val"))
+      .orderBy("dim")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -4484,6 +4587,99 @@ object Oracles {
                       THEN CAST(n_events AS DOUBLE) / CAST(n_active AS DOUBLE)
                  END AS events_per_active
           FROM s""",
+
+    "q121_hll_distinct" -> {
+      import graft.functions.Sketches._
+      val m = Queries.HllM
+      val p = java.lang.Integer.numberOfTrailingZeros(m)
+      val w = hllRestBits(m)
+      val amm = hllNumerator(m)
+      s"""WITH h0 AS (SELECT ($HA * l_orderkey + $HB) % $P AS h FROM lineitem),
+          h AS (SELECT (((h*h) % $P) * h) % $P AS h FROM h0),
+          s AS (SELECT h % $m AS idx, ${hllRhoSql(s"h // ${1L << p}", w)} AS rho
+                FROM h),
+          r AS (SELECT idx, MAX(rho) AS rho FROM s GROUP BY 1),
+          g AS (SELECT unnest(generate_series(0, ${m - 1})) AS idx),
+          d AS (SELECT g.idx, COALESCE(r.rho, 0) AS rho
+                FROM g LEFT JOIN r USING (idx)),
+          z AS (SELECT SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << rho) AS DOUBLE)) AS z
+                FROM d),
+          ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct
+                 FROM lineitem)
+          SELECT CAST($m AS BIGINT) AS m, exact_distinct,
+                 CAST($amm AS DOUBLE) / z AS est_distinct,
+                 (CAST($amm AS DOUBLE) / z)
+                   / CAST(exact_distinct AS DOUBLE) AS est_ratio
+          FROM z, ex"""
+    },
+
+    "q122_hll_grouped" -> {
+      import graft.functions.Sketches._
+      val m = Queries.HllGroupM
+      val p = java.lang.Integer.numberOfTrailingZeros(m)
+      val w = hllRestBits(m)
+      val amm = hllNumerator(m)
+      s"""WITH h0 AS (SELECT event_type, ($HA * event_id + $HB) % $P AS h
+                      FROM events),
+          h AS (SELECT event_type, (((h*h) % $P) * h) % $P AS h FROM h0),
+          s AS (SELECT event_type, h % $m AS idx,
+                       ${hllRhoSql(s"h // ${1L << p}", w)} AS rho
+                FROM h),
+          r AS (SELECT event_type, idx, MAX(rho) AS rho FROM s GROUP BY 1, 2),
+          g AS (SELECT et.event_type, gs.idx
+                FROM (SELECT DISTINCT event_type FROM events) et
+                CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS idx) gs),
+          d AS (SELECT g.event_type, g.idx, COALESCE(r.rho, 0) AS rho
+                FROM g LEFT JOIN r USING (event_type, idx)),
+          z AS (SELECT event_type,
+                       SUM(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << rho) AS DOUBLE)) AS z
+                FROM d GROUP BY 1),
+          ex AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+                 FROM events GROUP BY 1)
+          SELECT event_type, CAST($m AS BIGINT) AS m, exact_distinct,
+                 CAST($amm AS DOUBLE) / z AS est_distinct,
+                 (CAST($amm AS DOUBLE) / z)
+                   / CAST(exact_distinct AS DOUBLE) AS est_ratio
+          FROM z JOIN ex USING (event_type)"""
+    },
+
+    "q123_source_novelty" ->
+      s"""WITH d AS (SELECT source, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT DISTINCT source, unnest(sh) AS s FROM d
+                 WHERE len(sh) > 0),
+          ps AS (SELECT s, COUNT(*) AS ns FROM ex GROUP BY 1)
+          SELECT source, COUNT(*) AS n_shingles,
+                 CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+                 CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty_rate
+          FROM ex JOIN ps USING (s)
+          GROUP BY 1""",
+
+    "q124_embedding_dim_health" -> {
+      val sc = Queries.DimQuantScale
+      val sc2 = sc.toDouble * sc.toDouble
+      s"""WITH x AS (
+            SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+            FROM embeddings),
+          q AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS v,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * $sc) AS BIGINT)
+                         AS qv
+                FROM x),
+          s AS (SELECT dim, COUNT(*) AS n_vecs,
+                       CAST(SUM(qv) AS BIGINT) AS sq,
+                       CAST(SUM(qv*qv) AS BIGINT) AS sqq,
+                       MIN(v) AS min_val, MAX(v) AS max_val
+                FROM q GROUP BY 1)
+          SELECT dim, n_vecs,
+                 CAST(sq AS DOUBLE) / CAST(n_vecs * $sc AS BIGINT) AS mean_val,
+                 CAST(n_vecs*sqq - sq*sq AS DOUBLE)
+                   / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)
+                      * $sc2) AS var_val,
+                 min_val, max_val
+          FROM s"""
+    },
   )
 
   private lazy val sessionOverlapSql: String =

@@ -165,6 +165,130 @@ object Sketches {
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  // --- HyperLogLog -----------------------------------------------------------
+
+  /** Bits of the HLL rho domain: `keyHash` values are < P, registers take
+    * the low log2(m) bits, and the remaining value (`h >> log2(m)`) fits
+    * in W bits. rho ∈ [1, W] for nonzero rests, W+1 for zero — so every
+    * 2^−rho term's exponent stays within W+1 ≪ 52 bits and float sums of
+    * the terms are EXACT (order-independent), which is what makes the
+    * estimate oracle-verifiable.
+    */
+  def hllRestBits(m: Int): Int = {
+    val maxRest = (P - 1) / m
+    var w = 0
+    while ((1L << w) <= maxRest) w += 1
+    w
+  }
+
+  private def log2Exact(m: Int): Int = {
+    require(m > 1 && (m & (m - 1)) == 0, s"HLL register count must be a power of two, got $m")
+    java.lang.Integer.numberOfTrailingZeros(m)
+  }
+
+  /** Nonlinear portable hash for HLL. The affine family is equidistributed
+    * — exactly what KMV's order statistic needs — but LINEAR: on
+    * sequential keys the high bits of (A·k+B) mod P form an arithmetic
+    * progression and the leading-zero statistic is badly non-geometric
+    * (measured est_ratio 0.61–1.86 on the fixtures). Cubing mod P is a
+    * BIJECTION (gcd(3, P−1) = 1 for P = 1e9+7) with enough algebraic
+    * avalanche for rho (measured 0.92–1.11). Every operand stays below
+    * 2^60 (h < 2^30; h² < 2^60; (h² mod P)·h < 2^60) — exact integer ops
+    * in any engine.
+    */
+  def hllHash(key: Column): Column = {
+    val h = keyHash(key)
+    ((h * h) % lit(P) * h) % lit(P)
+  }
+
+  /** rho = leading-zero count + 1 of the W-bit rest, as a CASE cascade of
+    * integer threshold compares — portable to any SQL engine verbatim (no
+    * float log2, whose rounding at exact-power boundaries is libm
+    * lottery).
+    */
+  def hllRho(rest: Column, w: Int): Column = {
+    val first: Column = when(rest >= lit(1L << (w - 1)), lit(1))
+    (2 to w).foldLeft(first)((c, r) =>
+        c.when(rest >= lit(1L << (w - r)), lit(r)))
+      .otherwise(lit(w + 1)).cast("int")
+  }
+
+  /** The same cascade as SQL text (for the DuckDB oracle twin). */
+  def hllRhoSql(rest: String, w: Int): String = {
+    val whens = (1 to w)
+      .map(r => s"WHEN ($rest) >= ${1L << (w - r)} THEN $r").mkString(" ")
+    s"CAST(CASE $whens ELSE ${w + 1} END AS INT)"
+  }
+
+  /** Dense HLL register table over a long key column: one row per
+    * register index in [0, m) with the max rho of the keys landing there
+    * (0 for untouched registers). ONE hash-agg pass, O(m) output
+    * whatever the key cardinality; registers MERGE across shards, days,
+    * clusters, or streaming batches by per-index MAX — idempotent and
+    * order-free (max dominates), so re-delivered batches cannot corrupt
+    * the sketch and a per-batch-committed stream folds to exactly the
+    * batch registers.
+    */
+  def hllRegisters(df: DataFrame, key: Column, m: Int): DataFrame = {
+    val p = log2Exact(m)
+    val w = hllRestBits(m)
+    val h = hllHash(key)
+    val sparse = df
+      .select((h % lit(m.toLong)).as("idx"), hllRho(shiftright(h, p), w).as("rho"))
+      .groupBy("idx").agg(max(col("rho")).as("rho"))
+    df.sparkSession.range(m).select(col("id").as("idx"))
+      .join(sparse, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** Per-group dense registers: `hllRegisters` partitioned by a group
+    * column — the grid is groups × m, built from the DISTINCT group set.
+    */
+  def groupedHllRegisters(df: DataFrame, groupCol: String, key: Column,
+                          m: Int): DataFrame = {
+    val p = log2Exact(m)
+    val w = hllRestBits(m)
+    val h = hllHash(key)
+    val sparse = df
+      .select(col(groupCol), (h % lit(m.toLong)).as("idx"),
+        hllRho(shiftright(h, p), w).as("rho"))
+      .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("rho"))
+    df.select(groupCol).distinct()
+      .crossJoin(df.sparkSession.range(m).select(col("id").as("idx")))
+      .join(sparse, Seq(groupCol, "idx"), "left")
+      .select(col(groupCol), col("idx"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** α_m of the standard raw estimator (m ≥ 128 form). Computed once in
+    * Scala and embedded as the same double literal in both engines.
+    */
+  def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Raw HLL estimate α_m·m²/Σ2^−rho over dense registers, appended as
+    * `estCol` to per-`keyCols` rows (empty keyCols = one global row).
+    * Every 2^−rho is an exact power of two (integer shift, then one
+    * exact division), partial sums are exact, α_m is a shared literal —
+    * so the estimate is bit-identical across engines and partitionings.
+    * RAW regime only (n ≳ 2.5m): the small-range linear-counting
+    * correction needs ln(), whose last-ulp behavior is engine-specific —
+    * below the raw regime use KMV (exact cross-engine) instead.
+    */
+  /** α_m·m² as ONE double constant — computed here and embedded
+    * identically in the SQL twin (Double round-trips through its decimal
+    * string), so both engines divide the same numerator by the same
+    * exact register sum.
+    */
+  def hllNumerator(m: Int): Double = hllAlpha(m) * m.toDouble * m.toDouble
+
+  def hllEstimate(regs: DataFrame, keyCols: Seq[String], m: Int,
+                  estCol: String): DataFrame = {
+    val term = expr("1.0 / cast(shiftleft(cast(1 as bigint), rho) as double)")
+    val base = if (keyCols.isEmpty) regs.agg(sum(term).as("__z"))
+      else regs.groupBy(keyCols.map(col): _*).agg(sum(term).as("__z"))
+    base.withColumn(estCol, lit(hllNumerator(m)) / col("__z"))
+      .drop("__z")
+  }
+
   /** Point-estimate lookup: each item's count estimate is the MIN over
     * the depth rows of its bucket's counter — the classic CMS guarantee
     * (estimate >= true count; error <= ε·N with prob 1−δ at width=e/ε,

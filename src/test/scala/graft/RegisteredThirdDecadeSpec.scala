@@ -151,6 +151,44 @@ class RegisteredThirdDecadeSpec extends AnyFunSuite {
     assert(out.groupBy("user_id").count().filter($"count" > 1).count() === 0)
   }
 
+  // --- HLL sketch (q121/q122) ------------------------------------------------
+
+  test("q121: HLL estimate lands within the sketch's error regime") {
+    val row = Queries.hllDistinct(spark, sf).head()
+    val ratio = row.getAs[Double]("est_ratio")
+    // m=256 → σ ≈ 1.04/√256 = 6.5%; 3σ bound with margin
+    assert(ratio > 0.8 && ratio < 1.2, s"est_ratio $ratio outside [0.8, 1.2]")
+  }
+
+  test("HLL registers: split-and-max-merge equals the whole-corpus sketch") {
+    import graft.functions.Sketches
+    val li = Tables.lineitem(spark, sf)
+    val a = Sketches.hllRegisters(li.filter($"l_orderkey" % 2 === 0),
+      col("l_orderkey"), 64)
+    val b = Sketches.hllRegisters(li.filter($"l_orderkey" % 2 =!= 0),
+      col("l_orderkey"), 64)
+    val merged = a.unionByName(b).groupBy("idx")
+      .agg(max("rho").as("rho"))
+    val whole = Sketches.hllRegisters(li, col("l_orderkey"), 64)
+    assert(merged.except(whole).count() === 0 &&
+      whole.except(merged).count() === 0)
+  }
+
+  test("HLL rho cascade: integer thresholds match the bit definition") {
+    import graft.functions.Sketches
+    val w = 10
+    val vals = Seq(0L, 1L, 2L, 3L, 511L, 512L, 513L, 1023L, (1L << w) - 1)
+    val df = vals.toDF("rest")
+    val got = df.select($"rest", Sketches.hllRho(col("rest"), w).as("rho"))
+      .as[(Long, Int)].collect().toMap
+    vals.foreach { v =>
+      val expected =
+        if (v == 0L) w + 1
+        else w - (63 - java.lang.Long.numberOfLeadingZeros(v))
+      assert(got(v) === expected, s"rho($v) = ${got(v)}, expected $expected")
+    }
+  }
+
   // --- plan guards ----------------------------------------------------------
 
   private def plan(q: String): String =

@@ -648,6 +648,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(est.count() > 0 && est.filter(col("est") < col("exact_n")).count() == 0)
   }
 
+  test("streaming HLL: max-merged per-batch registers equal the batch sketch, re-delivery absorbed") {
+    val dir = tmp()
+    val (src, cp, store) = (s"$dir/src", s"$dir/cp", s"$dir/hll")
+    val m = 64
+    // Each micro-batch commits its own dense m-row register table; the
+    // merge algebra is per-index MAX — unlike the additive sketches this
+    // is IDEMPOTENT, so a re-delivered (duplicate) segment must leave the
+    // merged registers unchanged, not double-count.
+    def run(): Unit =
+      IngestPipeline.boundedFileStream(spark, src, ev.schema)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val part = graft.functions.Sketches.hllRegisters(df, col("event_id"), m)
+          graft.sources.Snapshots.appendCommit(part, store, token = id)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    half1.write.mode("append").parquet(src)
+    run()
+    half2.write.mode("append").parquet(src)
+    run()
+    def mergedRegs() = graft.sources.Snapshots.read(spark, store)
+      .groupBy("idx").agg(max("rho").as("rho"))
+    val whole = graft.functions.Sketches.hllRegisters(ev, col("event_id"), m)
+    assert(mergedRegs().except(whole).count() == 0 &&
+      whole.except(mergedRegs()).count() == 0,
+      "max-merged streaming registers must reproduce the batch sketch exactly")
+    // re-deliver half2's registers under a fresh token: max absorbs them
+    graft.sources.Snapshots.appendCommit(
+      graft.functions.Sketches.hllRegisters(
+        spark.read.schema(ev.schema).parquet(src), col("event_id"), m),
+      store, token = 99L)
+    assert(mergedRegs().except(whole).count() == 0 &&
+      whole.except(mergedRegs()).count() == 0,
+      "a re-delivered segment must not change the merged registers")
+    // finalized estimate from the merged registers = batch-path estimate
+    val gotEst = graft.functions.Sketches.hllEstimate(mergedRegs(), Nil, m, "est")
+      .head().getDouble(0)
+    val batchEst = graft.functions.Sketches.hllEstimate(whole, Nil, m, "est")
+      .head().getDouble(0)
+    assert(gotEst == batchEst)
+  }
+
   test("scd2 foreachBatch sink converges to the batch-rebuilt history") {
     val dir = tmp()
     val (src, target, cp) = (s"$dir/src", s"$dir/scd2", s"$dir/cp")
