@@ -2596,18 +2596,20 @@ object Queries {
   // How much of each source's n-gram vocabulary is UNIQUE to it — the
   // corpus-composition complement of q87's pairwise leakage: novelty ~1
   // means the source adds genuinely new text, ~0 means it restates the
-  // rest of the corpus. Two hash-aggs ((source, shingle) dedup, then
-  // per-shingle source counts) + one equi-join on the shingle — never a
-  // source×source comparison.
+  // rest of the corpus. The per-shingle source count rides a window
+  // partitioned by the shingle over the deduped (source, shingle) frame
+  // — ONE pass over the corpus (the explode+dedup is the heavy stage; a
+  // join-back formulation re-ran it per side, measured 2 scans with no
+  // exchange reuse), then narrow shuffles on already-deduped rows. Never
+  // a source×source comparison.
   def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.plans.SignatureExprs.distinctNGrams(
           TextAnalysis.words(col("text")), JaccardN)).as("s"))
       .distinct()
-    val perShingle = pairs.groupBy(col("s"))
-      .agg(count(lit(1)).as("ns"))
-    pairs.join(perShingle, "s")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    pairs.withColumn("ns", count(lit(1)).over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("ns") === 1L, 1L).otherwise(0L)).as("n_unique"))
