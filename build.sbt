@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench suite compiles ~124 queries x 5 runs of codegen'd
+  // plans; the JVM default ReservedCodeCacheSize (240 MB) fills, the JIT
+  // compiler shuts off, and the LAST queries in the run execute
+  // interpreted (round-9: the final six queries ran 3-23x their isolated
+  // medians — 53.5s of a 118.7s total was this artifact). 1 GB keeps the
+  // whole suite compiled. SegmentedCodeCache gives the sweeper separate
+  // profiled/non-profiled regions so long runs degrade gracefully.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+SegmentedCodeCache",
 )

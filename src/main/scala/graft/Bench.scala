@@ -103,6 +103,23 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_results.json")), fullSummary)
     catch { case _: Throwable => () }
+    // Code-cache diagnostic (round-9: the last six queries in the suite ran
+    // 3-23x their isolated medians — the suspected cause is the JIT code
+    // cache filling across 124x5 codegen'd plans and the compiler shutting
+    // off). One line per CodeHeap pool at exit proves/refutes it for the
+    // round's record: a pool at ~100% of max means late queries ran
+    // interpreted. Goes to stderr so it can't corrupt the stdout JSON.
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .foreach { p =>
+          val u = p.getUsage
+          System.err.println(
+            f"codecache ${p.getName}: used=${u.getUsed / 1048576.0}%.1fMB " +
+              f"max=${u.getMax / 1048576.0}%.1fMB (${100.0 * u.getUsed / u.getMax}%.0f%%)")
+        }
+    } catch { case _: Throwable => () }
     println(summary)
     spark.stop()
   }

@@ -103,6 +103,11 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark's parquet writer defaults to INT96 timestamps; pin MICROS so
+      // scaled copies of MICROS-era fixtures carry the same physical
+      // annotation as the source (both re-detect as TsMicros either way,
+      // but the written contract should match the stated one).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

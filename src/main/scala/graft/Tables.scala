@@ -41,10 +41,23 @@ object Tables {
     * `Illegal Parquet type`) or the column is a bare INT64 (ScaleGen's
     * nanos-era copies write raw longs with no logical annotation).
     */
-  def eventsTsUnit(spark: SparkSession, dir: String): TsUnit =
-    tsUnitCache.computeIfAbsent(s"$dir/events.parquet", path =>
+  def eventsTsUnit(spark: SparkSession, dir: String): TsUnit = {
+    val path = s"$dir/events.parquet"
+    // Missing path must NOT enter the memo: a probe before the file exists
+    // would otherwise pin whatever the exception maps to for the process
+    // lifetime, and a file later created (or regenerated in a different
+    // unit) at the same path would silently keep the stale unit — the
+    // exact in-process failure mode the footer probe exists to prevent.
+    // AnalysisException covers both "path does not exist" and the genuine
+    // TIMESTAMP(NANOS) inference rejection, so existence is checked
+    // explicitly and only real footers are cached.
+    // (Existence check covers schemeless local paths — the testdata
+    // contract. URI paths skip it and keep the probe's exception mapping.)
+    if (!path.contains("://") && !new java.io.File(path).exists())
+      throw new java.io.FileNotFoundException(s"events table not found: $path")
+    tsUnitCache.computeIfAbsent(path, p =>
       try {
-        spark.read.parquet(path).schema("ts").dataType match {
+        spark.read.parquet(p).schema("ts").dataType match {
           case TimestampType | TimestampNTZType => TsMicros
           case _                                => TsNanos
         }
@@ -53,6 +66,7 @@ object Tables {
         case _: org.apache.spark.sql.AnalysisException => TsNanos
         case _: org.apache.spark.SparkException        => TsNanos
       })
+  }
 
   /** Unified events read: `ts` is TimestampType (UTC micros) regardless of
     * the file's physical unit.

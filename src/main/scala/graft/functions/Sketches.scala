@@ -249,14 +249,23 @@ object Sketches {
     val p = log2Exact(m)
     val w = hllRestBits(m)
     val h = hllHash(key)
-    val sparse = df
-      .select(col(groupCol), (h % lit(m.toLong)).as("idx"),
+    // ONE scan of the input: sparse max-rho registers per (group, idx),
+    // rolled up into a per-group map (≤ m entries), then densified by
+    // exploding a literal 0..m-1 sequence against that map. The earlier
+    // form derived the group set with a second `df.select(groupCol)
+    // .distinct()` scan plus a grid join-back — at 100 TB that reads the
+    // corpus twice for a sketch whose whole point is a single pass.
+    df.select(col(groupCol), (h % lit(m.toLong)).as("idx"),
         hllRho(shiftright(h, p), w).as("rho"))
       .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("rho"))
-    df.select(groupCol).distinct()
-      .crossJoin(df.sparkSession.range(m).select(col("id").as("idx")))
-      .join(sparse, Seq(groupCol, "idx"), "left")
-      .select(col(groupCol), col("idx"), coalesce(col("rho"), lit(0)).as("rho"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("rho"))))
+        .as("__regs"))
+      .select(col(groupCol), explode(expr(
+        s"transform(sequence(0L, ${m - 1}L), " +
+          "i -> struct(i AS idx, coalesce(element_at(__regs, i), 0) AS rho))"))
+        .as("__r"))
+      .select(col(groupCol), col("__r.idx").as("idx"), col("__r.rho").as("rho"))
   }
 
   /** α_m of the standard raw estimator (m ≥ 128 form). Computed once in
