@@ -140,6 +140,10 @@ object SparkEntry {
     "q122_hll_grouped"        -> (Queries.groupedHllDistinct _),
     "q123_source_novelty"     -> (Queries.sourceNovelty _),
     "q124_embedding_dim_health" -> (Queries.embeddingDimHealth _),
+    "q125_dup_spans"          -> (Queries.dupSpans _),
+    "q126_bpe_tokens"         -> (Queries.bpeTokenCounts _),
+    "q127_sessionize_stream"  -> (Queries.sessionizeStreamed _),
+    "q128_funnel_stream"      -> (Queries.funnelStreamed _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2648,6 +2652,172 @@ object Queries {
         col("min_val"), col("max_val"))
       .orderBy("dim")
   }
+
+  // --- q125: exact duplicated-span detection ---------------------------------------
+  // Exact duplicated token RUNS across documents (the Lee et al. 2021
+  // "Deduplicating Training Data" ExactSubstr family) — the complement of
+  // the MinHash/SimHash whole-doc similarity queries: a 50-token
+  // boilerplate shared by two otherwise-unrelated pages is invisible to
+  // doc-level Jaccard yet memorized verbatim. Shuffle-native shape (the
+  // single-node classic is a suffix array; that doesn't distribute):
+  // every K-token gram position keys ONE shuffle on the gram text; the
+  // per-gram distinct-doc count rides dense_rank + max windows on that
+  // one sorted partition (no join-back re-scan of the corpus); positions
+  // whose gram occurs in ≥2 docs then collapse into maximal spans with
+  // per-doc gaps-and-islands windows (running max of covered end,
+  // adjacent-or-overlapping coverage merges). Output is the span table —
+  // O(duplicated regions), not O(corpus). At 100 TB the gram shuffle key
+  // becomes xxhash64(gram) (8 bytes vs ~50 text; a 2^-64 collision merges
+  // two gram classes — fine for dedup, not for this oracle-exact form),
+  // and the per-doc island windows stay bounded by doc length.
+  val DupSpanK = 8
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = DupSpanK
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // greatest(...,1) keeps `sequence` ascending on docs shorter than K
+      // (sequence(1, n) with n <= 0 DESCENDS in Spark); the filter then
+      // drops the out-of-range position those docs produce.
+      .select(col("doc_id"), explode(expr(
+        s"""filter(
+              transform(sequence(1, greatest(size(w) - ${k - 1}, 1)),
+                i -> struct(CAST(i AS BIGINT) AS i,
+                            array_join(slice(w, i, $k), ' ') AS gram)),
+              g -> g.i <= size(w) - ${k - 1})""")).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    // Distinct docs per gram WITHOUT a join-back: dense_rank over
+    // (gram, doc_id) then max over the gram partition — both windows share
+    // one exchange + sort on the gram key.
+    val wGo = Window.partitionBy("gram").orderBy("doc_id")
+    val wG  = Window.partitionBy("gram")
+    val hits = grams
+      .withColumn("__dr", dense_rank().over(wGo))
+      .withColumn("__nd", max(col("__dr")).over(wG))
+      .filter(col("__nd") >= 2)
+      .select(col("doc_id"), col("i"), (col("i") + lit(k - 1).cast("long")).as("e"))
+    // Gaps-and-islands on token coverage: a position starts a new span
+    // when it begins past the running max covered end + 1 (adjacent
+    // coverage merges — the union of covered tokens is contiguous).
+    val wDo = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("e"))
+      .over(wDo.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new",
+        when(col("i") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wDo))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("i")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  // --- q126: tokenizer-faithful BPE token counts -----------------------------------
+  // q29's subword count is an estimate; shard packing (q52) and
+  // token-budget selection (q83) budget on it, and estimate drift
+  // compounds at corpus scale. This runs the REAL greedy byte-pair-merge
+  // procedure (Sennrich et al. 2016 — the algorithm behind GPT-2/LLaMA
+  // vocab files) per word in a codegen'd kernel (plans/BpeExprs.scala)
+  // against a fixed plan-embedded merge table, so the budget is exact for
+  // that vocabulary. The oracle twin executes the same merges via a
+  // recursive CTE whose per-pass rewrite is a delimiter-string replace —
+  // '|p1||p2|' → '|p1p2|' reproduces leftmost non-overlapping merge-all
+  // exactly. Scale shape: pure map-side per-row work, one scan, no
+  // shuffle before the per-doc projection; the Zipf word distribution
+  // makes the kernel's word memo absorb almost every call.
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("s", "t"),
+    ("o", "r"), ("or", "d"), ("f", "a"), ("fa", "st"), ("r", "o"), ("ro", "w"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"), ("s", "c"),
+    ("sc", "an"), ("j", "o"), ("jo", "in"), ("t", "a"), ("ta", "b"),
+    ("l", "e"), ("tab", "le"), ("g", "r"), ("gr", "o"), ("u", "p"),
+    ("gro", "up"), ("h", "a"), ("s", "h"), ("ha", "sh"), ("d", "a"),
+    ("da", "ta"), ("k", "e"), ("ke", "y"), ("m", "e"), ("v", "a"),
+    ("va", "l"), ("u", "e"), ("val", "ue"))
+
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        graft.plans.BpeExprs.bpeTokenCount(split(col("text"), " "), BpeMerges)
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  // --- q127/q128: stateful streaming operators under the batch oracle gate ---------
+  // These two run the REAL Structured Streaming operators (not batch
+  // re-implementations) against the fixture events table via
+  // Tables.eventsStream + Trigger.AvailableNow, and return the stream's
+  // emissions as the query result — so the stateful fold logic itself is
+  // hash-compared against the DuckDB oracle, not just spec-asserted
+  // equivalent to a batch twin. A 10-year watermark delay keeps every
+  // event on-time (this gate isolates fold semantics; lateness eviction
+  // has its own churn specs in StreamingSpec). The fixture table is one
+  // parquet file, so AvailableNow folds it as one time-sorted batch;
+  // multi-batch convergence is spec-verified separately.
+
+  private def runToTable(q: org.apache.spark.sql.streaming.DataStreamWriter[_],
+                         tag: String): String = {
+    val name = tag + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val cp = java.nio.file.Files.createTempDirectory(tag).toString
+    q.queryName(name).format("memory")
+      .option("checkpointLocation", s"$cp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    name
+  }
+
+  /** Closed sessions as emitted by the streaming sessionizer — every
+    * session except each key's open tail (never flushed: the watermark
+    * stays 10 years behind, so no TTL fires).
+    */
+  def sessionizeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[graft.streaming.SessionizeStream.Ev]
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("tsMicros"),
+        // exact cents via decimal, not double round: both engines agree
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as(enc)
+    val name = runToTable(
+      graft.streaming.SessionizeStream
+        .sessionize(stream, SessionGapMicros, lateness = "3650 days")
+        .writeStream,
+      "graft_q127_")
+    spark.table(name).orderBy("key", "session_seq")
+  }
+
+  /** Final funnel stage per user as emitted by the streaming tracker.
+    * Update-mode emissions are one snapshot per updated user per batch;
+    * the per-column aggregate below reduces them to the final state (the
+    * chain timestamps only ever move earlier, the stage only advances) —
+    * with the fixture's single batch it is the identity.
+    */
+  def funnelStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[graft.streaming.FunnelStream.FEv]
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("user_id").as("user"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_type").as("step"))
+      .as(enc)
+    val name = runToTable(
+      graft.streaming.FunnelStream
+        .track(stream, ttlMicros = Long.MaxValue, lateness = "3650 days")
+        .writeStream.outputMode("update"),
+      "graft_q128_")
+    spark.table(name)
+      .groupBy("user")
+      .agg(max(col("stage")).as("stage"),
+        min(col("view_micros")).as("view_micros"),
+        min(col("click_micros")).as("click_micros"),
+        min(col("purchase_micros")).as("purchase_micros"))
+      .orderBy("user")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -4682,6 +4852,138 @@ object Oracles {
                  min_val, max_val
           FROM s"""
     },
+
+    "q125_dup_spans" -> {
+      val k = Queries.DupSpanK
+      s"""WITH d AS (SELECT doc_id, $ws AS w FROM documents),
+          g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       array_to_string(list_slice(w, i, i + ${k - 1}), ' ') AS gram
+                FROM d, UNNEST(generate_series(1, len(w) - ${k - 1})) t(i)
+                WHERE len(w) >= $k),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+          h AS (SELECT g.doc_id, g.i, g.i + ${k - 1} AS e
+                FROM g JOIN dup USING (gram)),
+          fl AS (SELECT doc_id, i, e,
+                   CASE WHEN i > COALESCE(MAX(e) OVER (
+                          PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                        THEN 1 ELSE 0 END AS f
+                 FROM h),
+          sp AS (SELECT doc_id, i, e,
+                   SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS island
+                 FROM fl)
+          SELECT doc_id, MIN(i) AS span_start, MAX(e) AS span_end,
+                 CAST(MAX(e) - MIN(i) + 1 AS BIGINT) AS span_tokens
+          FROM sp GROUP BY doc_id, island"""
+    },
+
+    // The recursive-CTE BPE twin: one merge pass is a delimiter-string
+    // replace ('|p1||p2|' → '|p1p2|'), which IS leftmost non-overlapping
+    // merge-all; iteration stops when no ranked pair remains; final token
+    // count = half the '|' count. Semantics cross-checked against an
+    // independent reference implementation of the greedy merge loop.
+    "q126_bpe_tokens" -> {
+      val ms = Queries.BpeMerges
+      val rankCase = "CASE " + ms.zipWithIndex.map { case ((a, b), r) =>
+        s"WHEN syms[i]='$a' AND syms[i+1]='$b' THEN $r" }.mkString(" ") + " END"
+      val bp1Case = "CASE best " + ms.zipWithIndex.map { case ((a, _), r) =>
+        s"WHEN $r THEN '$a'" }.mkString(" ") + " END"
+      val bp2Case = "CASE best " + ms.zipWithIndex.map { case ((_, b), r) =>
+        s"WHEN $r THEN '$b'" }.mkString(" ") + " END"
+      s"""WITH RECURSIVE
+          w AS (SELECT DISTINCT unnest($ws) AS word
+                FROM documents WHERE text IS NOT NULL),
+          bpe(word, s, step) AS (
+            SELECT word,
+                   '|' || array_to_string(list_transform(
+                     generate_series(1, length(word)), i -> word[i]), '||') || '|',
+                   0
+            FROM w
+            UNION ALL
+            SELECT word,
+                   replace(s, '|' || bp1 || '||' || bp2 || '|',
+                              '|' || bp1 || bp2 || '|'),
+                   step + 1
+            FROM (
+              SELECT word, s, step, $bp1Case AS bp1, $bp2Case AS bp2
+              FROM (
+                SELECT word, s, step,
+                       list_min(list_filter(list_transform(
+                         generate_series(1, len(syms)-1), i -> $rankCase),
+                         x -> x IS NOT NULL)) AS best
+                FROM (SELECT word, s, step,
+                             string_split(substr(s, 2, length(s)-2), '||') AS syms
+                      FROM bpe) a) b
+              WHERE best IS NOT NULL) c
+          ),
+          counts AS (
+            SELECT word,
+                   CAST((length(s) - length(replace(s,'|','')))/2 AS BIGINT) AS toks
+            FROM (SELECT word, s,
+                         row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+                  FROM bpe) z
+            WHERE rn = 1
+          ),
+          docw AS (SELECT doc_id, len($ws) AS n_words, unnest($ws) AS word
+                   FROM documents WHERE text IS NOT NULL)
+          SELECT doc_id, CAST(ANY_VALUE(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(toks) AS BIGINT) AS bpe_tokens
+          FROM docw JOIN counts USING (word)
+          GROUP BY doc_id"""
+    },
+
+    // Streaming sessionizer's emission contract in batch SQL: q32's
+    // sessions minus each key's open tail, cents via exact decimal.
+    "q127_sessionize_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts, value,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+                FROM e),
+          sess AS (SELECT user_id AS key, session_seq,
+                          epoch_us(MIN(ts)) AS start_micros,
+                          epoch_us(MAX(ts)) AS end_micros,
+                          COUNT(*) AS n_events,
+                          CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS total_cents
+                   FROM s GROUP BY 1, 2)
+          SELECT key, session_seq, start_micros, end_micros,
+                 n_events, total_cents
+          FROM (SELECT sess.*,
+                       MAX(session_seq) OVER (PARTITION BY key) AS last_seq
+                FROM sess)
+          WHERE session_seq < last_seq""",
+
+    // Streaming funnel tracker's final state ≡ the q66 chain per user.
+    "q128_funnel_stream" ->
+      """WITH b AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                  list(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS clicks,
+                  list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS purchases
+           FROM events GROUP BY 1),
+          c AS (SELECT user_id, t_view, purchases,
+                       list_min(list_filter(clicks, c -> c > t_view)) AS t_click
+                FROM b),
+          d AS (SELECT user_id, t_view, t_click,
+                       list_min(list_filter(purchases, p -> p > t_click)) AS t_purchase
+                FROM c)
+          SELECT user_id AS "user",
+                 CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                           WHEN t_click IS NOT NULL THEN 2
+                           WHEN t_view IS NOT NULL THEN 1
+                           ELSE 0 END AS INT) AS stage,
+                 t_view AS view_micros,
+                 t_click AS click_micros,
+                 t_purchase AS purchase_micros
+          FROM d""",
   )
 
   private lazy val sessionOverlapSql: String =

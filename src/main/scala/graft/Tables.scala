@@ -126,6 +126,31 @@ object Tables {
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(EventsSchemaNanos).parquet(s"$dir/events.parquet")
 
+  /** Streaming twin of `events`: the same unified logical table (`ts` =
+    * TimestampType UTC micros, both physical formats) as an unbounded
+    * file-source stream over the directory. Lets the stateful streaming
+    * operators run against the fixture tables directly — which puts
+    * their emissions under the same DuckDB oracle gate as the batch
+    * queries (q127/q128) instead of only spec-level equivalence checks.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // The fixture is a single FILE ($dir/events.parquet), and the file
+    // stream source insists basePath be a directory. FileStreamSource
+    // force-overrides basePath to the raw path UNLESS the path is a glob
+    // — so address the file through a brace-glob that matches exactly it,
+    // and anchor basePath at the parent directory explicitly.
+    def src(schema: StructType) =
+      spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}")
+    eventsTsUnit(spark, dir) match {
+      case TsMicros => src(EventsSchemaMicros)
+      case TsNanos =>
+        src(EventsSchemaNanos)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")

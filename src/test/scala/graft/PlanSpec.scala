@@ -256,4 +256,30 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       "the three small dims must broadcast")
   }
+
+  test("slowest-set queries keep WholeStageCodegen spans (interpreted-fallback guard)") {
+    // Round-9's bench tail cliff was the suite's LAST queries running
+    // 3-23x slow; if a future change ever knocks these heavy hitters out
+    // of codegen at the PLAN level (a non-codegen expression in the hot
+    // path, a fallback rule), this fails in one named spec instead of a
+    // 20-second bench line. (The JIT-code-cache half of that failure mode
+    // is covered by build.sbt's ReservedCodeCacheSize and Bench's
+    // code-cache usage print.)
+    val slowSet = Seq(
+      "q03_scd2_build", "q21_dedup_ngram_jaccard", "q63_dedup_minhash_wide",
+      "q68_percentile_report", "q92_copurchase_pairs", "q96_containment_pairs",
+      "q97_copurchase_similarity", "q99_decayed_value",
+      "q101_gap_fill_revenue", "q112_multi_touch", "q121_hll_distinct",
+      "q125_dup_spans")
+    slowSet.foreach { q =>
+      // AdaptiveSparkPlan prints no codegen spans until it finalizes —
+      // execute once (sf0.001) so the assertion sees the real plan.
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd operators print as "*(n) Op" in the finalized plan
+      assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+        s"$q physical plan has no WholeStageCodegen span:\n$p")
+    }
+  }
 }

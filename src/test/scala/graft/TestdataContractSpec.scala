@@ -95,6 +95,43 @@ class TestdataContractSpec extends AnyFunSuite {
     }, s"embeddings.embedding drifted: ${emb.get("embedding")}")
   }
 
+  test("documents: content contract the text/dedup query family relies on") {
+    // Same one-loud-failure treatment events got: if the generator ever
+    // reshapes documents (nullable text, changed word alphabet, new
+    // source naming, n_chars drift), this names the contract instead of
+    // scattering hash mismatches across q20-q126.
+    val doc = Tables.documents(spark, sf)
+    val row = doc.agg(
+      count(lit(1)).as("n"),
+      count(col("text")).as("n_text"),
+      min(length(col("text")) === col("n_chars")).as("lenOk"),
+      min(col("lang").isin("de", "en", "es", "fr", "zh")).as("langOk"),
+      min(col("source").rlike("^src[0-9]+$")).as("srcOk"),
+      min(size(split(col("text"), " "))).as("minWords")).head()
+    assert(row.getLong(0) === row.getLong(1),
+      "documents.text became nullable — q125/q126 filter semantics and the " +
+        "text-family oracles assume no nulls at the fixture SFs; re-check both")
+    assert(row.getBoolean(2), "n_chars != length(text) — n_chars contract broke")
+    assert(row.getBoolean(3), "lang domain drifted beyond {de,en,es,fr,zh}")
+    assert(row.getBoolean(4), "source naming drifted from src<N>")
+    assert(row.getInt(5) >= 2,
+      "documents shorter than 2 words appeared — shingle guards assume >=2")
+  }
+
+  test("embeddings: fixed vector width and label domain") {
+    val emb = Tables.embeddings(spark, sf)
+    val row = emb.agg(
+      min(size(col("embedding"))).as("minDim"),
+      max(size(col("embedding"))).as("maxDim"),
+      min(col("label")).as("minLabel"),
+      max(col("label")).as("maxLabel")).head()
+    assert(row.getInt(0) === 64 && row.getInt(1) === 64,
+      s"embedding width drifted from 64: [${row.getInt(0)}, ${row.getInt(1)}] — " +
+        "IVF/LSH geometry and the q124 dim-health oracle assume a fixed 64")
+    assert(row.getInt(2) >= 0 && row.getInt(3) <= 63,
+      s"label domain [${row.getInt(2)}, ${row.getInt(3)}] left the expected small range")
+  }
+
   test("fixture scale sanity: each table is non-empty at the spec SF") {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings"))
