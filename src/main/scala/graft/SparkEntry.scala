@@ -144,6 +144,16 @@ object SparkEntry {
     "q126_bpe_tokens"         -> (Queries.bpeTokenCounts _),
     "q127_sessionize_stream"  -> (Queries.sessionizeStreamed _),
     "q128_funnel_stream"      -> (Queries.funnelStreamed _),
+    "q129_bloom_semi_join"    -> (Queries.bloomSemiRevenue _),
+    "q130_snapshot_diff"      -> (Queries.snapshotDelta _),
+    "q131_weighted_sample"    -> (Queries.weightedSample _),
+    "q132_doc_chunks"         -> (Queries.docChunks _),
+    "q133_abc_classification" -> (Queries.abcClassification _),
+    "q134_benford_digits"     -> (Queries.benfordDigits _),
+    "q135_part_skyline"       -> (Queries.partSkyline _),
+    "q136_bot_regularity"     -> (Queries.botRegularity _),
+    "q137_stream_key_registry" -> (Queries.streamedKeyRegistry _),
+    "q138_stream_daily_agg"   -> (Queries.streamedDailyAgg _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2818,6 +2828,250 @@ object Queries {
         min(col("purchase_micros")).as("purchase_micros"))
       .orderBy("user")
   }
+
+  // --- q129: bloom-filter semi-join reduction --------------------------------------
+  // The runtime-filter pattern (operators/BloomJoin.scala): high-value
+  // order keys fold into a 2^17-bit bloom bitmap (one bounded O(m)
+  // collect), whose membership test is pushed into the lineitem scan
+  // ahead of the exact semi-join — at 100 TB the filter kills non-matching
+  // rows before they reach the shuffle. Semantics-neutral by construction
+  // (the exact join removes false positives), so the oracle is the plain
+  // IN-subquery.
+  val BloomOrderThreshold = 450000.0
+  val BloomBits: Int = 1 << 17
+
+  def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > BloomOrderThreshold)
+      .select("o_orderkey")
+    BloomJoin.reducedSemiJoin(Tables.lineitem(spark, dir), "l_orderkey",
+        hi, "o_orderkey", BloomBits)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- q130: snapshot diff — CDC delta between two as-of states --------------------
+  // The inverse of the SCD merge family (operators/SnapshotDiff.scala):
+  // recover the insert/delete/update change set BETWEEN two point-in-time
+  // keyed snapshots (here: per-customer order count + revenue over a
+  // sliding 90-day window, at two as-of dates). One full-outer shuffle
+  // join on the key — the minimal movement for an arbitrary-key diff.
+  val SnapT1 = "1998-01-01"
+  val SnapT2 = "1998-04-01"
+  val SnapWindowDays = 90L
+
+  private def orderWindowSnapshot(spark: SparkSession, dir: String,
+                                  asOf: String): DataFrame = {
+    val hi = java.time.LocalDate.parse(asOf)
+    val lo = hi.minusDays(SnapWindowDays)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ntzTs(s"$lo 00:00:00") &&
+        col("o_orderdate") < ntzTs(s"$asOf 00:00:00"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).as("rev_dec"))
+  }
+
+  def snapshotDelta(spark: SparkSession, dir: String): DataFrame =
+    SnapshotDiff.diff(
+        orderWindowSnapshot(spark, dir, SnapT1),
+        orderWindowSnapshot(spark, dir, SnapT2),
+        keys = Seq("o_custkey"), compareCols = Seq("n_orders", "rev_dec"))
+      .select(col("o_custkey"), col("old_n_orders"), col("new_n_orders"),
+        col("old_rev_dec").cast("double").as("old_revenue"),
+        col("new_rev_dec").cast("double").as("new_revenue"),
+        col("change_type"))
+      .orderBy("o_custkey")
+
+  // --- q131: weighted corpus sample (sequential Poisson / PPS) ---------------------
+  // Ohlsson's sequential Poisson sampling: priority = u/w with u a
+  // deterministic uniform from the portable affine key hash; the k
+  // smallest priorities are a probability-proportional-to-size sample
+  // (here ∝ token count — the standard way to downsample a corpus while
+  // preserving the token mass distribution). Priorities are map-side and
+  // the global k-smallest is a TakeOrdered (per-partition heaps + a
+  // k-sized driver merge) — no global sort, no shuffle of the corpus.
+  // The single IEEE division (exact-integer hash / exact-integer weight)
+  // is correctly rounded in both engines, so scores are bit-identical.
+  val PpsSampleK = 150
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("priority",
+        graft.functions.Sketches.keyHash(col("doc_id")).cast("double")
+          / col("tokens").cast("double"))
+      .orderBy(col("priority"), col("doc_id")).limit(PpsSampleK)
+
+  // --- q132: token-window document chunking ----------------------------------------
+  // Fixed-size overlapping token windows (120 tokens, stride 90) — the
+  // standard pre-embedding / pre-training segmentation. Pure map-side
+  // explode: chunk starts come from `sequence`, the chunk text from
+  // `slice` + `array_join` on the already-split word array — one scan,
+  // no shuffle, output partitioned exactly like the input.
+  val ChunkTokens = 120
+  val ChunkStride = 90
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / lit(ChunkStride)).cast("long").as("chunk_idx"),
+        least(lit(ChunkTokens), size(col("w")) - col("s")).cast("long")
+          .as("chunk_tokens"),
+        array_join(slice(col("w"), col("s") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  // --- q133: ABC / Pareto revenue classification -----------------------------------
+  // Parts classed A (first 80% of cumulative revenue), B (to 95%), C
+  // (tail) along the global revenue-descending order — the classic
+  // inventory-curation rollup. The global running sum rides PrefixSum
+  // (bucketed by a monotone revenue band — no global sort, no
+  // unpartitioned window over the parts), and class boundaries compare
+  // exact decimals via integer cross-multiplication (cum·5 ≤ total·4),
+  // so no float share ever exists to drift.
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .as("rev_dec"))
+    // bucket ascends along the (rev desc, partkey) global order
+    val bucketed = perPart.withColumn("qb",
+      -floor(col("rev_dec") / lit(1000)).cast("long"))
+    val ranked = PrefixSum.runningSum(bucketed, "qb",
+      Seq(col("rev_dec").desc, col("l_partkey")), col("rev_dec"), "cum_dec")
+    val total = perPart.agg(sum(col("rev_dec")).as("__total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("cum_dec") * 5 <= col("__total") * 4, "A")
+          .when(col("cum_dec") * 20 <= col("__total") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_dec")).cast("double").as("revenue"))
+      .orderBy("abc_class")
+  }
+
+  // --- q134: Benford first-digit audit ---------------------------------------------
+  // First-significant-digit distribution of order totals vs Benford's
+  // law — the standard fraud/synthetic-data smell test. The digit comes
+  // from the DECIMAL(18,2) rendering (both engines format plain
+  // "1234.56", so the first character is engine-stable — no float log10
+  // in the digit path); expected shares are plan-embedded literals
+  // computed once in Scala, so both sides subtract the same doubles.
+  val BenfordExpected: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(dec2(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val total = digits.agg(sum(col("n_orders")).as("__total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_share",
+        col("n_orders").cast("double") / col("__total").cast("double"))
+      .withColumn("expected_share",
+        element_at(lit(BenfordExpected.toArray), col("digit")))
+      .withColumn("delta", col("obs_share") - col("expected_share"))
+      .select("digit", "n_orders", "obs_share", "expected_share", "delta")
+      .orderBy("digit")
+  }
+
+  // --- q135: per-brand 2-D skyline (Pareto frontier) -------------------------------
+  // Parts on each brand's (minimize size, minimize price) frontier via
+  // the linear sweep in operators/Skyline.scala — the oracle runs the
+  // independent quadratic NOT EXISTS formulation, so the sweep's
+  // dominance algebra is checked against the definition, not against
+  // itself.
+  def partSkyline(spark: SparkSession, dir: String): DataFrame =
+    Skyline.pareto2d(
+        Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size",
+          "p_retailprice"),
+        "p_size", "p_retailprice", partitionBy = Seq("p_brand"))
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .orderBy("p_brand", "p_size", "p_partkey")
+
+  // --- q136: bot-regularity detector (exact integer dispersion) --------------------
+  // Inhumanly regular event cadence per user: inter-arrival gaps in
+  // whole seconds (exact integer micros div), then the squared
+  // coefficient of variation compared via cross-multiplication —
+  // n·Σg² − (Σg)² against (Σg)²/100 — entirely in int64, so the flag is
+  // bit-deterministic (no float variance anywhere). One per-user window
+  // for the lag + one hash-agg.
+  val BotMinGaps = 20L
+
+  def botRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("m"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("m"))
+      .withColumn("prev", lag(col("m"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), expr("(m - prev) div 1000000").as("gap_s"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("__sumsq"))
+      .filter(col("n_gaps") >= BotMinGaps)
+      .withColumn("var_num",
+        col("n_gaps") * col("__sumsq") - col("sum_gap_s") * col("sum_gap_s"))
+      .withColumn("is_regular",
+        col("var_num") * 100 < col("sum_gap_s") * col("sum_gap_s"))
+      .select("user_id", "n_gaps", "sum_gap_s", "var_num", "is_regular")
+      .orderBy("user_id")
+  }
+
+  // --- q137: streaming distinct-key registry under the oracle gate -----------------
+  // The REAL watermark-bounded streaming dedup operator
+  // (StreamingDedup.withinWatermark — dropDuplicatesWithinWatermark, the
+  // only dedup shape that survives an unbounded stream) run against the
+  // fixture via Tables.eventsStream. The dedup key (user, UTC day, type)
+  // functionally determines every emitted column, so the emission SET is
+  // deterministic even though which duplicate row survives is not — and
+  // the oracle is a plain SELECT DISTINCT.
+  def streamedKeyRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("ts"), col("user_id"), utcDate(col("ts")).as("day"),
+        col("event_type"))
+    val name = runToTable(
+      graft.streaming.StreamingDedup
+        .withinWatermark(stream, "ts", "3650 days",
+          Seq("user_id", "day", "event_type"))
+        .select("user_id", "day", "event_type")
+        .writeStream,
+      "graft_q137_")
+    spark.table(name).orderBy("user_id", "day", "event_type")
+  }
+
+  // --- q138: streaming tumbling-window aggregation under the oracle gate -----------
+  // The REAL watermarked tumbling-window aggregate (WindowedAgg.tumbling,
+  // append mode): daily (event_type) counts + exact cents. With zero
+  // lateness delay the final watermark is max(ts), so exactly the windows
+  // whose end ≤ max(ts) flush — the oracle reproduces that emission rule
+  // with a scalar max. The last (incomplete) day stays in state, as it
+  // would on a live stream.
+  def streamedDailyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val name = runToTable(
+      graft.streaming.WindowedAgg.tumbling(stream, "ts", "1 day", "0 seconds",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum")))
+        .writeStream,
+      "graft_q138_")
+    spark.table(name).orderBy("window_start", "event_type")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -4984,6 +5238,156 @@ object Oracles {
                  t_click AS click_micros,
                  t_purchase AS purchase_micros
           FROM d""",
+
+    // The bloom pre-filter is semantics-neutral (exact semi-join removes
+    // false positives), so the oracle is the plain IN-subquery the
+    // pattern optimizes.
+    "q129_bloom_semi_join" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice > ${Queries.BloomOrderThreshold})
+          GROUP BY 1, 2""",
+
+    "q130_snapshot_diff" -> {
+      def snap(asOf: String) = {
+        val lo = java.time.LocalDate.parse(asOf)
+          .minusDays(Queries.SnapWindowDays)
+        s"""SELECT o_custkey, COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '$lo 00:00:00'
+              AND o_orderdate <  TIMESTAMP '$asOf 00:00:00'
+            GROUP BY 1"""
+      }
+      s"""WITH oldw AS (${snap(Queries.SnapT1)}),
+              neww AS (${snap(Queries.SnapT2)}),
+          j AS (
+            SELECT COALESCE(oldw.o_custkey, neww.o_custkey) AS o_custkey,
+                   oldw.n AS old_n_orders, neww.n AS new_n_orders,
+                   CAST(oldw.rev AS DOUBLE) AS old_revenue,
+                   CAST(neww.rev AS DOUBLE) AS new_revenue,
+                   CASE WHEN oldw.o_custkey IS NULL THEN 'insert'
+                        WHEN neww.o_custkey IS NULL THEN 'delete'
+                        WHEN oldw.n <> neww.n OR oldw.rev <> neww.rev
+                          THEN 'update' END AS change_type
+            FROM oldw FULL OUTER JOIN neww ON oldw.o_custkey = neww.o_custkey)
+          SELECT * FROM j WHERE change_type IS NOT NULL"""
+    },
+
+    // Priority = portable-affine-hash uniform / token weight; one IEEE
+    // division — bit-identical across engines.
+    "q131_weighted_sample" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""SELECT doc_id, tokens,
+                 CAST(($HA * doc_id + $HB) % $P AS DOUBLE)
+                   / CAST(tokens AS DOUBLE) AS priority
+          FROM (SELECT doc_id, CAST(len($ws) AS BIGINT) AS tokens
+                FROM documents WHERE text IS NOT NULL)
+          WHERE tokens > 0
+          ORDER BY priority, doc_id LIMIT ${Queries.PpsSampleK}"""
+    },
+
+    "q132_doc_chunks" -> {
+      val (c, st) = (Queries.ChunkTokens, Queries.ChunkStride)
+      s"""WITH d AS (SELECT doc_id, $ws AS w FROM documents
+                     WHERE text IS NOT NULL),
+          s AS (SELECT doc_id, w,
+                       unnest(generate_series(0, len(w) - 1, $st)) AS s
+                FROM d)
+          SELECT doc_id, CAST(s // $st AS BIGINT) AS chunk_idx,
+                 CAST(least($c, len(w) - s) AS BIGINT) AS chunk_tokens,
+                 array_to_string(w[s+1 : s+$c], ' ') AS chunk_text
+          FROM s"""
+    },
+
+    // Class boundaries via integer cross-multiplication on exact
+    // decimals — no float shares on either side.
+    "q133_abc_classification" ->
+      s"""WITH pp AS (SELECT l_partkey, SUM($discTerm) AS rev
+                      FROM lineitem GROUP BY 1),
+          r AS (SELECT rev,
+                       SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       SUM(rev) OVER () AS total
+                FROM pp)
+          SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                      WHEN cum * 20 <= total * 19 THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 COUNT(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS revenue
+          FROM r GROUP BY 1""",
+
+    // Expected shares are the SAME Scala-computed literals the Spark plan
+    // embeds. E-notation forces DuckDB to parse them as DOUBLE (a plain
+    // decimal literal would go through DECIMAL and land one ulp off);
+    // %.17e round-trips every double exactly.
+    "q134_benford_digits" -> {
+      val arr = Queries.BenfordExpected
+        .map(d => String.format("%.17e", Double.box(d)))
+        .mkString("[", ",", "]")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+                     FROM orders),
+          g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+          t AS (SELECT SUM(n_orders) AS tot FROM g)
+          SELECT digit, n_orders,
+                 CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE) AS obs_share,
+                 ($arr)[digit] AS expected_share,
+                 CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE)
+                   - ($arr)[digit] AS delta
+          FROM g, t"""
+    },
+
+    // Independent quadratic NOT-EXISTS dominance formulation — checks the
+    // sweep against the skyline definition, not against itself.
+    "q135_part_skyline" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_brand = p.p_brand
+             AND q.p_size <= p.p_size
+             AND q.p_retailprice <= p.p_retailprice
+             AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))""",
+
+    "q136_bot_regularity" ->
+      s"""WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     AS dm
+            FROM events),
+          s AS (SELECT user_id, CAST(dm // 1000000 AS BIGINT) AS gap_s
+                FROM g WHERE dm IS NOT NULL),
+          a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+                       CAST(SUM(gap_s * gap_s) AS BIGINT) AS ssq
+                FROM s GROUP BY 1)
+          SELECT user_id, n_gaps, sum_gap_s,
+                 n_gaps * ssq - sum_gap_s * sum_gap_s AS var_num,
+                 (n_gaps * ssq - sum_gap_s * sum_gap_s) * 100
+                   < sum_gap_s * sum_gap_s AS is_regular
+          FROM a WHERE n_gaps >= ${Queries.BotMinGaps}""",
+
+    // The dedup key functionally determines every emitted column, so the
+    // streaming emission set equals the batch DISTINCT.
+    "q137_stream_key_registry" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+         FROM events""",
+
+    // Append-mode emission rule: a window flushes iff window_end ≤ final
+    // watermark = max(ts) − 0s delay; the incomplete last day stays open.
+    "q138_stream_daily_agg" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+          w AS (SELECT date_trunc('day', ts) AS window_start,
+                       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+                       event_type, COUNT(*) AS n_events,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) AS BIGINT) AS cents_sum
+                FROM events GROUP BY 1, 2, 3)
+          SELECT window_start, window_end, event_type, n_events, cents_sum
+          FROM w, mx WHERE window_end <= mt""",
   )
 
   private lazy val sessionOverlapSql: String =
