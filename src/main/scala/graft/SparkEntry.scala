@@ -154,6 +154,11 @@ object SparkEntry {
     "q136_bot_regularity"     -> (Queries.botRegularity _),
     "q137_stream_key_registry" -> (Queries.streamedKeyRegistry _),
     "q138_stream_daily_agg"   -> (Queries.streamedDailyAgg _),
+    "q139_stream_interval_join" -> (Queries.streamedIntervalJoin _),
+    "q140_quantile_normalize" -> (Queries.quantileNormalize _),
+    "q141_kmv_set_ops"        -> (Queries.kmvSetOps _),
+    "q142_inverted_index"     -> (Queries.invertedIndex _),
+    "q143_split_assign"       -> (Queries.splitAssign _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3072,6 +3077,149 @@ object Queries {
       "graft_q138_")
     spark.table(name).orderBy("window_start", "event_type")
   }
+
+  // --- q139: stream-stream interval join under the oracle gate ---------------------
+  // The third stateful-operator class (after dedup and windowed agg):
+  // StreamJoin.intervalJoin — the watermark-bounded event-time interval
+  // join, the only join shape whose state stays O(rate × lookback) on an
+  // unbounded stream pair. Purchases matched to the same user's clicks
+  // in the preceding hour; inner-join emissions are the exact match SET
+  // regardless of batch order, so the oracle is the batch interval join.
+  def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = Tables.eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val name = runToTable(
+      graft.streaming.StreamJoin.intervalJoin(purchases, "purchase_ts",
+          clicks, "click_ts", keys = Seq("user_id"),
+          delay = "3650 days", lookback = "1 HOUR")
+        .writeStream,
+      "graft_q139_")
+    spark.table(name).orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  // --- q140: cross-source quantile normalization -----------------------------------
+  // Score calibration across sources whose quality distributions differ
+  // (the standard fix before a global quality threshold): each doc's
+  // score maps to the GLOBAL score at its within-source quantile.
+  // Within-source ranks are partition-parallel windows; the global rank
+  // rides PrefixSum (no global sort); the quantile→position map is exact
+  // integer arithmetic; and the normalized value is a PICKED existing
+  // score (one equi-join on position), so no float interpolation exists
+  // to drift.
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), docQuality.as("quality_score"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality_score"), col("doc_id"))
+    val ranked = scored.withColumn("rk", row_number().over(wSrc).cast("long"))
+    val nSrc = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val bucketed = scored.withColumn("gb",
+      floor(col("quality_score") * 1000).cast("long"))
+    val granked = PrefixSum.runningSum(bucketed, "gb",
+      Seq(col("quality_score"), col("doc_id")), lit(1L), "grank")
+    val total = scored.agg(count(lit(1)).as("n_all"))
+    val gvals = granked.select(col("grank").as("gpos"),
+      col("quality_score").as("norm_score"))
+    ranked.join(broadcast(nSrc), "source").crossJoin(broadcast(total))
+      .withColumn("gpos",
+        lit(1L) + expr("((rk - 1) * (n_all - 1)) div greatest(n_src - 1, 1)"))
+      .join(gvals, "gpos")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("norm_score"))
+      .orderBy("doc_id")
+  }
+
+  // --- q141: KMV set operations (union / intersection across event sets) ----------
+  // Theta-sketch-style set algebra on the portable KMV sketch: the k
+  // smallest distinct hashes of A ∪ B estimate the union cardinality,
+  // the fraction of them present in BOTH sides estimates Jaccard, and
+  // intersection = J × union (inclusion via two broadcast semi-joins of
+  // the k-row sketch — never a join of the full sets). Elements are
+  // (user, UTC day) activity keys; A = click-days, B = purchase-days.
+  // Exact counts ride along for calibration.
+  val SetOpK = 128
+
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val keyed = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (col("user_id") * 100000L +
+          datediff(utcDate(col("ts")), epoch)).as("k"))
+    def side(t: String) = keyed.filter(col("event_type") === t)
+      .select(graft.functions.Sketches.keyHash(col("k")).as("h")).distinct()
+    val a = side("click")
+    val b = side("purchase")
+    val kmin = a.union(b).distinct().orderBy("h").limit(SetOpK)
+    val both = kmin.join(a, "h", "leftsemi").join(b, "h", "leftsemi")
+      .agg(count(lit(1)).as("n_both"))
+    val kth = kmin.agg(max(col("h")).as("kth"))
+    val exact = keyed.select(col("event_type"), col("k")).distinct()
+      .groupBy("k").agg(count(lit(1)).as("sides"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    val p = graft.functions.Sketches.P.toDouble
+    kth.crossJoin(both).crossJoin(exact)
+      .select(lit(SetOpK.toLong).as("k"),
+        col("exact_union"), col("exact_inter"),
+        (lit((SetOpK - 1).toDouble) / (col("kth").cast("double") / lit(p)))
+          .as("est_union"),
+        (col("n_both").cast("double") / lit(SetOpK.toDouble))
+          .as("est_jaccard"),
+        ((col("n_both").cast("double") / lit(SetOpK.toDouble)) *
+          (lit((SetOpK - 1).toDouble) / (col("kth").cast("double") / lit(p))))
+          .as("est_intersection"))
+  }
+
+  // --- q142: inverted-index build ---------------------------------------------------
+  // The lexical-search build step (df / collection frequency / champion
+  // doc per term) as a pure two-level aggregation: (term, doc) term
+  // frequencies in one shuffle, per-term stats in a second — the
+  // champion (highest-tf, lowest-id) doc via a struct max, not a window,
+  // so map-side partial aggregation applies all the way up.
+  val IdxMinDf = 5
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(struct(col("tf").as("tf"), (-col("doc_id")).as("negid")))
+          .as("__top"))
+      .filter(col("df") >= IdxMinDf)
+      .select(col("term"), col("df"), col("cf"),
+        (-col("__top.negid")).as("top_doc"), col("__top.tf").as("top_tf"))
+      .orderBy("term")
+  }
+
+  // --- q143: deterministic train/val/test split assignment --------------------------
+  // Hash-bucket split (80/10/10) on the portable key hash — the
+  // assignment is a pure function of doc_id, so it is stable across
+  // runs, engines, partitionings, and corpus growth (a doc never changes
+  // split when new data arrives — the property random assignment lacks).
+  // Reported as the per-(source, split) doc/token manifest.
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("tokens"),
+        pmod(graft.functions.Sketches.keyHash(col("doc_id")), lit(100L))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+      .orderBy("source", "split")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5388,6 +5536,105 @@ object Oracles {
                 FROM events GROUP BY 1, 2, 3)
           SELECT window_start, window_end, event_type, n_events, cents_sum
           FROM w, mx WHERE window_end <= mt""",
+
+    // Stream-stream inner-join emissions are the exact match set, so the
+    // oracle is the batch interval join.
+    "q139_stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM events p JOIN events c ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    "q140_quantile_normalize" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      val quality =
+        s"""0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+               / len($ws))
+            + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)"""
+      s"""WITH q AS (SELECT doc_id, source, $quality AS quality_score
+                     FROM documents WHERE text IS NOT NULL),
+          r AS (SELECT doc_id, source, quality_score,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality_score, doc_id) AS BIGINT) AS rk,
+                       CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                         AS n_src,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+                FROM q),
+          g AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY quality_score, doc_id)
+                         AS BIGINT) AS grank,
+                       quality_score AS norm_score FROM q)
+          SELECT r.doc_id, r.source, r.quality_score, g.norm_score
+          FROM r JOIN g
+            ON g.grank = 1 + ((r.rk - 1) * (r.n_all - 1))
+                               // greatest(r.n_src - 1, 1)"""
+    },
+
+    // Identical KMV algebra on both sides: union k-min, kth-normalized
+    // union estimate, membership-fraction Jaccard, product intersection.
+    "q141_kmv_set_ops" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      val k = Queries.SetOpK
+      val pd = P.toDouble
+      val estU = s"${(k - 1).toDouble} / (CAST(kth AS DOUBLE) / $pd)"
+      val estJ = s"CAST(n_both AS DOUBLE) / ${k.toDouble}"
+      s"""WITH keyed AS (
+            SELECT event_type,
+                   user_id * 100000
+                     + date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     AS k
+            FROM events WHERE event_type IN ('click', 'purchase')),
+          a AS (SELECT DISTINCT ($HA * k + $HB) % $P AS h FROM keyed
+                WHERE event_type = 'click'),
+          b AS (SELECT DISTINCT ($HA * k + $HB) % $P AS h FROM keyed
+                WHERE event_type = 'purchase'),
+          kmin AS (SELECT h FROM (SELECT DISTINCT h FROM
+                     (SELECT h FROM a UNION ALL SELECT h FROM b))
+                   ORDER BY h LIMIT $k),
+          kth AS (SELECT MAX(h) AS kth FROM kmin),
+          nboth AS (SELECT COUNT(*) AS n_both FROM kmin
+                    WHERE h IN (SELECT h FROM a)
+                      AND h IN (SELECT h FROM b)),
+          ex AS (SELECT COUNT(*) AS exact_union,
+                        CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS exact_inter
+                 FROM (SELECT k, COUNT(*) AS sides
+                       FROM (SELECT DISTINCT event_type, k FROM keyed)
+                       GROUP BY 1))
+          SELECT CAST($k AS BIGINT) AS k, exact_union, exact_inter,
+                 $estU AS est_union,
+                 $estJ AS est_jaccard,
+                 ($estJ) * ($estU) AS est_intersection
+          FROM kth, nboth, ex"""
+    },
+
+    "q142_inverted_index" ->
+      s"""WITH tf AS (
+            SELECT term, doc_id, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest($ws) AS term FROM documents
+                  WHERE text IS NOT NULL)
+            GROUP BY 1, 2),
+          top AS (SELECT term, doc_id, tf,
+                         ROW_NUMBER() OVER (PARTITION BY term
+                           ORDER BY tf DESC, doc_id) AS rn
+                  FROM tf),
+          agg AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+                  FROM tf GROUP BY 1)
+          SELECT a.term, a.df, a.cf, t.doc_id AS top_doc, t.tf AS top_tf
+          FROM agg a JOIN top t ON a.term = t.term AND t.rn = 1
+          WHERE a.df >= ${Queries.IdxMinDf}""",
+
+    "q143_split_assign" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS tokens,
+                            (($HA * doc_id + $HB) % $P) % 100 AS bucket
+                     FROM documents WHERE text IS NOT NULL)
+          SELECT source,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                 COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+          FROM d GROUP BY 1, 2"""
+    },
   )
 
   private lazy val sessionOverlapSql: String =
