@@ -3153,8 +3153,12 @@ object Queries {
       .select(col("event_type"),
         (col("user_id") * 100000L +
           datediff(utcDate(col("ts")), epoch)).as("k"))
+    // pre-reduce the composite key mod P so the affine hash's HA·k
+    // product stays inside int64 for ANY user-id magnitude (ANSI mode
+    // makes a long overflow a runtime error, not a wraparound)
     def side(t: String) = keyed.filter(col("event_type") === t)
-      .select(graft.functions.Sketches.keyHash(col("k")).as("h")).distinct()
+      .select(graft.functions.Sketches.keyHash(
+        pmod(col("k"), lit(graft.functions.Sketches.P))).as("h")).distinct()
     val a = side("click")
     val b = side("purchase")
     val kmin = a.union(b).distinct().orderBy("h").limit(SetOpK)
@@ -5584,9 +5588,9 @@ object Oracles {
                      + date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                      AS k
             FROM events WHERE event_type IN ('click', 'purchase')),
-          a AS (SELECT DISTINCT ($HA * k + $HB) % $P AS h FROM keyed
+          a AS (SELECT DISTINCT ($HA * (k % $P) + $HB) % $P AS h FROM keyed
                 WHERE event_type = 'click'),
-          b AS (SELECT DISTINCT ($HA * k + $HB) % $P AS h FROM keyed
+          b AS (SELECT DISTINCT ($HA * (k % $P) + $HB) % $P AS h FROM keyed
                 WHERE event_type = 'purchase'),
           kmin AS (SELECT h FROM (SELECT DISTINCT h FROM
                      (SELECT h FROM a UNION ALL SELECT h FROM b))
