@@ -159,6 +159,9 @@ object SparkEntry {
     "q141_kmv_set_ops"        -> (Queries.kmvSetOps _),
     "q142_inverted_index"     -> (Queries.invertedIndex _),
     "q143_split_assign"       -> (Queries.splitAssign _),
+    "q144_asof_native"        -> (Queries.asOfNativeAttribution _),
+    "q145_asof_native_tolerance" -> (Queries.asOfNativeTolerance _),
+    "q146_asof_native_forward" -> (Queries.asOfNativeForward _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3224,6 +3227,61 @@ object Queries {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
       .orderBy("source", "split")
+
+  // --- q144-q146: the native as-of join exec under the oracle gate ----------------
+  // The q40/q84/q85 shapes re-planned through the whole-operator Catalyst
+  // extension (plans/AsOfJoinPlan.scala: logical node + strategy +
+  // streaming-merge exec) and hash-compared against the SAME oracle rows
+  // as their union+window counterparts — identical semantics, a
+  // different (narrower) physical plan: each side shuffles once at its
+  // own width and the merge keeps O(1) state instead of a window carry
+  // over the unioned frame.
+  private def asOfNativeSides(spark: SparkSession, dir: String) = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = Dedup.latestByKey(
+      ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value"),
+      keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
+    (purchases, views)
+  }
+
+  def asOfNativeAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = asOfNativeSides(spark, dir)
+    AsOfNative.asOfJoin(purchases, views, Seq("user_id"), "ts",
+        Seq("value", "event_id"), "view_")
+      .orderBy("event_id")
+  }
+
+  def asOfNativeTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = asOfNativeSides(spark, dir)
+    AsOfNative.asOfJoin(purchases, views, Seq("user_id"), "ts",
+        Seq("value", "event_id"), "view_",
+        toleranceMicros = Some(AsOfWindowMicros))
+      .orderBy("event_id")
+  }
+
+  def asOfNativeForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = Dedup.latestByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id"),
+        keys = Seq("user_id", "ts"), orderCols = Seq("event_id"))
+      .withColumn("purchase_ts", col("ts"))
+    AsOfNative.asOfJoin(views, purchases, Seq("user_id"), "ts",
+        Seq("event_id", "purchase_ts"), "next_",
+        toleranceMicros = Some(ConversionWindowMicros), forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_event_id"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+          .as("lag_micros"))
+      .orderBy("event_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -3387,7 +3445,15 @@ object Oracles {
   private val discTerm   =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = sqlBase ++ Map(
+    // the native-exec as-of twins (q144-q146) must match the SAME oracle
+    // rows as their union+window counterparts — semantics identical, only
+    // the physical plan differs
+    "q144_asof_native"           -> sqlBase("q40_asof_join"),
+    "q145_asof_native_tolerance" -> sqlBase("q84_asof_tolerance"),
+    "q146_asof_native_forward"   -> sqlBase("q85_next_conversion"))
+
+  private lazy val sqlBase: Map[String, String] = Map(
     "q01_incremental_extract" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
           WHERE ts > TIMESTAMP '${Queries.WmLow}' AND ts <= TIMESTAMP '${Queries.WmHigh}'""",

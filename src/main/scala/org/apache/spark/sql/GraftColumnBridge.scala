@@ -19,4 +19,12 @@ object GraftColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Materialize a DataFrame over a (resolved) custom logical plan —
+    * `Dataset.ofRows` is private[sql], so whole-operator extensions
+    * (graft.plans.AsOfJoinPlan) surface through this bridge.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

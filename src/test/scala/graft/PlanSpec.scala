@@ -257,6 +257,37 @@ class PlanSpec extends AnyFunSuite {
       "the three small dims must broadcast")
   }
 
+  test("q129: bloom probe filters the fact scan ahead of the exact semi-join") {
+    val p = plan("q129_bloom_semi_join")
+    assert(p.contains("xxhash64"), "bloom probe expression missing from the plan")
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      p.contains("LeftSemi"), "exact semi-join missing")
+    assert(!p.contains("l_tax"), "lineitem scan must prune to the used columns")
+  }
+
+  test("q131: global k-smallest is a TakeOrdered, not a global sort") {
+    val p = plan("q131_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q133: ABC classification never cartesian-joins or sort-merge-joins the parts") {
+    val p = plan("q133_abc_classification")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the total / bucket-prefix frames must broadcast")
+  }
+
+  test("q135: skyline sweep joins broadcast — no pair materialization anywhere") {
+    val p = plan("q135_part_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), "sweep frame must broadcast")
+  }
+
+  test("q142: champion-doc aggregation is window-free (map-side partials survive)") {
+    val p = plan("q142_inverted_index")
+    assert(!p.contains("Window"), "struct-max champion must not plan a window")
+  }
+
   test("slowest-set queries keep WholeStageCodegen spans (interpreted-fallback guard)") {
     // Round-9's bench tail cliff was the suite's LAST queries running
     // 3-23x slow; if a future change ever knocks these heavy hitters out
