@@ -162,6 +162,12 @@ object SparkEntry {
     "q144_asof_native"        -> (Queries.asOfNativeAttribution _),
     "q145_asof_native_tolerance" -> (Queries.asOfNativeTolerance _),
     "q146_asof_native_forward" -> (Queries.asOfNativeForward _),
+    "q147_zorder_manifest"    -> (Queries.zorderManifest _),
+    "q148_event_trigrams"     -> (Queries.eventTrigrams _),
+    "q149_range_plan"         -> (Queries.rangePlan _),
+    "q150_source_similarity"  -> (Queries.sourceSimilarity _),
+    "q151_rrf_fusion"         -> (Queries.rrfFusion _),
+    "q152_fd_profile"         -> (Queries.fdProfile _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3282,6 +3288,174 @@ object Queries {
           .as("lag_micros"))
       .orderBy("event_id")
   }
+
+  // --- q147: Z-order layout manifest ------------------------------------------
+  // Orders laid out on (customer, order-day): both dims quantized to an
+  // 8-bit grid from exact global bounds, Morton-interleaved (codegen
+  // kernel, plans/ZOrderExprs.scala), and published as the per-Z-block
+  // zone map. A Z-block is an aligned rectangle of the grid, so min/max
+  // are tight on BOTH dimensions at once — the write-side layout that
+  // makes either-dimension predicates prune files at 100 TB. One scalar
+  // agg (broadcast bounds) + map-side kernel + one hash-agg.
+  val ZQBits = 8
+  val ZBlockShift = 6
+
+  def zorderManifest(spark: SparkSession, dir: String): DataFrame =
+    ZOrder.layoutManifest(
+      Tables.orders(spark, dir),
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+      ZQBits, ZBlockShift)
+
+  // --- q148: frequent event-type trigrams ---------------------------------------
+  // Sequential-pattern mining at fixed length: per-user ordered walk
+  // (deterministic tie on event_id), two leads, one hash-agg over the
+  // ≤|event_types|³ trigram domain. Per-user windows partition freely;
+  // the aggregate is map-side combinable — nothing grows with the corpus
+  // except the linear scan.
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull && col("e2").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_seq"))
+      .orderBy(col("n_seq").desc, col("e1"), col("e2"), col("e3"))
+  }
+
+  // --- q149: range-partition planner (sampled sort boundaries) ------------------
+  // How a 100 TB global sort/range-write is actually planned: a
+  // deterministic ~2% hash-sample is the ONLY thing sorted (Spark's own
+  // RangePartitioner samples to the driver for the same reason); k-1
+  // boundary values are read off the sorted sample at equidistant
+  // positions, broadcast, and every row is assigned its range by a
+  // 15-element array probe — the corpus itself is never shuffled. The
+  // output is the per-range manifest (row counts + value bounds) whose
+  // balance tells you the sort would have been even.
+  val RangeK = 16
+  val RangeSampleMod = 50L
+
+  def rangePlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"))
+    // composite row key pre-reduced mod P before the affine hash (q141's
+    // overflow lesson: ANSI mode faults HA·k past int64)
+    val rk = pmod(col("l_orderkey") * lit(8L) + col("l_linenumber"),
+      lit(Sketches.P))
+    val samp = li.filter(pmod(Sketches.keyHash(rk), lit(RangeSampleMod)) === 0)
+    // global row_number over the SAMPLE only — O(sample) single-partition
+    // sort by construction, the planner's whole point
+    val sw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+    val ordered = samp.withColumn("rn", row_number().over(sw).cast("long"))
+    val step = floor(col("cnt") / lit(RangeK)).cast("long")
+    val bounds = ordered
+      .crossJoin(broadcast(samp.agg(count(lit(1)).as("cnt"))))
+      .filter(col("rn") % step === 0 &&
+        floor(col("rn") / step) <= lit(RangeK - 1))
+      .agg(sort_array(collect_list(col("price"))).as("bnds"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("price"),
+        size(filter(col("bnds"), b => b < col("price"))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("price").as("min_price"), max("price").as("max_price"))
+      .orderBy("bucket")
+  }
+
+  // --- q150: cross-source shingle similarity matrix ----------------------------
+  // Corpus-health view of near-dup pressure BETWEEN sources: exact
+  // Jaccard over each source's distinct word-trigram set. The gram-level
+  // join fans out per gram only to the sources sharing it (≤ |sources|,
+  // a fixed catalog — never corpus-sized), and the per-source set sizes
+  // are one hash-agg; at 100 TB this is two corpus scans and a
+  // sources²-bounded join, the same posture as decontamination (q56).
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.plans.SignatureExprs.distinctNGrams(
+          TextAnalysis.words(col("text")), JaccardN)).as("s"))
+      .distinct()
+    val counts = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val l = g.alias("l")
+    val r = g.alias("r")
+    val inter = l.join(r,
+        col("l.s") === col("r.s") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("src_a"), col("r.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // --- q151: reciprocal-rank fusion (lexical ⊕ dense retrieval) -----------------
+  // The standard hybrid-retrieval combiner: BM25 rank and dense-cosine
+  // rank over the SAME candidate set, fused as Σ 1/(C + rank). Ranks are
+  // integers, so the two reciprocals and their sum are single fp ops —
+  // bit-identical across engines without rounding. Candidates come from
+  // a TakeOrdered top-k (never a corpus sort); both rank windows run
+  // over the 50-row candidate set only.
+  val RrfC = 60
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmCandidates)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = cand.withColumn("r_lex", row_number().over(wLex))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val wDen = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    lex.join(emb, lex("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("r_lex"),
+        graft.functions.Similarity.cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("r_dense", row_number().over(wDen))
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        (lit(1.0) / (lit(RrfC) + col("r_lex"))
+          + lit(1.0) / (lit(RrfC) + col("r_dense"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(HybridK)
+  }
+
+  // --- q152: functional-dependency profile --------------------------------------
+  // Data-profiling pass over declared candidate FDs: A → B holds iff
+  // |distinct A| = |distinct (A,B)|. Each candidate is two distinct-count
+  // aggregates in ONE scan of its table (struct-tuple distinct for the
+  // pair), unpivoted to a row per candidate — the warehouse-audit twin
+  // of the DQ expectation family (q06/q18/q110).
+  private def fdCandidate(df: DataFrame, table: String, lhs: String,
+                          rhs: String): DataFrame =
+    df.agg(countDistinct(col(lhs)).as("n_lhs"),
+        countDistinct(struct(col(lhs), col(rhs))).as("n_pairs"))
+      .select(lit(s"$table.$lhs").as("lhs"), lit(rhs).as("rhs"),
+        col("n_lhs"), col("n_pairs"),
+        when(col("n_lhs") === col("n_pairs"), 1L).otherwise(0L).as("fd_holds"))
+
+  def fdProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val e = Tables.events(spark, dir)
+    fdCandidate(o, "orders", "o_orderkey", "o_custkey")
+      .unionAll(fdCandidate(o, "orders", "o_custkey", "o_orderpriority"))
+      .unionAll(fdCandidate(c, "customer", "c_custkey", "c_name"))
+      .unionAll(fdCandidate(n, "nation", "n_nationkey", "n_regionkey"))
+      .unionAll(fdCandidate(e, "events", "user_id", "event_type"))
+      .orderBy("lhs", "rhs")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5705,6 +5879,140 @@ object Oracles {
                  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
           FROM d GROUP BY 1, 2"""
     },
+
+    "q147_zorder_manifest" -> {
+      // ≡ ZOrder.layoutManifest: exact-integer quantization, then the
+      // same four shift-mask spread rounds as MortonInterleave16, one
+      // CTE per round (the masks are 0x00FF00FF/0x0F0F0F0F/0x33333333/
+      // 0x55555555 in decimal).
+      val q = 1L << Queries.ZQBits
+      val blk = 1L << Queries.ZBlockShift
+      s"""WITH b AS (SELECT o_custkey AS x,
+                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+                  FROM orders
+                  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+          s AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                       MIN(y) AS miny, MAX(y) AS maxy FROM b),
+          g AS (SELECT ((x - minx) * $q) // (maxx - minx + 1) AS bx,
+                       ((y - miny) * $q) // (maxy - miny + 1) AS by FROM b, s),
+          m1 AS (SELECT bx, by, (bx | (bx << 8)) & 16711935 AS sx,
+                               (by | (by << 8)) & 16711935 AS sy FROM g),
+          m2 AS (SELECT bx, by, (sx | (sx << 4)) & 252645135 AS sx,
+                               (sy | (sy << 4)) & 252645135 AS sy FROM m1),
+          m3 AS (SELECT bx, by, (sx | (sx << 2)) & 858993459 AS sx,
+                               (sy | (sy << 2)) & 858993459 AS sy FROM m2),
+          m4 AS (SELECT bx, by, (sx | (sx << 1)) & 1431655765 AS sx,
+                               (sy | (sy << 1)) & 1431655765 AS sy FROM m3)
+          SELECT (sx | (sy << 1)) // $blk AS block, COUNT(*) AS n_rows,
+                 MIN(bx) AS min_x, MAX(bx) AS max_x,
+                 MIN(by) AS min_y, MAX(by) AS max_y
+          FROM m4 GROUP BY 1"""
+    },
+
+    "q148_event_trigrams" ->
+      """SELECT e1, e2, e3, COUNT(*) AS n_seq FROM (
+           SELECT event_type AS e1,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS e2,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS e3
+           FROM events)
+         WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1, 2, 3""",
+
+    "q149_range_plan" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+                             l_extendedprice AS price FROM lineitem),
+          sa AS (SELECT *, row_number() OVER (ORDER BY price, l_orderkey,
+                                              l_linenumber) AS rn
+                 FROM li
+                 WHERE (($HA * ((l_orderkey * 8 + l_linenumber) % $P) + $HB)
+                        % $P) % ${Queries.RangeSampleMod} = 0),
+          nn AS (SELECT COUNT(*) AS cnt FROM sa),
+          bd AS (SELECT price FROM sa, nn
+                 WHERE rn % (cnt // ${Queries.RangeK}) = 0
+                   AND rn // (cnt // ${Queries.RangeK}) <= ${Queries.RangeK - 1}),
+          a AS (SELECT price,
+                       (SELECT COUNT(*) FROM bd WHERE bd.price < li.price)
+                         AS bucket
+                FROM li)
+          SELECT bucket, COUNT(*) AS n_rows,
+                 MIN(price) AS min_price, MAX(price) AS max_price
+          FROM a GROUP BY 1"""
+    },
+
+    "q150_source_similarity" ->
+      s"""WITH g AS (SELECT DISTINCT source, s FROM (
+                 SELECT source, unnest($shinglesSql) AS s
+                 FROM documents WHERE text IS NOT NULL)),
+          c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+                       COUNT(*) AS common
+                FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2)
+          SELECT src_a, src_b, common,
+                 CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+          FROM p JOIN c ca ON ca.source = p.src_a
+                 JOIN c cb ON cb.source = p.src_b""",
+
+    "q151_rrf_fusion" ->
+      s"""WITH cand AS (
+            $bm25ScoredSql
+            ORDER BY score DESC, doc_id LIMIT ${Queries.BmCandidates}),
+          lx AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS INT) AS r_lex
+                 FROM cand),
+          qq AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                 FROM embeddings WHERE vec_id = 0),
+          dd AS (SELECT lx.doc_id, r_lex,
+                        ${dotSql("qe", "de")}
+                          / (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("de", "de")}))
+                          AS cos_sim
+                 FROM lx JOIN (SELECT vec_id,
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                               FROM embeddings) e
+                   ON lx.doc_id = e.vec_id, qq),
+          rr AS (SELECT doc_id, r_lex,
+                        CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                          AS INT) AS r_dense
+                 FROM dd)
+          SELECT doc_id, r_lex, r_dense,
+                 CAST(1.0 AS DOUBLE) / (${Queries.RrfC} + r_lex)
+                   + CAST(1.0 AS DOUBLE) / (${Queries.RrfC} + r_dense) AS rrf
+          FROM rr ORDER BY rrf DESC, doc_id LIMIT ${Queries.HybridK}""",
+
+    "q152_fd_profile" ->
+      """WITH c AS (
+           SELECT 'orders.o_orderkey' AS lhs, 'o_custkey' AS rhs,
+                  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_lhs,
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+                                         FROM orders)) AS n_pairs
+           UNION ALL
+           SELECT 'orders.o_custkey', 'o_orderpriority',
+                  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority
+                                         FROM orders))
+           UNION ALL
+           SELECT 'customer.c_custkey', 'c_name',
+                  (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey, c_name
+                                         FROM customer))
+           UNION ALL
+           SELECT 'nation.n_nationkey', 'n_regionkey',
+                  (SELECT COUNT(DISTINCT n_nationkey) FROM nation),
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT n_nationkey, n_regionkey
+                                         FROM nation))
+           UNION ALL
+           SELECT 'events.user_id', 'event_type',
+                  (SELECT COUNT(DISTINCT user_id) FROM events),
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type
+                                         FROM events)))
+         SELECT lhs, rhs, n_lhs, n_pairs,
+                CAST(CASE WHEN n_lhs = n_pairs THEN 1 ELSE 0 END AS BIGINT)
+                  AS fd_holds
+         FROM c""",
   )
 
   private lazy val sessionOverlapSql: String =

@@ -288,6 +288,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "struct-max champion must not plan a window")
   }
 
+  test("q147: Morton kernel runs map-side; quantization bounds broadcast, no SMJ") {
+    val p = plan("q147_zorder_manifest")
+    assert(p.toLowerCase.contains("mortoninterleave"),
+      s"Z-order kernel missing from plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), "global bounds must broadcast, not SMJ")
+    assert(!p.contains("CartesianProduct"), "bounds join must be broadcast-NLJ")
+  }
+
+  test("q149: only the sample is sorted — one window; boundaries broadcast") {
+    val p = plan("q149_range_plan")
+    assert("Window".r.findAllIn(p).length == 1,
+      s"expected exactly the sample-ranking window:\n$p")
+    assert(p.contains("BroadcastExchange"), "boundary array must broadcast")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q151: lexical candidates come from TakeOrdered, never a corpus sort") {
+    val p = plan("q151_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate top-k must plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("slowest-set queries keep WholeStageCodegen spans (interpreted-fallback guard)") {
     // Round-9's bench tail cliff was the suite's LAST queries running
     // 3-23x slow; if a future change ever knocks these heavy hitters out
