@@ -168,6 +168,12 @@ object SparkEntry {
     "q150_source_similarity"  -> (Queries.sourceSimilarity _),
     "q151_rrf_fusion"         -> (Queries.rrfFusion _),
     "q152_fd_profile"         -> (Queries.fdProfile _),
+    "q153_entity_clusters"    -> (Queries.entityClusters _),
+    "q154_pseudonym_audit"    -> (Queries.pseudonymAudit _),
+    "q155_pagerank_copurchase" -> (Queries.pagerankCopurchase _),
+    "q156_grouping_sets"      -> (Queries.groupingSetsReport _),
+    "q157_basket_lift"        -> (Queries.basketLift _),
+    "q158_distance_histogram" -> (Queries.distanceHistogram _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3456,6 +3462,174 @@ object Queries {
       .unionAll(fdCandidate(e, "events", "user_id", "event_type"))
       .orderBy("lhs", "rhs")
   }
+
+  // --- q153: entity-resolution clusters (fuzzy linkage → components) -----------
+  // The full ER pipeline q105 only started: fuzzy name pairs (dictionary
+  // blocking + edit-distance verification, Linkage.scala) become edges,
+  // pointer-jumping connected components (Components.scala — O(log d)
+  // rounds, shuffles O(|pairs|) not O(|corpus|)) merge them into
+  // entities, and the output is the entity roster: canonical id (min
+  // part key in the cluster), variant-name count, total rows absorbed.
+  // Same compute-once/many-readers posture as the q34/q65 dedup layer.
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id"))
+    val pairs = Linkage.fuzzyPairs(
+      dict.select("name", "n_rows"),
+      nm => element_at(split(nm, " "), -1), FuzzyMaxDist)
+    val ids = dict.select("name", "id")
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("id").as("src")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("id").as("dst")), "name_b")
+      .select("src", "dst")
+    val labels = Components.connectedComponents(dict.select("id"), edges)
+    dict.join(labels, "id")
+      .groupBy(col("label").as("root_key"))
+      .agg(count(lit(1)).as("n_names"), sum("n_rows").as("n_parts"))
+      .orderBy("root_key")
+  }
+
+  // --- q154: pseudonymization consistency audit ---------------------------------
+  // Governance op: replace user ids with a keyed deterministic token and
+  // PROVE the vault is sound — no token collisions (injective on each id
+  // domain) and join-consistency (tokenized tables join exactly where the
+  // raw tables did). All counts are distinct-aggregations over id sets —
+  // tiny compared to the fact tables they come from.
+  val PseudoA = 2246822519L
+  val PseudoB = 3266489917L
+
+  private def pseudo(id: Column): Column =
+    pmod(lit(PseudoA) * pmod(id, lit(graft.functions.Sketches.P)) + lit(PseudoB),
+      lit(graft.functions.Sketches.P))
+
+  def pseudonymAudit(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir).select(col("user_id").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val custs = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+      .distinct()
+    val uTok = users.select(col("id"), pseudo(col("id")).as("tok"))
+    val cTok = custs.select(col("id"), pseudo(col("id")).as("tok"))
+    val joinedRaw = users.join(custs, "id").agg(count(lit(1)).as("joined_raw"))
+    val joinedTok = uTok.select("tok").join(cTok.select("tok"), "tok")
+      .agg(count(lit(1)).as("joined_tok"))
+    uTok.agg(count(lit(1)).as("n_users"),
+        countDistinct(col("tok")).as("n_user_tokens"))
+      .crossJoin(cTok.agg(count(lit(1)).as("n_custs"),
+        countDistinct(col("tok")).as("n_cust_tokens")))
+      .crossJoin(joinedRaw)
+      .crossJoin(joinedTok)
+      .select("n_users", "n_user_tokens", "n_custs", "n_cust_tokens",
+        "joined_raw", "joined_tok")
+  }
+
+  // --- q155: PageRank over the co-purchase graph (exact-integer, 3 rounds) ------
+  // Iterative graph centrality as Spark actually runs it: edges persist
+  // across rounds, each round is one join (rank → out-edges) + one
+  // hash-agg (sum contributions per dst) — all keyed shuffles, nothing
+  // driver-side. Ranks live in scaled int64 (S=1e9) with floor division,
+  // so three rounds are bit-identical in any engine and the oracle can
+  // unroll them as CTEs; fp PageRank would drift by summation order.
+  val PrScale = 1000000000L
+  val PrRounds = 3
+
+  def pagerankCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Analytics.coOccurrencePairs(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minSupport = 1L)
+      .select(col("item_a").as("src"), col("item_b").as("dst"))
+      .persist()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src")
+    val base = lit(15L * PrScale / 100L)
+    var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
+    for (_ <- 1 to PrRounds) {
+      // `div` (integer division on int64) — NOT `/`, which routes longs
+      // through double and can misround once 85·p crosses 2^53
+      ranks = withDeg.join(ranks, withDeg("src") === ranks("i"))
+        .select(col("dst"), expr("(85 * p) div (100 * d)").as("contrib"))
+        .groupBy(col("dst").as("i"))
+        .agg((base + sum(col("contrib"))).as("p"))
+    }
+    ranks.select(col("i").as("item"), col("p").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("item"))
+  }
+
+  // --- q156: GROUPING SETS report ------------------------------------------------
+  // The explicit grouping-sets lattice (detail, per-flag, grand total)
+  // with grouping_id disambiguating the null-vs-aggregated levels —
+  // one expand + one hash-agg, decimal-exact sums.
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(Cols.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_items")
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  // --- q157: market-basket association lift --------------------------------------
+  // Support / lift for co-purchased part pairs: lift = (n_ab · N) /
+  // (n_a · n_b) as ONE integer-product ratio (single fp division —
+  // bit-identical cross-engine). Pair generation reuses the
+  // basket-bounded co-occurrence join; item frequencies and the basket
+  // total are broadcast scalars/aggs.
+  val LiftTopK = 100
+
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    val nOrders = baskets.select("b").distinct().agg(count(lit(1)).as("n_orders"))
+    val freq = baskets.groupBy("i").agg(count(lit(1)).as("n"))
+    Analytics.coOccurrencePairs(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", CoMinSupport)
+      .join(freq.select(col("i").as("item_a"), col("n").as("na")), Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("n").as("nb")), Seq("item_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        ((col("n_baskets") * col("n_orders")).cast("double")
+          / (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(LiftTopK)
+  }
+
+  // --- q158: embedding distance-distribution histogram ---------------------------
+  // Corpus-geometry diagnostic: squared L2 distances over hash-blocked
+  // vector pairs (deterministic ~1/8 vector sample, 64 hash blocks —
+  // pairs only ever form inside a block, so the join is bucketed, never
+  // all-pairs), binned into an integer histogram. d² = ‖a‖² + ‖b‖² −
+  // 2·a·b with the codegen VecDot kernel, fixed op order ⇒ identical
+  // doubles ⇒ identical floor bins in both engines. Block count is the
+  // pairs-per-vector budget knob (size B ∝ sample size to hold the
+  // per-block quadratic constant at scale).
+  val DistSampleMod = 8L
+  val DistBlocks = 64L
+  val DistBinWidth = 0.25
+
+  def distanceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    import graft.plans.VectorExprs
+    val v = Tables.embeddings(spark, dir)
+      .filter(pmod(Sketches.keyHash(col("vec_id")), lit(DistSampleMod)) === 0)
+      .select(col("vec_id"),
+        pmod(Sketches.keyHash(col("vec_id") * lit(31L)), lit(DistBlocks)).as("blk"),
+        col("embedding"))
+    val a = v.select(col("blk"), col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = v.select(col("blk"), col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.join(b, Seq("blk")).filter(col("ida") < col("idb"))
+      .select((VectorExprs.dot(col("ea"), col("ea"))
+        + VectorExprs.dot(col("eb"), col("eb"))
+        - lit(2.0) * VectorExprs.dot(col("ea"), col("eb"))).as("d2"))
+      .select(floor(col("d2") / lit(DistBinWidth)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6013,6 +6187,117 @@ object Oracles {
                 CAST(CASE WHEN n_lhs = n_pairs THEN 1 ELSE 0 END AS BIGINT)
                   AS fd_holds
          FROM c""",
+
+    "q153_entity_clusters" -> {
+      // fuzzy edges ≡ q105 (same blocking + edit distance), closure via
+      // the recursive-CTE pattern of componentCtes, roster grouped by the
+      // component's min part key
+      val d = Queries.FuzzyMaxDist
+      s"""WITH RECURSIVE
+          dict AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+                          MIN(p_partkey) AS id
+                   FROM part GROUP BY 1),
+          blk AS (SELECT name,
+                         list_extract(string_split(name, ' '), -1) AS blk
+                  FROM dict),
+          pr AS (SELECT a.name AS na, b2.name AS nb
+                 FROM blk a JOIN blk b2 ON a.blk = b2.blk AND a.name < b2.name
+                 WHERE levenshtein(a.name, b2.name) <= $d),
+          ed AS (SELECT na AS src, nb AS dst FROM pr
+                 UNION ALL SELECT nb, na FROM pr),
+          reach(id, r) AS (
+            SELECT name, name FROM dict
+            UNION
+            SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+          lab AS (SELECT reach.id AS name, MIN(d2.id) AS root_key
+                  FROM reach JOIN dict d2 ON reach.r = d2.name GROUP BY 1)
+          SELECT root_key, COUNT(*) AS n_names,
+                 CAST(SUM(d3.n_rows) AS BIGINT) AS n_parts
+          FROM lab JOIN dict d3 ON lab.name = d3.name GROUP BY 1"""
+    },
+
+    "q154_pseudonym_audit" -> {
+      import graft.functions.Sketches.P
+      val (a, b) = (Queries.PseudoA, Queries.PseudoB)
+      s"""WITH u AS (SELECT DISTINCT user_id AS id FROM events
+                     WHERE user_id IS NOT NULL),
+          c AS (SELECT DISTINCT c_custkey AS id FROM customer),
+          ut AS (SELECT id, ($a * (id % $P) + $b) % $P AS tok FROM u),
+          ct AS (SELECT id, ($a * (id % $P) + $b) % $P AS tok FROM c)
+          SELECT (SELECT COUNT(*) FROM ut) AS n_users,
+                 (SELECT COUNT(DISTINCT tok) FROM ut) AS n_user_tokens,
+                 (SELECT COUNT(*) FROM ct) AS n_custs,
+                 (SELECT COUNT(DISTINCT tok) FROM ct) AS n_cust_tokens,
+                 (SELECT COUNT(*) FROM u JOIN c USING (id)) AS joined_raw,
+                 (SELECT COUNT(*) FROM (SELECT tok FROM ut) uu
+                    JOIN (SELECT tok FROM ct) cc USING (tok)) AS joined_tok"""
+    },
+
+    "q155_pagerank_copurchase" -> {
+      val s = Queries.PrScale
+      val base = 15L * s / 100L
+      // three unrolled integer-PageRank rounds, `//` ≡ Spark's `div`
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT ed.dst AS i,
+                    $base + SUM((85 * p.p) // (100 * deg.d)) AS p
+             FROM ed JOIN $prev p ON ed.src = p.i
+                     JOIN deg ON ed.src = deg.src
+             GROUP BY 1)"""
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                         FROM lineitem),
+          e0 AS (SELECT a.i AS src, b2.i AS dst
+                 FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                 GROUP BY 1, 2),
+          ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY 1),
+          p0 AS (SELECT src AS i, CAST($s AS BIGINT) AS p FROM deg),
+          ${round("p0", "p1")},
+          ${round("p1", "p2")},
+          ${round("p2", "p3")}
+          SELECT i AS item, CAST(p AS BIGINT) AS rank_score FROM p3"""
+    },
+
+    "q156_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS n_items
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+
+    "q157_basket_lift" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                         FROM lineitem),
+          no AS (SELECT COUNT(DISTINCT b) AS n_orders FROM items),
+          f AS (SELECT i, COUNT(*) AS n FROM items GROUP BY 1),
+          p AS (SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_baskets
+                FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= ${Queries.CoMinSupport})
+          SELECT item_a, item_b, n_baskets,
+                 CAST(n_baskets * n_orders AS DOUBLE)
+                   / CAST(fa.n * fb.n AS DOUBLE) AS lift
+          FROM p JOIN f fa ON fa.i = p.item_a
+                 JOIN f fb ON fb.i = p.item_b, no
+          ORDER BY lift DESC, item_a, item_b LIMIT ${Queries.LiftTopK}""",
+
+    "q158_distance_histogram" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      val dot = (x: String, y: String) => dotSql(x, y)
+      s"""WITH v AS (SELECT vec_id,
+                  (($HA * (vec_id * 31) + $HB) % $P) % ${Queries.DistBlocks} AS blk,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings
+               WHERE (($HA * vec_id + $HB) % $P) % ${Queries.DistSampleMod} = 0),
+          d AS (SELECT ${dot("a.e", "a.e")} + ${dot("b2.e", "b2.e")}
+                       - 2.0 * ${dot("a.e", "b2.e")} AS d2
+                FROM v a JOIN v b2
+                  ON a.blk = b2.blk AND a.vec_id < b2.vec_id)
+          SELECT CAST(floor(d2 / ${Queries.DistBinWidth}) AS BIGINT) AS bin,
+                 COUNT(*) AS n_pairs
+          FROM d GROUP BY 1"""
+    },
   )
 
   private lazy val sessionOverlapSql: String =

@@ -310,6 +310,14 @@ class PlanSpec extends AnyFunSuite {
       s"candidate top-k must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("q158: vector pairs form only inside hash blocks — no cartesian join") {
+    val p = plan("q158_distance_histogram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must be an equi-join on blk:\n$p")
+    assert(p.contains("VecDot".toLowerCase) || p.contains("vecdot"),
+      "distance kernel must be the codegen VecDot")
+  }
+
   test("slowest-set queries keep WholeStageCodegen spans (interpreted-fallback guard)") {
     // Round-9's bench tail cliff was the suite's LAST queries running
     // 3-23x slow; if a future change ever knocks these heavy hitters out

@@ -120,4 +120,89 @@ class Round10bSpec extends AnyFunSuite {
     assert(rows("orders.o_custkey") == 0L, "customer places many orders")
     assert(rows("events.user_id") == 0L, "a user emits many event types")
   }
+
+  // --- q153: entity clusters ----------------------------------------------
+
+  test("q153: roster partitions the dictionary and merges fuzzy pairs") {
+    val rows = SparkEntry.queries("q153_entity_clusters")(spark, sf).collect()
+    val nNames = rows.map(_.getAs[Long]("n_names")).sum
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    val dictSize = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(nNames == dictSize, "every name lands in exactly one cluster")
+    assert(nParts == Tables.part(spark, sf).count())
+    val nPairs = SparkEntry.queries("q105_fuzzy_part_names")(spark, sf).count()
+    if (nPairs > 0)
+      assert(rows.length < dictSize, "fuzzy edges must merge some clusters")
+  }
+
+  // --- q154: pseudonymization audit ---------------------------------------
+
+  test("q154: tokenization is injective and join-consistent on this data") {
+    val r = SparkEntry.queries("q154_pseudonym_audit")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_users") == r.getAs[Long]("n_user_tokens"))
+    assert(r.getAs[Long]("n_custs") == r.getAs[Long]("n_cust_tokens"))
+    assert(r.getAs[Long]("joined_raw") == r.getAs[Long]("joined_tok"))
+    assert(r.getAs[Long]("joined_raw") > 0, "audit needs a non-trivial join")
+  }
+
+  // --- q155: integer PageRank ----------------------------------------------
+
+  test("q155: ranks cover all incident items and respect the damping floor") {
+    val rows = SparkEntry.queries("q155_pagerank_copurchase")(spark, sf).collect()
+    val floor = 15L * Queries.PrScale / 100L
+    assert(rows.forall(_.getAs[Long]("rank_score") >= floor))
+    // node set = items appearing in at least one co-purchase pair
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    val incident = items.alias("a")
+      .join(items.alias("c"), col("a.b") === col("c.b") && col("a.i") =!= col("c.i"))
+      .select(col("a.i")).distinct().count()
+    assert(rows.length == incident)
+    // mass concentrates: not all ranks equal (the graph is not regular)
+    assert(rows.map(_.getAs[Long]("rank_score")).distinct.length > 1)
+  }
+
+  // --- q156: grouping sets --------------------------------------------------
+
+  test("q156: lattice levels carry consistent totals") {
+    val rows = SparkEntry.queries("q156_grouping_sets")(spark, sf).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 3L), s"unexpected grouping ids $gids")
+    val total = Tables.lineitem(spark, sf).count()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand(0).getAs[Long]("n_items") == total)
+    val detailSum = rows.filter(_.getAs[Long]("gid") == 0L)
+      .map(_.getAs[Long]("n_items")).sum
+    assert(detailSum == total, "detail level must partition the rows")
+  }
+
+  // --- q157: basket lift ----------------------------------------------------
+
+  test("q157: lift is positive, pairs oriented, descending order") {
+    val rows = SparkEntry.queries("q157_basket_lift")(spark, sf).collect()
+    assert(rows.length == Queries.LiftTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("item_a") < r.getAs[Long]("item_b"))
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("lift") >= b.getAs[Double]("lift"))
+      case _ =>
+    }
+  }
+
+  // --- q158: distance histogram ---------------------------------------------
+
+  test("q158: histogram accounts for exactly the in-block pair count") {
+    import graft.functions.Sketches
+    val total = SparkEntry.queries("q158_distance_histogram")(spark, sf)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val blockSizes = Tables.embeddings(spark, sf)
+      .filter(pmod(Sketches.keyHash(col("vec_id")), lit(Queries.DistSampleMod)) === 0)
+      .groupBy(pmod(Sketches.keyHash(col("vec_id") * lit(31L)),
+        lit(Queries.DistBlocks)))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    val expected = blockSizes.map(n => n * (n - 1) / 2).sum
+    assert(total == expected)
+  }
 }
