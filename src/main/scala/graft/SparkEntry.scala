@@ -174,6 +174,10 @@ object SparkEntry {
     "q156_grouping_sets"      -> (Queries.groupingSetsReport _),
     "q157_basket_lift"        -> (Queries.basketLift _),
     "q158_distance_histogram" -> (Queries.distanceHistogram _),
+    "q159_pruning_simulator"  -> (Queries.pruningSimulator _),
+    "q160_ewma_revenue"       -> (Queries.ewmaRevenue _),
+    "q161_stream_static_enrich" -> (Queries.streamedStaticEnrich _),
+    "q162_funnel_lag_percentiles" -> (Queries.funnelLagPercentiles _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3630,6 +3634,110 @@ object Queries {
       .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
       .orderBy("bin")
   }
+
+  // --- q159: zone-map pruning simulator -----------------------------------------
+  // The read-side payoff of q147's layout, measured: for a fixed probe
+  // set of (customer-stripe × day-band) predicates in grid coordinates,
+  // count the Z-blocks whose min/max rectangle intersects the probe —
+  // the files a scan would READ — and the rows behind them. The
+  // manifest is O(blocks); probes are a 6-row broadcast; at 100 TB this
+  // is the planner-side pruning estimate that decides whether a layout
+  // rewrite pays for itself.
+  val PruneProbes: Seq[(Int, Int, Int, Int, Int)] = Seq(
+    (1, 17, 17, 0, 255),     // one customer stripe, all days
+    (2, 0, 255, 200, 207),   // one-week day band, all customers
+    (3, 32, 63, 64, 95),     // mid-grid rectangle
+    (4, 0, 127, 0, 255),     // half-space on customer
+    (5, 100, 100, 100, 100), // single cell
+    (6, 0, 255, 0, 255))     // full scan (control row)
+
+  def pruningSimulator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val man = ZOrder.layoutManifest(
+      Tables.orders(spark, dir), col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+      ZQBits, ZBlockShift)
+    val probes = PruneProbes.toDF("probe_id", "xlo", "xhi", "ylo", "yhi")
+    val tot = man.agg(count(lit(1)).as("n_blocks_total"),
+      sum("n_rows").as("rows_total"))
+    probes.join(broadcast(man),
+        col("xlo") <= col("max_x") && col("min_x") <= col("xhi") &&
+          col("ylo") <= col("max_y") && col("min_y") <= col("yhi"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("block")).as("n_blocks_read"),
+        coalesce(sum("n_rows"), lit(0L)).as("rows_read"))
+      .crossJoin(broadcast(tot))
+      .select("probe_id", "n_blocks_read", "rows_read",
+        "n_blocks_total", "rows_total")
+      .orderBy("probe_id")
+  }
+
+  // --- q160: EWMA daily revenue (exact-integer sequential fold) ------------------
+  // The sequential-state time-series op done without fp drift: per-
+  // priority daily cents fold through e_d = (v_d + e_{d-1}) div 2 —
+  // every step an int64 add + floor-halve, so the whole trajectory is
+  // bit-identical to the oracle's recursive CTE. The fold runs inside a
+  // higher-order aggregate over the per-group O(days) frame (the same
+  // bounded-frame posture as q93's trailing stats) — groups stay
+  // partition-parallel, no unpartitioned window, no UDF.
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((sum(Cols.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    daily.groupBy("priority")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("vs"))
+      .select(col("priority"), explode(expr(
+        """aggregate(vs,
+             named_struct('prev', cast(-1 as bigint),
+                          'res', cast(array() as array<struct<day:date,ewma:bigint>>)),
+             (acc, x) -> named_struct(
+               'prev', if(acc.prev < 0, x.cents, (x.cents + acc.prev) div 2),
+               'res', array_append(acc.res,
+                 named_struct('day', x.day,
+                   'ewma', if(acc.prev < 0, x.cents,
+                              (x.cents + acc.prev) div 2)))),
+             acc -> acc.res)""")).as("r"))
+      .select(col("priority"), col("r.day").as("day"),
+        col("r.ewma").as("ewma_cents"))
+      .orderBy("priority", "day")
+  }
+
+  // --- q161: stream-static enrichment join under the oracle gate -----------------
+  // The remaining Structured Streaming join class: a REAL event stream
+  // inner-joined to a STATIC dimension (the silver-enrichment shape —
+  // Autoloader stream × customer dim). Stream-static inner joins append
+  // each matched batch with no state store and no watermark, so the
+  // emission set is exactly the batch join — which is the oracle.
+  def streamedStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val name = runToTable(
+      stream.join(dim, stream("user_id") === dim("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_nationkey"))
+        .writeStream,
+      "graft_q161_")
+    spark.table(name).orderBy("event_id")
+  }
+
+  // --- q162: funnel conversion-lag percentiles -----------------------------------
+  // The question every funnel report ends with: HOW LONG does view →
+  // purchase take? Lags come off q66's single-scan chain (stage-3 users
+  // only); the percentile aggregate is one reduction — no global sort.
+  def funnelLagPercentiles(spark: SparkSession, dir: String): DataFrame =
+    funnel(spark, dir)
+      .filter(col("stage") === 3)
+      .select((unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+        .as("lag_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lag_us, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(col("n_converted"),
+        element_at(col("qs"), 1).as("p25_us"),
+        element_at(col("qs"), 2).as("p50_us"),
+        element_at(col("qs"), 3).as("p75_us"),
+        element_at(col("qs"), 4).as("p90_us"))
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -3799,7 +3907,17 @@ object Oracles {
     // the physical plan differs
     "q144_asof_native"           -> sqlBase("q40_asof_join"),
     "q145_asof_native_tolerance" -> sqlBase("q84_asof_tolerance"),
-    "q146_asof_native_forward"   -> sqlBase("q85_next_conversion"))
+    "q146_asof_native_forward"   -> sqlBase("q85_next_conversion"),
+    // conversion lags read off the SAME funnel chain q66 gates
+    "q162_funnel_lag_percentiles" ->
+      s"""WITH f AS (${sqlBase("q66_funnel")})
+          SELECT COUNT(*) AS n_converted,
+                 quantile_cont(lag_us, 0.25) AS p25_us,
+                 quantile_cont(lag_us, 0.5)  AS p50_us,
+                 quantile_cont(lag_us, 0.75) AS p75_us,
+                 quantile_cont(lag_us, 0.9)  AS p90_us
+          FROM (SELECT epoch_us(purchase_ts) - epoch_us(view_ts) AS lag_us
+                FROM f WHERE stage = 3)""")
 
   private lazy val sqlBase: Map[String, String] = Map(
     "q01_incremental_extract" ->
@@ -6054,34 +6172,7 @@ object Oracles {
           FROM d GROUP BY 1, 2"""
     },
 
-    "q147_zorder_manifest" -> {
-      // ≡ ZOrder.layoutManifest: exact-integer quantization, then the
-      // same four shift-mask spread rounds as MortonInterleave16, one
-      // CTE per round (the masks are 0x00FF00FF/0x0F0F0F0F/0x33333333/
-      // 0x55555555 in decimal).
-      val q = 1L << Queries.ZQBits
-      val blk = 1L << Queries.ZBlockShift
-      s"""WITH b AS (SELECT o_custkey AS x,
-                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
-                  FROM orders
-                  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
-          s AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
-                       MIN(y) AS miny, MAX(y) AS maxy FROM b),
-          g AS (SELECT ((x - minx) * $q) // (maxx - minx + 1) AS bx,
-                       ((y - miny) * $q) // (maxy - miny + 1) AS by FROM b, s),
-          m1 AS (SELECT bx, by, (bx | (bx << 8)) & 16711935 AS sx,
-                               (by | (by << 8)) & 16711935 AS sy FROM g),
-          m2 AS (SELECT bx, by, (sx | (sx << 4)) & 252645135 AS sx,
-                               (sy | (sy << 4)) & 252645135 AS sy FROM m1),
-          m3 AS (SELECT bx, by, (sx | (sx << 2)) & 858993459 AS sx,
-                               (sy | (sy << 2)) & 858993459 AS sy FROM m2),
-          m4 AS (SELECT bx, by, (sx | (sx << 1)) & 1431655765 AS sx,
-                               (sy | (sy << 1)) & 1431655765 AS sy FROM m3)
-          SELECT (sx | (sy << 1)) // $blk AS block, COUNT(*) AS n_rows,
-                 MIN(bx) AS min_x, MAX(bx) AS max_x,
-                 MIN(by) AS min_y, MAX(by) AS max_y
-          FROM m4 GROUP BY 1"""
-    },
+    "q147_zorder_manifest" -> zorderManifestSql,
 
     "q148_event_trigrams" ->
       """SELECT e1, e2, e3, COUNT(*) AS n_seq FROM (
@@ -6298,6 +6389,44 @@ object Oracles {
                  COUNT(*) AS n_pairs
           FROM d GROUP BY 1"""
     },
+
+    "q159_pruning_simulator" -> {
+      val probes = Queries.PruneProbes
+        .map { case (id, xl, xh, yl, yh) => s"($id, $xl, $xh, $yl, $yh)" }
+        .mkString(", ")
+      s"""WITH man AS ($zorderManifestSql),
+          probes AS (SELECT * FROM (VALUES $probes)
+                     AS t(probe_id, xlo, xhi, ylo, yhi)),
+          tot AS (SELECT COUNT(*) AS n_blocks_total,
+                         CAST(SUM(n_rows) AS BIGINT) AS rows_total FROM man)
+          SELECT probe_id, COUNT(man.block) AS n_blocks_read,
+                 CAST(COALESCE(SUM(man.n_rows), 0) AS BIGINT) AS rows_read,
+                 n_blocks_total, rows_total
+          FROM probes
+          LEFT JOIN man ON xlo <= max_x AND min_x <= xhi
+                       AND ylo <= max_y AND min_y <= yhi, tot
+          GROUP BY probe_id, n_blocks_total, rows_total"""
+    },
+
+    "q160_ewma_revenue" ->
+      """WITH RECURSIVE
+         daily AS (SELECT o_orderpriority AS priority,
+                          CAST(o_orderdate AS DATE) AS day,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS cents
+                   FROM orders GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY priority
+                                            ORDER BY day) AS rn FROM daily),
+         rec AS (SELECT priority, rn, day, cents AS ewma FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.priority, r.rn, r.day, (r.cents + rec.ewma) // 2
+                 FROM r JOIN rec ON r.priority = rec.priority
+                                AND r.rn = rec.rn + 1)
+         SELECT priority, day, ewma AS ewma_cents FROM rec""",
+
+    "q161_stream_static_enrich" ->
+      """SELECT event_id, user_id, c_nationkey
+         FROM events JOIN customer ON user_id = c_custkey""",
   )
 
   private lazy val sessionOverlapSql: String =
@@ -6320,6 +6449,37 @@ object Oracles {
            AND epoch_us(b.session_start) <= epoch_us(a.session_end)
            AND b.user_id != a.user_id
           GROUP BY 1, 2, 3"""
+
+  /** ≡ ZOrder.layoutManifest over orders (q147; reused as a CTE by the
+    * q159 pruning simulator): exact-integer quantization, then the same
+    * four shift-mask spread rounds as MortonInterleave16, one CTE per
+    * round (masks 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555 in
+    * decimal).
+    */
+  private lazy val zorderManifestSql: String = {
+    val q = 1L << Queries.ZQBits
+    val blk = 1L << Queries.ZBlockShift
+    s"""WITH b AS (SELECT o_custkey AS x,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        s AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                     MIN(y) AS miny, MAX(y) AS maxy FROM b),
+        g AS (SELECT ((x - minx) * $q) // (maxx - minx + 1) AS bx,
+                     ((y - miny) * $q) // (maxy - miny + 1) AS by FROM b, s),
+        m1 AS (SELECT bx, by, (bx | (bx << 8)) & 16711935 AS sx,
+                             (by | (by << 8)) & 16711935 AS sy FROM g),
+        m2 AS (SELECT bx, by, (sx | (sx << 4)) & 252645135 AS sx,
+                             (sy | (sy << 4)) & 252645135 AS sy FROM m1),
+        m3 AS (SELECT bx, by, (sx | (sx << 2)) & 858993459 AS sx,
+                             (sy | (sy << 2)) & 858993459 AS sy FROM m2),
+        m4 AS (SELECT bx, by, (sx | (sx << 1)) & 1431655765 AS sx,
+                             (sy | (sy << 1)) & 1431655765 AS sy FROM m3)
+        SELECT (sx | (sy << 1)) // $blk AS block, COUNT(*) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y
+        FROM m4 GROUP BY 1"""
+  }
 
   /** BM25 scored-docs SQL shared by q69/q79 — ≡ Queries.bm25Scores (same
     * literal term order, same rational idf, same fixed fold order).

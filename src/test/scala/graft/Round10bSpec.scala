@@ -191,6 +191,78 @@ class Round10bSpec extends AnyFunSuite {
     }
   }
 
+  // --- q159: pruning simulator ----------------------------------------------
+
+  test("q159: control probe reads everything; point probes prune") {
+    val rows = SparkEntry.queries("q159_pruning_simulator")(spark, sf).collect()
+      .map(r => r.getAs[Int]("probe_id") -> r).toMap
+    val full = rows(6)
+    assert(full.getAs[Long]("n_blocks_read") == full.getAs[Long]("n_blocks_total"))
+    assert(full.getAs[Long]("rows_read") == full.getAs[Long]("rows_total"))
+    // the single-cell probe must touch strictly fewer blocks than full scan
+    assert(rows(5).getAs[Long]("n_blocks_read") < full.getAs[Long]("n_blocks_total"))
+    // a one-stripe probe on either dimension prunes most of the corpus
+    assert(rows(1).getAs[Long]("rows_read") < full.getAs[Long]("rows_total") / 2,
+      "customer stripe should skip at least half the rows")
+    assert(rows(2).getAs[Long]("rows_read") < full.getAs[Long]("rows_total") / 2,
+      "day band should skip at least half the rows")
+  }
+
+  // --- q160: EWMA fold -------------------------------------------------------
+
+  test("q160: engine trajectory equals an independent sequential fold") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((sum(Cols.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getAs[String]("priority"))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+          .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("cents"))
+      }
+    val expected = daily.toSeq.flatMap { case (p, vs) =>
+      var prev = -1L
+      vs.toSeq.map { case (d, v) =>
+        prev = if (prev < 0) v else Math.floorDiv(v + prev, 2)
+        (p, d) -> prev
+      }
+    }.toMap
+    val got = SparkEntry.queries("q160_ewma_revenue")(spark, sf).collect()
+      .map(r => (r.getAs[String]("priority"),
+        r.getAs[java.sql.Date]("day").toString) -> r.getAs[Long]("ewma_cents"))
+      .toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"EWMA mismatch at $k")
+    }
+  }
+
+  // --- q161: stream-static enrich -------------------------------------------
+
+  test("q161: streamed emission set equals the batch join") {
+    val streamed = SparkEntry.queries("q161_stream_static_enrich")(spark, sf)
+    val batch = Tables.events(spark, sf).select("event_id", "user_id")
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_nationkey")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  // --- q162: funnel lag percentiles ------------------------------------------
+
+  test("q162: percentiles are ordered and count matches stage-3 users") {
+    val r = SparkEntry.queries("q162_funnel_lag_percentiles")(spark, sf).collect()(0)
+    val n3 = SparkEntry.queries("q66_funnel")(spark, sf)
+      .filter(col("stage") === 3).count()
+    assert(r.getAs[Long]("n_converted") == n3 && n3 > 0)
+    val qs = Seq("p25_us", "p50_us", "p75_us", "p90_us").map(r.getAs[Double])
+    assert(qs == qs.sorted, s"percentiles out of order: $qs")
+    assert(qs.head >= 0.0, "conversion lag cannot be negative")
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
