@@ -3619,10 +3619,15 @@ object Queries {
   def distanceHistogram(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Sketches
     import graft.plans.VectorExprs
+    // both hash inputs pre-reduced mod P before the affine hash — the
+    // q141 overflow lesson: ScaleGen's offset ids push HA·(31·id) past
+    // int64 and ANSI mode faults the whole query at the 30× drill
     val v = Tables.embeddings(spark, dir)
-      .filter(pmod(Sketches.keyHash(col("vec_id")), lit(DistSampleMod)) === 0)
+      .filter(pmod(Sketches.keyHash(pmod(col("vec_id"), lit(Sketches.P))),
+        lit(DistSampleMod)) === 0)
       .select(col("vec_id"),
-        pmod(Sketches.keyHash(col("vec_id") * lit(31L)), lit(DistBlocks)).as("blk"),
+        pmod(Sketches.keyHash(pmod(col("vec_id") * lit(31L), lit(Sketches.P))),
+          lit(DistBlocks)).as("blk"),
         col("embedding"))
     val a = v.select(col("blk"), col("vec_id").as("ida"), col("embedding").as("ea"))
     val b = v.select(col("blk"), col("vec_id").as("idb"), col("embedding").as("eb"))
@@ -6377,10 +6382,10 @@ object Oracles {
       import graft.functions.Sketches.{HA, HB, P}
       val dot = (x: String, y: String) => dotSql(x, y)
       s"""WITH v AS (SELECT vec_id,
-                  (($HA * (vec_id * 31) + $HB) % $P) % ${Queries.DistBlocks} AS blk,
+                  (($HA * ((vec_id * 31) % $P) + $HB) % $P) % ${Queries.DistBlocks} AS blk,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings
-               WHERE (($HA * vec_id + $HB) % $P) % ${Queries.DistSampleMod} = 0),
+               WHERE (($HA * (vec_id % $P) + $HB) % $P) % ${Queries.DistSampleMod} = 0),
           d AS (SELECT ${dot("a.e", "a.e")} + ${dot("b2.e", "b2.e")}
                        - 2.0 * ${dot("a.e", "b2.e")} AS d2
                 FROM v a JOIN v b2

@@ -270,9 +270,10 @@ class Round10bSpec extends AnyFunSuite {
     val total = SparkEntry.queries("q158_distance_histogram")(spark, sf)
       .agg(sum("n_pairs")).collect()(0).getLong(0)
     val blockSizes = Tables.embeddings(spark, sf)
-      .filter(pmod(Sketches.keyHash(col("vec_id")), lit(Queries.DistSampleMod)) === 0)
-      .groupBy(pmod(Sketches.keyHash(col("vec_id") * lit(31L)),
-        lit(Queries.DistBlocks)))
+      .filter(pmod(Sketches.keyHash(pmod(col("vec_id"), lit(Sketches.P))),
+        lit(Queries.DistSampleMod)) === 0)
+      .groupBy(pmod(Sketches.keyHash(pmod(col("vec_id") * lit(31L),
+        lit(Sketches.P))), lit(Queries.DistBlocks)))
       .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
     val expected = blockSizes.map(n => n * (n - 1) / 2).sum
     assert(total == expected)
