@@ -178,6 +178,12 @@ object SparkEntry {
     "q160_ewma_revenue"       -> (Queries.ewmaRevenue _),
     "q161_stream_static_enrich" -> (Queries.streamedStaticEnrich _),
     "q162_funnel_lag_percentiles" -> (Queries.funnelLagPercentiles _),
+    "q163_salted_join"        -> (Queries.saltedJoinRevenue _),
+    "q164_bucketed_join"      -> (Queries.bucketedJoinRevenue _),
+    "q165_golden_records"     -> (Queries.goldenRecords _),
+    "q166_cdc_apply"          -> (Queries.cdcApply _),
+    "q167_inventory_balance"  -> (Queries.inventoryBalance _),
+    "q168_share_of_parent"    -> (Queries.shareOfParent _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3743,6 +3749,158 @@ object Queries {
         element_at(col("qs"), 2).as("p50_us"),
         element_at(col("qs"), 3).as("p75_us"),
         element_at(col("qs"), 4).as("p90_us"))
+
+  // --- q163: salted join under the oracle gate ------------------------------------
+  // The skew-mitigation operator (Skew.saltedJoin — fact side sharded
+  // across 8 salt sub-keys, dim replicated once per salt) producing the
+  // SAME aggregate as the plain join: salting redistributes work, never
+  // results. The oracle is the unsalted SQL join — which is exactly the
+  // operator's correctness contract.
+  val JoinSalts = 8
+
+  def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id").as("c_custkey"), dec2(col("value")).as("v"))
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Skew.saltedJoin(fact, dim, "c_custkey", JoinSalts)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("value_sum"))
+      .orderBy("c_nationkey")
+  }
+
+  // --- q164: bucketed (exchange-free) join under the oracle gate -------------------
+  // The co-location story made concrete: both sides written bucketed on
+  // the join key (16 buckets, sorted), so the join plans WITHOUT a
+  // shuffle on either side — at 100 TB this is the difference between
+  // re-shuffling the fact table on every join and reading it joined.
+  // Table/path names are run-unique; the oracle is the plain SQL join.
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val id = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val (tl, tr) = (s"graft_bkt_ord_$id", s"graft_bkt_cust_$id")
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    Bucketing.saveBucketed(
+      Tables.orders(spark, dir).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("rev")),
+      tl, s"$base/l", "o_custkey", 16)
+    Bucketing.saveBucketed(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+      tr, s"$base/r", "o_custkey", 16)
+    Bucketing.colocatedJoin(spark, tl, tr, "o_custkey")
+      .groupBy("c_nationkey")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("rev").cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  // --- q165: entity golden records -------------------------------------------------
+  // Survivorship on top of the q153 roster: per entity cluster, the
+  // canonical name is the most-frequent variant (ties → lexicographic
+  // min) — resolved window-free with a max-per-cluster aggregate and a
+  // tie-filtered min, so map-side partials survive and no per-cluster
+  // sort exists.
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id"))
+    val pairs = Linkage.fuzzyPairs(
+      dict.select("name", "n_rows"),
+      nm => element_at(split(nm, " "), -1), FuzzyMaxDist)
+    val ids = dict.select("name", "id")
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("id").as("src")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("id").as("dst")), "name_b")
+      .select("src", "dst")
+    val labels = Components.connectedComponents(dict.select("id"), edges)
+    val g = dict.join(labels, "id")
+    val mx = g.groupBy("label").agg(max("n_rows").as("mx"),
+      count(lit(1)).as("n_names"), sum("n_rows").as("n_parts"))
+    g.join(mx, "label").filter(col("n_rows") === col("mx"))
+      .groupBy(col("label").as("root_key"), col("n_names"), col("n_parts"))
+      .agg(min("name").as("canon_name"))
+      .select("root_key", "canon_name", "n_names", "n_parts")
+      .orderBy("root_key")
+  }
+
+  // --- q166: CDC apply (MERGE-INTO roundtrip) --------------------------------------
+  // The consumer side of q130's change feed: applyDelta folds the diff
+  // back onto the T1 snapshot, and the oracle computes the T2 snapshot
+  // DIRECTLY — so the gate proves the roundtrip identity
+  // applyDelta(old, diff(old, new)) == new, which is the contract every
+  // incremental gold table built from CDC rests on.
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = orderWindowSnapshot(spark, dir, SnapT1)
+    val t2 = orderWindowSnapshot(spark, dir, SnapT2)
+    val delta = SnapshotDiff.diff(t1, t2,
+      keys = Seq("o_custkey"), compareCols = Seq("n_orders", "rev_dec"))
+    SnapshotDiff.applyDelta(t1, delta,
+        keys = Seq("o_custkey"), compareCols = Seq("n_orders", "rev_dec"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  // --- q167: clipped inventory balance (non-associative scan) ----------------------
+  // Running balance with a floor — balance_d = max(0, balance_{d-1} +
+  // delta_d) — is NOT associative, so no partial-agg/window trick
+  // exists: it must fold sequentially per key. Same bounded-frame HOF
+  // template as q160 (per-part O(active-days) frames, partition-
+  // parallel across parts), all int64, oracle = recursive CTE.
+  def inventoryBalance(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"), to_date(col("l_shipdate")).as("day"),
+        when(col("l_returnflag") === "R", -col("l_quantity"))
+          .otherwise(col("l_quantity")).cast("long").as("delta"))
+      .groupBy("part", "day").agg(sum("delta").as("d"))
+    daily.groupBy("part")
+      .agg(sort_array(collect_list(struct(col("day"), col("d")))).as("vs"))
+      .select(col("part"), explode(expr(
+        """aggregate(vs,
+             named_struct('prev', cast(0 as bigint),
+                          'res', cast(array() as array<struct<day:date,bal:bigint>>)),
+             (acc, x) -> named_struct(
+               'prev', greatest(cast(0 as bigint), acc.prev + x.d),
+               'res', array_append(acc.res,
+                 named_struct('day', x.day,
+                   'bal', greatest(cast(0 as bigint), acc.prev + x.d)))),
+             acc -> acc.res)""")).as("r"))
+      .select(col("part"), col("r.day").as("day"), col("r.bal").as("balance"))
+      .orderBy("part", "day")
+  }
+
+  // --- q168: percent-of-parent hierarchy shares ------------------------------------
+  // The hierarchical twin of q36's share-of-total: nation revenue as a
+  // share of its region, region as a share of the grand total. All
+  // sums decimal-exact; each share is ONE double division. One fact
+  // scan; customer/nation/region broadcast.
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val regions = rev.groupBy("region").agg(sum("rev_dec").as("reg_dec"))
+    val total = rev.agg(sum("rev_dec").as("tot_dec"))
+    rev.join(broadcast(regions), "region")
+      .crossJoin(broadcast(total))
+      .select(col("region"), col("nation"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("reg_dec").cast("double"))
+          .as("share_in_region"),
+        (col("reg_dec").cast("double") / col("tot_dec").cast("double"))
+          .as("region_share"))
+      .orderBy("region", "nation")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6284,33 +6442,14 @@ object Oracles {
                   AS fd_holds
          FROM c""",
 
-    "q153_entity_clusters" -> {
+    "q153_entity_clusters" ->
       // fuzzy edges ≡ q105 (same blocking + edit distance), closure via
       // the recursive-CTE pattern of componentCtes, roster grouped by the
       // component's min part key
-      val d = Queries.FuzzyMaxDist
-      s"""WITH RECURSIVE
-          dict AS (SELECT p_name AS name, COUNT(*) AS n_rows,
-                          MIN(p_partkey) AS id
-                   FROM part GROUP BY 1),
-          blk AS (SELECT name,
-                         list_extract(string_split(name, ' '), -1) AS blk
-                  FROM dict),
-          pr AS (SELECT a.name AS na, b2.name AS nb
-                 FROM blk a JOIN blk b2 ON a.blk = b2.blk AND a.name < b2.name
-                 WHERE levenshtein(a.name, b2.name) <= $d),
-          ed AS (SELECT na AS src, nb AS dst FROM pr
-                 UNION ALL SELECT nb, na FROM pr),
-          reach(id, r) AS (
-            SELECT name, name FROM dict
-            UNION
-            SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
-          lab AS (SELECT reach.id AS name, MIN(d2.id) AS root_key
-                  FROM reach JOIN dict d2 ON reach.r = d2.name GROUP BY 1)
+      s"""$entityLabCtes
           SELECT root_key, COUNT(*) AS n_names,
                  CAST(SUM(d3.n_rows) AS BIGINT) AS n_parts
-          FROM lab JOIN dict d3 ON lab.name = d3.name GROUP BY 1"""
-    },
+          FROM lab JOIN dict d3 ON lab.name = d3.name GROUP BY 1""",
 
     "q154_pseudonym_audit" -> {
       import graft.functions.Sketches.P
@@ -6432,6 +6571,77 @@ object Oracles {
     "q161_stream_static_enrich" ->
       """SELECT event_id, user_id, c_nationkey
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    "q163_salted_join" ->
+      // the UNSALTED join — salting must never change results
+      """SELECT c_nationkey, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+
+    "q164_bucketed_join" ->
+      // the plain join — bucketing changes the plan, never the answer
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+
+    "q165_golden_records" ->
+      s"""$entityLabCtes,
+          g AS (SELECT lab.root_key, d3.name, d3.n_rows
+                FROM lab JOIN dict d3 ON lab.name = d3.name),
+          mx AS (SELECT root_key, MAX(n_rows) AS mxn, COUNT(*) AS n_names,
+                        CAST(SUM(n_rows) AS BIGINT) AS n_parts
+                 FROM g GROUP BY 1)
+          SELECT g.root_key, MIN(g.name) AS canon_name, n_names, n_parts
+          FROM g JOIN mx ON g.root_key = mx.root_key AND g.n_rows = mx.mxn
+          GROUP BY 1, 3, 4""",
+
+    "q166_cdc_apply" -> {
+      // the T2 snapshot computed DIRECTLY — the roundtrip identity
+      // applyDelta(t1, diff(t1, t2)) == t2 is what the gate proves
+      val lo = java.time.LocalDate.parse(Queries.SnapT2)
+        .minusDays(Queries.SnapWindowDays)
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '$lo 00:00:00'
+            AND o_orderdate <  TIMESTAMP '${Queries.SnapT2} 00:00:00'
+          GROUP BY 1"""
+    },
+
+    "q167_inventory_balance" ->
+      """WITH RECURSIVE
+         daily AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+                          CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                        THEN -l_quantity ELSE l_quantity END)
+                            AS BIGINT) AS d
+                   FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY part
+                                            ORDER BY day) AS rn FROM daily),
+         rec AS (SELECT part, rn, day, GREATEST(0, d) AS bal
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.part, r.rn, r.day, GREATEST(0, rec.bal + r.d)
+                 FROM r JOIN rec ON r.part = rec.part AND r.rn = rec.rn + 1)
+         SELECT part, day, CAST(bal AS BIGINT) AS balance FROM rec""",
+
+    "q168_share_of_parent" ->
+      """WITH rev AS (SELECT r_name AS region, n_name AS nation,
+                             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+                      FROM orders
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+                      GROUP BY 1, 2),
+          reg AS (SELECT region, SUM(rd) AS gd FROM rev GROUP BY 1),
+          tot AS (SELECT SUM(rd) AS td FROM rev)
+          SELECT region, nation, CAST(rd AS DOUBLE) AS revenue,
+                 CAST(rd AS DOUBLE) / CAST(gd AS DOUBLE) AS share_in_region,
+                 CAST(gd AS DOUBLE) / CAST(td AS DOUBLE) AS region_share
+          FROM rev JOIN reg USING (region), tot""",
   )
 
   private lazy val sessionOverlapSql: String =
@@ -6454,6 +6664,32 @@ object Oracles {
            AND epoch_us(b.session_start) <= epoch_us(a.session_end)
            AND b.user_id != a.user_id
           GROUP BY 1, 2, 3"""
+
+  /** Shared entity-resolution CTE chain (q153/q165): dictionary, fuzzy
+    * edges (≡ q105 blocking + edit distance), recursive closure, and
+    * `lab(name, root_key)` — the per-name component assignment.
+    */
+  private lazy val entityLabCtes: String = {
+    val d = Queries.FuzzyMaxDist
+    s"""WITH RECURSIVE
+        dict AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+                        MIN(p_partkey) AS id
+                 FROM part GROUP BY 1),
+        blk AS (SELECT name,
+                       list_extract(string_split(name, ' '), -1) AS blk
+                FROM dict),
+        pr AS (SELECT a.name AS na, b2.name AS nb
+               FROM blk a JOIN blk b2 ON a.blk = b2.blk AND a.name < b2.name
+               WHERE levenshtein(a.name, b2.name) <= $d),
+        ed AS (SELECT na AS src, nb AS dst FROM pr
+               UNION ALL SELECT nb, na FROM pr),
+        reach(id, r) AS (
+          SELECT name, name FROM dict
+          UNION
+          SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+        lab AS (SELECT reach.id AS name, MIN(d2.id) AS root_key
+                FROM reach JOIN dict d2 ON reach.r = d2.name GROUP BY 1)"""
+  }
 
   /** ≡ ZOrder.layoutManifest over orders (q147; reused as a CTE by the
     * q159 pruning simulator): exact-integer quantization, then the same

@@ -45,4 +45,24 @@ object SnapshotDiff {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))) :+
         col("change_type"): _*)
   }
+
+  /** Inverse of `diff` — the MERGE-INTO shape: apply a change feed back
+    * onto the base snapshot. Keys present in the delta either replace
+    * the base row with the feed's `new_*` values (insert/update) or
+    * remove it (delete); untouched base rows pass through. Contract:
+    * `applyDelta(old, diff(old, new)) == new` (the roundtrip identity),
+    * which is exactly how an incremental gold table consumes CDC.
+    * One left-anti join (base × touched keys) + one union — both keyed
+    * shuffles; the delta is usually a sliver of the base, so the anti
+    * join's build side broadcasts at scale.
+    */
+  def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                 compareCols: Seq[String]): DataFrame = {
+    val upserts = delta
+      .filter(col("change_type").isin("insert", "update"))
+      .select(keys.map(col) ++
+        compareCols.map(c => col(s"new_$c").as(c)): _*)
+    val touched = delta.select(keys.map(col): _*)
+    base.join(touched, keys, "left_anti").unionByName(upserts)
+  }
 }

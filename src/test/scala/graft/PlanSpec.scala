@@ -318,6 +318,19 @@ class PlanSpec extends AnyFunSuite {
       "distance kernel must be the codegen VecDot")
   }
 
+  test("q164: both join inputs scan bucketed — the join key is never re-shuffled") {
+    val df = SparkEntry.queries("q164_bucketed_join")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // AQE prints initial+final plans, so assert presence, not counts
+    assert(p.contains("Bucketed: true"), s"inputs must read bucketed:\n$p")
+    assert(p.contains("SelectedBucketsCount"), p)
+    // the precise exchange-free claim: no shuffle partitioned on the
+    // JOIN key anywhere (the nation agg/orderBy exchanges are fine)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"),
+      s"join key re-shuffled — bucketing did not take:\n$p")
+  }
+
   test("slowest-set queries keep WholeStageCodegen spans (interpreted-fallback guard)") {
     // Round-9's bench tail cliff was the suite's LAST queries running
     // 3-23x slow; if a future change ever knocks these heavy hitters out
