@@ -184,6 +184,9 @@ object SparkEntry {
     "q166_cdc_apply"          -> (Queries.cdcApply _),
     "q167_inventory_balance"  -> (Queries.inventoryBalance _),
     "q168_share_of_parent"    -> (Queries.shareOfParent _),
+    "q169_audio_rms"          -> (Queries.audioRms _),
+    "q170_profile_drift"      -> (Queries.profileDrift _),
+    "q171_session_entry_exit" -> (Queries.sessionEntryExit _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3901,6 +3904,89 @@ object Queries {
           .as("region_share"))
       .orderBy("region", "nation")
   }
+
+  // --- q169: audio feature extraction through the REAL codec, under the gate -----
+  // The multimodal decode path proven end-to-end: deterministic 16-bit
+  // PCM samples (s_i = ((id·31 + i·7) mod 2048) − 1024) are ENCODED into
+  // real RIFF/WAVE containers (Multimodal.encodeWav16), then the real
+  // byte-level container walk + PCM pass (audioFeaturesBatched) computes
+  // windowed RMS / peak / zero-crossings — and the oracle computes the
+  // SAME features from the closed-form samples, no codec involved. Every
+  // per-window Σs² is an exact integer < 2^53, so rms = sqrt(Σs²/n) is
+  // bit-identical. Payload bytes never leave the partition.
+  val AudioSamples = 1024
+  val AudioWindow = 256
+  val AudioDocMod = 5L
+
+  def audioRms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(AudioDocMod)) === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val s = Array.tabulate(AudioSamples) { i =>
+        (((id * 31 + i * 7) % 2048) - 1024).toShort
+      }
+      (id, Multimodal.encodeWav16(s))
+    }.toDF("doc_id", "payload")
+    Multimodal.audioFeaturesBatched(media, AudioWindow)
+      .toDF()
+      .select(col("doc_id"), col("window_idx"), col("n_samples"),
+        col("rms"), col("peak"), col("zero_crossings"))
+      .orderBy("doc_id", "window_idx")
+  }
+
+  // --- q170: column-profile drift between snapshot windows -------------------------
+  // The schema-health twin of q130's row-level diff: per declared
+  // column, compare T1-window vs T2-window profiles (rows, nulls,
+  // distinct count) — the drift report that catches an upstream feed
+  // going silently null or cardinality-shifting. One scan per window.
+  private def windowProfile(spark: SparkSession, dir: String, asOf: String,
+                            tag: String): DataFrame = {
+    val hi = java.time.LocalDate.parse(asOf)
+    val lo = hi.minusDays(SnapWindowDays)
+    val w = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ntzTs(s"$lo 00:00:00") &&
+        col("o_orderdate") < ntzTs(s"$asOf 00:00:00"))
+    w.agg(
+      count(lit(1)).as("a"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("b"),
+      countDistinct(col("o_custkey")).as("c"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("d"),
+      countDistinct(col("o_orderpriority")).as("e"))
+      .select(expr(
+        s"""stack(2,
+            'o_custkey', a, b, c,
+            'o_orderpriority', a, d, e)
+            AS (col_name, n_${tag}, nulls_${tag}, ndv_${tag})"""))
+  }
+
+  def profileDrift(spark: SparkSession, dir: String): DataFrame =
+    windowProfile(spark, dir, SnapT1, "t1")
+      .join(windowProfile(spark, dir, SnapT2, "t2"), "col_name")
+      .orderBy("col_name")
+
+  // --- q171: session entry/exit analysis -------------------------------------------
+  // Which event type opens and closes sessions: gap-based session
+  // assignment (one per-user window — the q32 machinery), then entry =
+  // min-struct / exit = max-struct over (ts, event_id) per session
+  // (window-free after the assignment, map-side partials survive), and
+  // a count per (entry_type, exit_type) pair.
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("session_seq", Sessionize.sessionSeq("user_id", "ts",
+        Seq("event_id"), SessionGapMicros))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))).as("__first"),
+        max(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))).as("__last"))
+      .groupBy(col("__first.event_type").as("entry_type"),
+        col("__last.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("entry_type", "exit_type")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6642,6 +6728,97 @@ object Oracles {
                  CAST(rd AS DOUBLE) / CAST(gd AS DOUBLE) AS share_in_region,
                  CAST(gd AS DOUBLE) / CAST(td AS DOUBLE) AS region_share
           FROM rev JOIN reg USING (region), tot""",
+
+    "q169_audio_rms" -> {
+      // the closed-form twin of the codec path: same samples, no codec.
+      // Per-window Σv² is an exact integer, so sqrt(Σv²/n) matches the
+      // decoder's fold bit-for-bit; zero-crossings skip zeros and don't
+      // count the first nonzero sample (lag IS NULL ⇒ 0), exactly as the
+      // decoder's prevSign loop does.
+      val (ns, w, m) = (Queries.AudioSamples, Queries.AudioWindow,
+        Queries.AudioDocMod)
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % $m = 0),
+          s AS (SELECT doc_id, i,
+                       ((doc_id * 31 + i * 7) % 2048) - 1024 AS v
+                FROM ids, (SELECT unnest(generate_series(0, ${ns - 1})) AS i)),
+          wn AS (SELECT doc_id, CAST(i // $w AS INT) AS window_idx, i, v FROM s),
+          agg AS (SELECT doc_id, window_idx,
+                         CAST(COUNT(*) AS INT) AS n_samples,
+                         sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+                         CAST(MAX(ABS(v)) AS INT) AS peak
+                  FROM wn GROUP BY 1, 2),
+          x AS (SELECT doc_id, window_idx, i, sign(v) AS sg
+                FROM wn WHERE v <> 0),
+          c0 AS (SELECT doc_id, window_idx,
+                        CASE WHEN sg <> lag(sg) OVER (PARTITION BY doc_id,
+                               window_idx ORDER BY i)
+                             THEN 1 ELSE 0 END AS chg
+                 FROM x),
+          c AS (SELECT doc_id, window_idx,
+                       CAST(COALESCE(SUM(chg), 0) AS BIGINT) AS zc
+                FROM c0 GROUP BY 1, 2)
+          SELECT agg.doc_id, agg.window_idx, agg.n_samples, agg.rms,
+                 agg.peak, COALESCE(c.zc, 0) AS zero_crossings
+          FROM agg LEFT JOIN c USING (doc_id, window_idx)"""
+    },
+
+    "q170_profile_drift" -> {
+      def win(asOf: String) = {
+        val lo = java.time.LocalDate.parse(asOf)
+          .minusDays(Queries.SnapWindowDays)
+        s"""SELECT * FROM orders
+            WHERE o_orderdate >= TIMESTAMP '$lo 00:00:00'
+              AND o_orderdate <  TIMESTAMP '$asOf 00:00:00'"""
+      }
+      def prof(src: String) =
+        s"""SELECT COUNT(*) AS a,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS b,
+                   COUNT(DISTINCT o_custkey) AS c,
+                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS d,
+                   COUNT(DISTINCT o_orderpriority) AS e
+            FROM $src"""
+      s"""WITH w1 AS (${win(Queries.SnapT1)}), w2 AS (${win(Queries.SnapT2)}),
+          p1 AS (${prof("w1")}), p2 AS (${prof("w2")})
+          SELECT 'o_custkey' AS col_name,
+                 CAST(p1.a AS BIGINT) AS n_t1, CAST(p1.b AS BIGINT) AS nulls_t1,
+                 CAST(p1.c AS BIGINT) AS ndv_t1,
+                 CAST(p2.a AS BIGINT) AS n_t2, CAST(p2.b AS BIGINT) AS nulls_t2,
+                 CAST(p2.c AS BIGINT) AS ndv_t2
+          FROM p1, p2
+          UNION ALL
+          SELECT 'o_orderpriority',
+                 CAST(p1.a AS BIGINT), CAST(p1.d AS BIGINT),
+                 CAST(p1.e AS BIGINT),
+                 CAST(p2.a AS BIGINT), CAST(p2.d AS BIGINT),
+                 CAST(p2.e AS BIGINT)
+          FROM p1, p2"""
+    },
+
+    "q171_session_entry_exit" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT *,
+                  CAST(SUM(CASE WHEN gap > ${Queries.SessionGapMicros}
+                                THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT)
+                    AS session_seq
+                FROM e),
+          r AS (SELECT user_id, session_seq, event_type,
+                       row_number() OVER (PARTITION BY user_id, session_seq
+                                          ORDER BY us, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id, session_seq
+                                          ORDER BY us DESC, event_id DESC)
+                         AS rl
+                FROM s)
+          SELECT fe.event_type AS entry_type, le.event_type AS exit_type,
+                 COUNT(*) AS n_sessions
+          FROM (SELECT user_id, session_seq, event_type FROM r WHERE rf = 1) fe
+          JOIN (SELECT user_id, session_seq, event_type FROM r WHERE rl = 1) le
+            USING (user_id, session_seq)
+          GROUP BY 1, 2""",
   )
 
   private lazy val sessionOverlapSql: String =

@@ -406,6 +406,29 @@ object Multimodal {
     windows.result()
   }
 
+  /** Minimal RIFF/WAVE encoder (16-bit mono PCM) — the write half of
+    * `decodeWav`, used to round-trip synthesized fixtures through the
+    * REAL container walk (q169 gates decode features against a
+    * closed-form oracle over the same samples).
+    */
+  def encodeWav16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + dataLen)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** Batched audio features: one container walk + PCM pass per payload
     * inside `mapPartitions`, windows flat-mapped out — payload bytes
     * never cross the operator boundary, only the per-window rows.

@@ -369,6 +369,57 @@ class Round10bSpec extends AnyFunSuite {
     assert(math.abs(regionShares - 1.0) < 1e-9)
   }
 
+  // --- q169: audio RMS through the real codec ---------------------------------
+
+  test("q169: codec round-trip features equal a direct PCM computation") {
+    import graft.operators.Multimodal
+    // one doc computed by hand, bypassing the engine entirely
+    val id = 0L
+    val samples = Array.tabulate(Queries.AudioSamples) { i =>
+      (((id * 31 + i * 7) % 2048) - 1024).toShort
+    }
+    val viaCodec = Multimodal.audioFeatures(id,
+      Multimodal.encodeWav16(samples), Queries.AudioWindow)
+    assert(viaCodec.length == Queries.AudioSamples / Queries.AudioWindow)
+    viaCodec.foreach { w =>
+      val lo = w.window_idx * Queries.AudioWindow
+      val win = samples.slice(lo, lo + Queries.AudioWindow).map(_.toInt)
+      val rms = math.sqrt(win.map(s => s.toDouble * s).sum / win.length)
+      assert(w.rms == rms, s"window ${w.window_idx}")
+      assert(w.peak == win.map(math.abs).max)
+    }
+    // and the registered query emits one row per (doc, window)
+    val n = SparkEntry.queries("q169_audio_rms")(spark, sf).count()
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(Queries.AudioDocMod)) === 0).count()
+    assert(n == docs * (Queries.AudioSamples / Queries.AudioWindow))
+  }
+
+  // --- q170: profile drift -----------------------------------------------------
+
+  test("q170: profiles carry sane invariants") {
+    val rows = SparkEntry.queries("q170_profile_drift")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv_t1") <= r.getAs[Long]("n_t1"))
+      assert(r.getAs[Long]("ndv_t2") <= r.getAs[Long]("n_t2"))
+      assert(r.getAs[Long]("nulls_t1") == 0L && r.getAs[Long]("nulls_t2") == 0L)
+    }
+    val pri = rows.find(_.getAs[String]("col_name") == "o_orderpriority").get
+    assert(pri.getAs[Long]("ndv_t1") <= 5L, "priority domain is 5 values")
+  }
+
+  // --- q171: session entry/exit --------------------------------------------------
+
+  test("q171: session count matches the sessionizer's") {
+    val total = SparkEntry.queries("q171_session_entry_exit")(spark, sf)
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+    val sessions = graft.operators.Sessionize.sessions(
+      Tables.events(spark, sf), "user_id", "ts", Seq("event_id"),
+      "value", Queries.SessionGapMicros).count()
+    assert(total == sessions)
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
