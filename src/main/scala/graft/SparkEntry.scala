@@ -187,6 +187,9 @@ object SparkEntry {
     "q169_audio_rms"          -> (Queries.audioRms _),
     "q170_profile_drift"      -> (Queries.profileDrift _),
     "q171_session_entry_exit" -> (Queries.sessionEntryExit _),
+    "q172_image_decode"       -> (Queries.imageDecode _),
+    "q173_rescue_audit"       -> (Queries.rescueAudit _),
+    "q174_time_travel"        -> (Queries.timeTravel _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3987,6 +3990,109 @@ object Queries {
         col("__last.event_type").as("exit_type"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy("entry_type", "exit_type")
+
+  // --- q172: image decode through the REAL codec, under the gate ------------------
+  // q169's image twin: a deterministic grayscale raster (g(x,y) =
+  // (id·7 + 3x + 5y) mod 256) is PNG-encoded via javax.imageio, decoded
+  // back through the real container path (header-only dims + full
+  // raster pass), and the pixel-sum statistic is checked against the
+  // closed form 3·Σg — PNG is lossless, so the round-trip is exact.
+  // Format name and byte length are codec-internal (not projected).
+  val ImgW = 32
+  val ImgH = 16
+  val ImgDocMod = 7L
+
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(ImgDocMod)) === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < ImgH) {
+        var x = 0
+        while (x < ImgW) {
+          val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeImageBatched(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
+      .orderBy("doc_id")
+  }
+
+  // --- q173: rescue-reader quarantine under the gate --------------------------------
+  // The Autoloader-rescue contract proven against the oracle: JSON lines
+  // are written with a deliberate poison pattern (every 7th event's
+  // numeric `value` field becomes the string "N/A" — schema-violating),
+  // read back through Sources.jsonWithRescue + splitRescued, and the
+  // clean/quarantined populations are summarized. The oracle knows the
+  // poison rule, so it derives both populations from `events` directly —
+  // the reader must neither drop nor mangle a single row.
+  def rescueAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rescue_").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), dec2(col("value")).as("v"))
+      .as[(Long, java.math.BigDecimal)]
+      .map { case (id, v) =>
+        if (id % 7 == 0) s"""{"event_id":$id,"value":"N/A"}"""
+        else if (v == null) s"""{"event_id":$id,"value":null}"""
+        else s"""{"event_id":$id,"value":${v.toPlainString}}"""
+      }
+      .write.mode("overwrite").text(s"$tmp/events_json")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))))
+    val (clean, rescued) = graft.sources.Sources.splitRescued(
+      graft.sources.Sources.jsonWithRescue(spark, s"$tmp/events_json", schema))
+    clean.agg(count(lit(1)).as("n_clean"),
+        sum(col("value")).cast("double").as("clean_value_sum"))
+      .crossJoin(rescued.agg(count(lit(1)).as("n_rescued"),
+        countDistinct(col("event_id")).as("rescued_ids")))
+      .select("n_clean", "clean_value_sum", "n_rescued", "rescued_ids")
+  }
+
+  // --- q174: snapshot time travel under the gate ------------------------------------
+  // Three successive Snapshots.commit publishes of a growing keyed state
+  // table (per-type event counts up to three watermarks), then each
+  // version read back via readAt — the commit/manifest/time-travel
+  // protocol itself on the DuckDB gate. The oracle recomputes every
+  // version's content from the base table with the same watermark
+  // literals. retainManifests keeps all three readable.
+  val TravelTs: Seq[String] = Seq(
+    "2024-01-10 00:00:00", "2024-01-20 00:00:00", "2024-02-01 00:00:00")
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val tmp = java.nio.file.Files.createTempDirectory("graft_travel_").toString
+    val target = s"$tmp/state"
+    TravelTs.foreach { hi =>
+      Snapshots.commit(
+        Tables.events(spark, dir)
+          .filter(col("ts") < utcTs(hi))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events")),
+        target, retainManifests = 10)
+    }
+    val vs = Snapshots.versions(spark, target).sorted.takeRight(TravelTs.size)
+    vs.zipWithIndex.map { case (v, i) =>
+      Snapshots.readAt(spark, target, v)
+        .select(lit(i + 1).cast("int").as("version"), col("event_type"),
+          col("n_events"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "event_type")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6819,6 +6925,40 @@ object Oracles {
           JOIN (SELECT user_id, session_seq, event_type FROM r WHERE rl = 1) le
             USING (user_id, session_seq)
           GROUP BY 1, 2""",
+
+    "q172_image_decode" -> {
+      val (w, h, m) = (Queries.ImgW, Queries.ImgH, Queries.ImgDocMod)
+      // PNG is lossless: decoded pixel sum = 3·Σ g(x,y) exactly
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % $m = 0),
+          g AS (SELECT doc_id, ((doc_id * 7 + x * 3 + y * 5) % 256) AS gv
+                FROM ids,
+                     (SELECT unnest(generate_series(0, ${w - 1})) AS x),
+                     (SELECT unnest(generate_series(0, ${h - 1})) AS y))
+          SELECT doc_id, CAST($w AS INT) AS width, CAST($h AS INT) AS height,
+                 CAST(3 * SUM(gv) AS BIGINT) AS px_sum
+          FROM g GROUP BY 1"""
+    },
+
+    "q173_rescue_audit" ->
+      // the oracle knows the poison rule (every 7th event_id): the
+      // rescue reader must neither drop nor mangle a single row
+      """WITH c AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v
+                    FROM events WHERE event_id % 7 <> 0),
+          r AS (SELECT event_id FROM events WHERE event_id % 7 = 0)
+          SELECT (SELECT COUNT(*) FROM c) AS n_clean,
+                 (SELECT CAST(SUM(v) AS DOUBLE) FROM c) AS clean_value_sum,
+                 (SELECT COUNT(*) FROM r) AS n_rescued,
+                 (SELECT COUNT(DISTINCT event_id) FROM r) AS rescued_ids""",
+
+    "q174_time_travel" -> {
+      def ver(i: Int, hi: String) =
+        s"""SELECT CAST($i AS INT) AS version, event_type,
+                   COUNT(*) AS n_events
+            FROM events WHERE ts < TIMESTAMP '$hi' GROUP BY 2"""
+      Queries.TravelTs.zipWithIndex
+        .map { case (hi, i) => ver(i + 1, hi) }
+        .mkString("\n UNION ALL \n")
+    },
   )
 
   private lazy val sessionOverlapSql: String =

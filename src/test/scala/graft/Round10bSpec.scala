@@ -420,6 +420,50 @@ class Round10bSpec extends AnyFunSuite {
     assert(total == sessions)
   }
 
+  // --- q172: image decode ------------------------------------------------------
+
+  test("q172: PNG round-trip preserves the raster exactly") {
+    import graft.operators.Multimodal
+    val img = new java.awt.image.BufferedImage(Queries.ImgW, Queries.ImgH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var expected = 0L
+    for (y <- 0 until Queries.ImgH; x <- 0 until Queries.ImgW) {
+      val g = ((3L * 7 + x * 3 + y * 5) % 256).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      expected += 3L * g
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val meta = Multimodal.decodeImage(3L, bos.toByteArray)
+    assert(meta.width == Queries.ImgW && meta.height == Queries.ImgH)
+    assert(meta.px_sum == expected, "PNG must be lossless for this raster")
+  }
+
+  // --- q173: rescue audit -------------------------------------------------------
+
+  test("q173: clean + rescued partitions cover every written row") {
+    val r = SparkEntry.queries("q173_rescue_audit")(spark, sf).collect()(0)
+    val total = Tables.events(spark, sf).count()
+    assert(r.getAs[Long]("n_clean") + r.getAs[Long]("n_rescued") == total)
+    assert(r.getAs[Long]("n_rescued") > 0, "poison pattern must fire")
+    assert(r.getAs[Long]("rescued_ids") == r.getAs[Long]("n_rescued"),
+      "event ids survive into the quarantine")
+  }
+
+  // --- q174: time travel ---------------------------------------------------------
+
+  test("q174: versions grow monotonically toward the live table") {
+    val rows = SparkEntry.queries("q174_time_travel")(spark, sf).collect()
+    val byVer = rows.groupBy(_.getAs[Int]("version"))
+      .map { case (v, rs) => v -> rs.map(_.getAs[Long]("n_events")).sum }
+    assert(byVer.keySet == Set(1, 2, 3))
+    assert(byVer(1) <= byVer(2) && byVer(2) <= byVer(3),
+      "each snapshot extends the last")
+    val live = Tables.events(spark, sf)
+      .filter(col("ts") < Cols.utcTs(Queries.TravelTs.last)).count()
+    assert(byVer(3) == live)
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
