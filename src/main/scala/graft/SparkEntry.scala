@@ -190,6 +190,10 @@ object SparkEntry {
     "q172_image_decode"       -> (Queries.imageDecode _),
     "q173_rescue_audit"       -> (Queries.rescueAudit _),
     "q174_time_travel"        -> (Queries.timeTravel _),
+    "q175_medallion_run"      -> (Queries.medallionRun _),
+    "q176_schema_evolution"   -> (Queries.schemaEvolution _),
+    "q177_streamed_scd1"      -> (Queries.streamedScd1 _),
+    "q178_partitioned_write"  -> (Queries.partitionedWrite _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4093,6 +4097,112 @@ object Queries {
     }.reduce(_ unionByName _)
       .orderBy("version", "event_type")
   }
+
+  // --- q175: the medallion pipeline itself, under the gate --------------------------
+  // TWO incremental Medallion runs (watermark advanced between them) of
+  // an SCD1 gold table over events — extraction slices, DQ enforcement,
+  // bucketed gold merges, watermark store — and the FINAL gold content
+  // is hash-compared against one declarative latest-per-key query. The
+  // gate therefore proves incremental merge ≡ full recompute across a
+  // watermark advance, which is the medallion architecture's core
+  // correctness claim.
+  private def tsFromUtc(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      utcMicros(s) / 1000000L, (utcMicros(s) % 1000000L) * 1000L))
+
+  def medallionRun(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Medallion
+    val tmp = java.nio.file.Files.createTempDirectory("graft_med_").toString
+    val spec = Medallion.TableSpec("events_gold", Seq("user_id"), "ts",
+      tieCols = Seq("event_id"),
+      rules = Seq(Quality.Rule("user_id_present", col("user_id").isNull)))
+    val src = (_: String) => Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    Medallion.run(spark, Seq(spec), src, tmp, tsFromUtc(WmLow))
+    Medallion.run(spark, Seq(spec), src, tmp, tsFromUtc(WmHigh))
+    graft.sources.Snapshots.read(spark, s"$tmp/gold/events_gold")
+      .select("user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  // --- q176: schema evolution across reader generations, under the gate -------------
+  // Two landing-file generations (the second adds a column), read with
+  // Sources.jsonEvolving + SchemaStore: the first call pins the v1
+  // schema, the second admits the new column and null-pads v1 rows.
+  // Money rides integer cents in the JSON so no float inference is
+  // involved. The oracle derives both generations from `events`.
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    val landing = s"$tmp/landing"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), (dec2(col("value")) * 100).cast("long").as("cents"),
+        col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("cents")).as[(Long, Long)]
+      .map { case (id, c) => s"""{"event_id":$id,"cents":$c}""" }
+      .write.mode("overwrite").text(landing)
+    val store = new graft.sources.Sources.SchemaStore(spark, s"$tmp/_schema")
+    graft.sources.Sources.jsonEvolving(spark, landing, store).count() // pin v1
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("cents"), col("event_type"))
+      .as[(Long, Long, String)]
+      .map { case (id, c, t) =>
+        s"""{"event_id":$id,"cents":$c,"event_type":"$t"}"""
+      }
+      .write.mode("append").text(landing)
+    graft.sources.Sources.jsonEvolving(spark, landing, store)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_padded"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("cents")).as("cents_sum"))
+      .select("n_rows", "n_padded", "n_types", "cents_sum")
+  }
+
+  // --- q177: streaming SCD1 sink (foreachBatch + bucketed commits), under the gate --
+  // The foreachBatch SCD1 upsert sink run as a REAL stream: micro-batches
+  // merge into a bucketed Snapshots store (latest row per user), and the
+  // final store content must equal the one-shot declarative latest-per-
+  // key query — the streaming/batch convergence contract of the
+  // reference's DLT SCD1 flow, on the hash gate.
+  def streamedScd1(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd1s_").toString
+    val q = Tables.eventsStream(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .writeStream
+      .foreachBatch(graft.streaming.ScdSinks.scd1(
+        s"$tmp/scd1", Seq("user_id"), Seq("ts", "event_id")) _)
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.Snapshots.read(spark, s"$tmp/scd1")
+      .select("user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  // --- q178: hive-partitioned write + partition-pruned read, under the gate ---------
+  // Sources.writePartitioned lays events out by UTC day; the read-back
+  // carries a day-range predicate that must prune at the DIRECTORY level
+  // (PlanSpec pins non-empty PartitionFilters) — the layout/pruning
+  // contract that decides scan cost at 100 TB, content-checked against
+  // the oracle's unpartitioned filter.
+  def partitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partw_").toString
+    graft.sources.Sources.writePartitioned(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          dec2(col("value")).as("v"), utcDate(col("ts")).as("day")),
+      s"$tmp/events_by_day", Seq("day"), saveMode = "overwrite")
+    spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") >= to_date(lit("2024-01-10")) &&
+        col("day") < to_date(lit("2024-01-20")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("v")).cast("double").as("value_sum"))
+      .orderBy("day")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6959,6 +7069,48 @@ object Oracles {
         .map { case (hi, i) => ver(i + 1, hi) }
         .mkString("\n UNION ALL \n")
     },
+
+    "q175_medallion_run" ->
+      // incremental merge ≡ full recompute: latest valid row per user
+      // up to the final watermark
+      s"""SELECT user_id, ts, event_id, event_type FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND ts <= TIMESTAMP '${Queries.WmHigh}')
+          WHERE rn = 1""",
+
+    "q176_schema_evolution" ->
+      """WITH ev AS (SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  event_type
+           FROM events)
+         SELECT COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_padded,
+                COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+                                    THEN event_type END) AS n_types,
+                CAST(SUM(cents) AS BIGINT) AS cents_sum
+         FROM ev""",
+
+    "q177_streamed_scd1" ->
+      """SELECT user_id, ts, event_id, event_type FROM (
+           SELECT user_id, ts, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+
+    "q178_partitioned_write" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+           AND CAST(ts AS DATE) <  DATE '2024-01-20'
+         GROUP BY 1""",
   )
 
   private lazy val sessionOverlapSql: String =

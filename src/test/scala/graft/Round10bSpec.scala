@@ -464,6 +464,55 @@ class Round10bSpec extends AnyFunSuite {
     assert(byVer(3) == live)
   }
 
+  // --- q175: medallion pipeline --------------------------------------------------
+
+  test("q175: two incremental runs converge to the one-shot gold table") {
+    val gold = SparkEntry.queries("q175_medallion_run")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val oneShot = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .filter(col("user_id").isNotNull &&
+        col("ts") <= Cols.utcTs(Queries.WmHigh))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    assert(gold.exceptAll(oneShot).isEmpty && oneShot.exceptAll(gold).isEmpty)
+  }
+
+  // --- q176: schema evolution -----------------------------------------------------
+
+  test("q176: evolved read pads exactly the first generation") {
+    val r = SparkEntry.queries("q176_schema_evolution")(spark, sf).collect()(0)
+    val total = Tables.events(spark, sf).count()
+    assert(r.getAs[Long]("n_rows") == total)
+    assert(r.getAs[Long]("n_padded") > 0 &&
+      r.getAs[Long]("n_padded") < total, "both generations must exist")
+    assert(r.getAs[Long]("n_types") > 0)
+  }
+
+  // --- q177: streaming SCD1 sink --------------------------------------------------
+
+  test("q177: streamed upsert store equals the batch latest-per-key") {
+    val streamed = SparkEntry.queries("q177_streamed_scd1")(spark, sf)
+    val batch = graft.operators.Dedup.latestByKey(
+      Tables.events(spark, sf)
+        .select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "ts", "event_id", "event_type")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  // --- q178: partitioned write + pruning ------------------------------------------
+
+  test("q178: the day predicate prunes at the partition-directory level") {
+    val df = SparkEntry.queries("q178_partitioned_write")(spark, sf)
+    df.collect() // run once (writes the layout, finalizes AQE)
+    val p = df.queryExecution.executedPlan.toString
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"no PartitionFilters in scan:\n$p")
+    assert(m.get.group(1).contains("day"),
+      s"day range must reach the partition filter: ${m.get.group(1)}")
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
