@@ -194,6 +194,10 @@ object SparkEntry {
     "q176_schema_evolution"   -> (Queries.schemaEvolution _),
     "q177_streamed_scd1"      -> (Queries.streamedScd1 _),
     "q178_partitioned_write"  -> (Queries.partitionedWrite _),
+    "q179_sql_functions"      -> (Queries.sqlFunctions _),
+    "q180_late_arrivals"      -> (Queries.lateArrivals _),
+    "q181_quarantine_report"  -> (Queries.quarantineReport _),
+    "q182_rendered_star"      -> (Queries.renderedStar _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4203,6 +4207,82 @@ object Queries {
         sum(col("v")).cast("double").as("value_sum"))
       .orderBy("day")
   }
+
+  // --- q179: the graft_* SQL function surface, under the gate -----------------------
+  // GraftFunctions registers the codegen kernels as SQL functions
+  // (SparkSessionExtensions path / imperative registration); this query
+  // exercises them the way a SQL-first user would — in `spark.sql`
+  // text — and the oracle recomputes every kernel in DuckDB SQL
+  // (fingerprint fold, NFC+casefold twin, shingle count, first MinHash
+  // position, 32-bit SimHash majority word).
+  def sqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        size(TextAnalysis.words(col("text"))) >= JaccardN)
+      .createOrReplaceTempView("graft_docs_q179")
+    spark.sql(
+      s"""SELECT doc_id,
+                 graft_fingerprint(text) AS fp,
+                 graft_fingerprint(graft_nfc_casefold(text)) AS fp_folded,
+                 size(graft_ngrams(split(text, ' '), $JaccardN)) AS n_shingles,
+                 element_at(graft_minhash(graft_ngrams(split(text, ' '),
+                   $JaccardN)), 1) AS mh1,
+                 graft_simhash(graft_ngrams(split(text, ' '), $JaccardN))
+                   AS simhash
+          FROM graft_docs_q179""")
+      .orderBy("doc_id")
+  }
+
+  // --- q180: late-arrival audit ------------------------------------------------------
+  // The watermark-safety report (Incremental.lateArrivalAudit): how many
+  // rows of a feed land AT OR BELOW an already-consumed watermark — the
+  // number that decides whether a CDC consumer needs reprocessing.
+  def lateArrivals(spark: SparkSession, dir: String): DataFrame =
+    Incremental.lateArrivalAudit(
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase").select("ts"),
+      "ts", utcTs(WmHigh))
+
+  // --- q181: DQ quarantine report -----------------------------------------------------
+  // Quality.split's quarantine side (rows + the failed_rules array that
+  // names every violated rule) summarized per violation signature — the
+  // DLT quarantine-table pattern. Rule order is part of the contract:
+  // failed_rules preserves declaration order, reproduced by the oracle.
+  def quarantineReport(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      Quality.Rule("value_cap", col("value") >= 450.0),
+      Quality.Rule("user_mod97", pmod(col("user_id"), lit(97L)) === 0))
+    val (_, quarantined) = Quality.split(
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value"), rules)
+    quarantined
+      .groupBy(array_join(col("failed_rules"), ",").as("violations"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"))
+      .orderBy("violations")
+  }
+
+  // --- q182: config-rendered star SQL, executed ---------------------------------------
+  // StarSchema.renderSql turns the star CONFIG into ANSI SQL text (the
+  // reference's Jinja notebook renders its config the same way); here
+  // the rendered text itself runs through spark.sql and the aggregate
+  // over it is hash-compared — the generator, not just the DataFrame
+  // composer, is correctness-gated.
+  def renderedStar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q182")
+    Tables.orders(spark, dir).createOrReplaceTempView("ord_q182")
+    val sqlText = StarSchema.renderSql(
+      "li_q182", Seq("l_extendedprice", "l_discount"),
+      Seq(StarSchema.DimRef("ord_q182", Seq("o_orderpriority"),
+        "l_orderkey", "o_orderkey")),
+      where = Some("l_discount >= 0.05"))
+    spark.sql(sqlText)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Cols.dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7110,6 +7190,58 @@ object Oracles {
          FROM events
          WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
            AND CAST(ts AS DATE) <  DATE '2024-01-20'
+         GROUP BY 1""",
+
+    "q179_sql_functions" -> {
+      import graft.functions.Lsh.{A, B, P, GA, GB, TwoPow32}
+      val w32 = sqlArr((0 until 32).map(j => 1L << j))
+      s"""WITH d AS (SELECT doc_id, text, $shinglesSql AS sh FROM documents
+                     WHERE text IS NOT NULL
+                       AND len($ws) >= ${Queries.JaccardN}),
+          f AS (SELECT doc_id, text, sh,
+                       list_transform(sh, s -> ${fpSql("s")}) AS fps FROM d)
+          SELECT doc_id,
+                 ${fpSql("text")} AS fp,
+                 ${fpSql("nfc_normalize(lower(text))")} AS fp_folded,
+                 CAST(len(sh) AS INT) AS n_shingles,
+                 list_aggregate(list_transform(fps,
+                   v -> (${A.head} * v + ${B.head}) % $P), 'min') AS mh1,
+                 list_reduce(list_transform(generate_series(0, 31), j ->
+                   CASE WHEN 2 * len(list_filter(
+                          list_transform(fps, v -> ($GA * v + $GB) % $TwoPow32),
+                          v -> CAST(floor(v / ($w32[j+1])) AS BIGINT) % 2 = 1))
+                        >= len(fps)
+                        THEN $w32[j+1] ELSE CAST(0 AS BIGINT) END),
+                   (a, b) -> a + b) AS simhash
+          FROM f"""
+    },
+
+    "q180_late_arrivals" ->
+      s"""SELECT COUNT(*) AS n_late, MIN(ts) AS earliest_late,
+                 MAX(ts) AS latest_late
+          FROM events
+          WHERE event_type = 'purchase'
+            AND ts <= TIMESTAMP '${Queries.WmHigh}'""",
+
+    "q181_quarantine_report" ->
+      // rule DECLARATION order is the contract: value_cap then user_mod97
+      """WITH q AS (
+           SELECT event_id, value,
+                  array_to_string(list_filter(
+                    [CASE WHEN value >= 450.0 THEN 'value_cap' END,
+                     CASE WHEN user_id % 97 = 0 THEN 'user_mod97' END],
+                    x -> x IS NOT NULL), ',') AS violations
+           FROM events)
+         SELECT violations, COUNT(*) AS n_rows,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM q WHERE violations <> '' GROUP BY 1""",
+
+    "q182_rendered_star" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_discount >= 0.05
          GROUP BY 1""",
   )
 

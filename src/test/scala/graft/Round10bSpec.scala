@@ -513,6 +513,54 @@ class Round10bSpec extends AnyFunSuite {
       s"day range must reach the partition filter: ${m.get.group(1)}")
   }
 
+  // --- q179: SQL function surface -----------------------------------------------
+
+  test("q179: SQL-surface kernels equal their Column-API twins") {
+    val viaSql = SparkEntry.queries("q179_sql_functions")(spark, sf)
+    val viaApi = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull &&
+        size(graft.functions.TextAnalysis.words(col("text"))) >= Queries.JaccardN)
+      .select(col("doc_id"),
+        graft.plans.VectorExprs.polyFingerprint(col("text")).as("fp"))
+    val joined = viaSql.select("doc_id", "fp")
+      .join(viaApi.withColumnRenamed("fp", "fp2"), "doc_id")
+    assert(joined.filter(col("fp") =!= col("fp2")).isEmpty)
+    assert(viaSql.count() == viaApi.count())
+  }
+
+  // --- q180/q181: audits -----------------------------------------------------------
+
+  test("q180: late-arrival audit bounds sit inside the watermark") {
+    val r = SparkEntry.queries("q180_late_arrivals")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_late") > 0)
+    val wm = java.time.LocalDateTime.parse(Queries.WmHigh.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(!r.getAs[java.sql.Timestamp]("latest_late").toInstant.isAfter(wm))
+  }
+
+  test("q181: quarantine count equals rows violating at least one rule") {
+    val total = SparkEntry.queries("q181_quarantine_report")(spark, sf)
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf)
+      .filter(col("value") >= 450.0 || pmod(col("user_id"), lit(97L)) === 0)
+      .count()
+    assert(total == expected && total > 0)
+  }
+
+  // --- q182: rendered star -----------------------------------------------------------
+
+  test("q182: rendered SQL equals the DataFrame star composer") {
+    val rendered = SparkEntry.queries("q182_rendered_star")(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_discount") >= 0.05)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Cols.dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+    assert(rendered.exceptAll(direct).isEmpty && direct.exceptAll(rendered).isEmpty)
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
