@@ -198,6 +198,8 @@ object SparkEntry {
     "q180_late_arrivals"      -> (Queries.lateArrivals _),
     "q181_quarantine_report"  -> (Queries.quarantineReport _),
     "q182_rendered_star"      -> (Queries.renderedStar _),
+    "q183_bitmap_overlap"     -> (Queries.bitmapOverlap _),
+    "q184_lsh_evaluation"     -> (Queries.lshEvaluation _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4283,6 +4285,61 @@ object Queries {
         sum(Cols.dec2(col("l_extendedprice"))).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  // --- q183: bitmap-index membership intersection ------------------------------------
+  // The OLAP bitmap-join: per (event_type, 64-user word), an int64
+  // bitmap built with ONE bit_or hash-agg (idempotent — no distinct
+  // pass needed), then audience overlap between every type pair is a
+  // word-aligned AND + popcount, never a row-level join on users. At
+  // 100 TB the per-type bitmap is |user-domain|/64 words — membership
+  // set operations collapse to bitwise aggregates over co-partitioned
+  // words, the reason low-cardinality dimensions get bitmap indexes.
+  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .select(col("event_type"), expr("user_id div 32").as("w"),
+        // 32-bit words inside int64: bit 63 would overflow DuckDB's
+        // checked << (and flip the sign), 32 bits keep both engines exact
+        expr("shiftleft(1L, cast(pmod(user_id, 32) as int))").as("m"))
+      .groupBy("event_type", "w")
+      .agg(expr("bit_or(m)").as("bits"))
+    val totals = words.groupBy("event_type")
+      .agg(sum(expr("bit_count(bits)")).as("n_users"))
+    val a = words.alias("a")
+    val b = words.alias("b")
+    a.join(b, col("a.w") === col("b.w") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(a.bits & b.bits)")).as("n_both"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  // --- q184: LSH candidate-quality evaluation harness --------------------------------
+  // Before trusting an LSH geometry at corpus scale you MEASURE it:
+  // candidate pairs from the banded MinHash path (q22) against exact
+  // ground truth (q21's df-capped Jaccard ≥ 0.8), reported as one
+  // precision/recall row. Both sides are the already-gated operators;
+  // the metrics are two integer-ratio divisions.
+  def lshEvaluation(spark: SparkSession, dir: String): DataFrame = {
+    val cands = dedupMinHashLsh(spark, dir).select("doc_a", "doc_b")
+    val truth = dedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val hits = cands.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    cands.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(hits)
+      .select(col("n_candidates"), col("n_true"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_candidates")).as("precision"),
+        (col("n_hits").cast("double") / col("n_true")).as("recall"))
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -4624,27 +4681,10 @@ object Oracles {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text""",
 
-    "q21_dedup_ngram_jaccard" ->
-      // Jaccard over the df-capped shingle domain — identical cap and
-      // post-cap set sizes to NearDup.ngramJaccardPairs.
-      s"""WITH d AS (SELECT doc_id,
-                  list_distinct(list_transform(
-                    generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
-                    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
-           FROM documents),
-          ex0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
-          ok AS (SELECT s FROM ex0 GROUP BY s
-                 HAVING COUNT(*) <= ${Queries.JaccardMaxPostings}),
-          ex AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, s
-                 FROM (SELECT doc_id, s FROM ex0 JOIN ok USING (s))),
-          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.n AS na, b.n AS nb, COUNT(*) AS common
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4)
-         SELECT doc_a, doc_b, common, jaccard FROM (
-           SELECT doc_a, doc_b, common,
-                  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
-         WHERE jaccard >= ${Queries.JaccardThreshold}""",
+    // Jaccard over the df-capped shingle domain — identical cap and
+    // post-cap set sizes to NearDup.ngramJaccardPairs. (Shared with the
+    // q184 evaluation harness as its ground-truth CTE.)
+    "q21_dedup_ngram_jaccard" -> exactJaccardSql,
 
     "q96_containment_pairs" ->
       // same df-capped posting domain as q21; only the normalization
@@ -7243,6 +7283,42 @@ object Oracles {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_discount >= 0.05
          GROUP BY 1""",
+
+    "q183_bitmap_overlap" ->
+      """WITH wd AS (SELECT event_type, user_id // 32 AS w,
+                            bit_or(CAST(1 AS BIGINT)
+                                   << CAST(user_id % 32 AS INT)) AS bits
+                     FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type,
+                         CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+                  FROM wd GROUP BY 1),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT)
+                         AS n_both
+                FROM wd a JOIN wd b
+                  ON a.w = b.w AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+          SELECT type_a, type_b, ta.n_users AS n_a, tb.n_users AS n_b,
+                 n_both,
+                 CAST(n_both AS DOUBLE) / (ta.n_users + tb.n_users - n_both)
+                   AS jaccard
+          FROM p JOIN tot ta ON ta.event_type = p.type_a
+                 JOIN tot tb ON tb.event_type = p.type_b""",
+
+    "q184_lsh_evaluation" -> {
+      import graft.functions.Lsh.Mh16
+      s"""WITH cands AS (${minHashSql(Mh16)}),
+          truth AS ($exactJaccardSql),
+          m AS (SELECT
+                  (SELECT COUNT(*) FROM cands) AS n_candidates,
+                  (SELECT COUNT(*) FROM truth) AS n_true,
+                  (SELECT COUNT(*) FROM cands JOIN truth
+                     USING (doc_a, doc_b)) AS n_hits)
+          SELECT n_candidates, n_true, n_hits,
+                 CAST(n_hits AS DOUBLE) / n_candidates AS precision,
+                 CAST(n_hits AS DOUBLE) / n_true AS recall
+          FROM m"""
+    },
   )
 
   private lazy val sessionOverlapSql: String =
@@ -7265,6 +7341,29 @@ object Oracles {
            AND epoch_us(b.session_start) <= epoch_us(a.session_end)
            AND b.user_id != a.user_id
           GROUP BY 1, 2, 3"""
+
+  /** Exact n-gram-Jaccard pairs over the df-capped shingle domain —
+    * ≡ NearDup.ngramJaccardPairs (q21; ground truth for q184's eval).
+    */
+  private lazy val exactJaccardSql: String =
+    s"""WITH d AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                  i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+         FROM documents),
+        ex0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+        ok AS (SELECT s FROM ex0 GROUP BY s
+               HAVING COUNT(*) <= ${Queries.JaccardMaxPostings}),
+        ex AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, s
+               FROM (SELECT doc_id, s FROM ex0 JOIN ok USING (s))),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, COUNT(*) AS common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+       SELECT doc_a, doc_b, common, jaccard FROM (
+         SELECT doc_a, doc_b, common,
+                CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM p)
+       WHERE jaccard >= ${Queries.JaccardThreshold}"""
 
   /** Shared entity-resolution CTE chain (q153/q165): dictionary, fuzzy
     * edges (≡ q105 blocking + edit distance), recursive closure, and

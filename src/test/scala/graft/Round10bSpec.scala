@@ -561,6 +561,35 @@ class Round10bSpec extends AnyFunSuite {
     assert(rendered.exceptAll(direct).isEmpty && direct.exceptAll(rendered).isEmpty)
   }
 
+  // --- q183: bitmap membership -----------------------------------------------
+
+  test("q183: bitmap popcounts equal real distinct-user counts") {
+    val rows = SparkEntry.queries("q183_bitmap_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") == exact(r.getAs[String]("type_a")))
+      assert(r.getAs[Long]("n_b") == exact(r.getAs[String]("type_b")))
+      val both = r.getAs[Long]("n_both")
+      assert(both <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  // --- q184: LSH evaluation ----------------------------------------------------
+
+  test("q184: the gated LSH geometry scores high recall against truth") {
+    val r = SparkEntry.queries("q184_lsh_evaluation")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_true") > 0)
+    assert(r.getAs[Double]("recall") >= 0.9,
+      s"16x4 banding must catch >=90% of true 0.8-Jaccard pairs: $r")
+    assert(r.getAs[Double]("precision") > 0.0)
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates"))
+  }
+
   // --- q158: distance histogram ---------------------------------------------
 
   test("q158: histogram accounts for exactly the in-block pair count") {
