@@ -60,6 +60,17 @@ object Bench {
     // inflates every query ~15% — it measures a different thing.)
     val results = queries.map { case (name, fn) =>
       var failed = false
+      // Equal-footing protocol: every query block starts from an empty
+      // block-manager cache (and a GC'd heap), so a query's measurement
+      // can't depend on what earlier suite positions left cached/stranded
+      // — the round-9/10 in-suite excursions (q155 4.4x its isolated
+      // median) tracked exactly that accumulation. Queries that RELY on
+      // a shared cache (the dedup decision-table family) re-register it
+      // on first use (Queries.ensureCached) and pay its build once in
+      // the untimed first run below — the same footing as their isolated
+      // adjudication runs, so medians stay comparable to BASELINE.md.
+      spark.catalog.clearCache()
+      System.gc()
       val times = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         try { forceEval(fn(spark, sfDir)) } catch { case _: Throwable => failed = true }

@@ -200,6 +200,8 @@ object SparkEntry {
     "q182_rendered_star"      -> (Queries.renderedStar _),
     "q183_bitmap_overlap"     -> (Queries.bitmapOverlap _),
     "q184_lsh_evaluation"     -> (Queries.lshEvaluation _),
+    "q185_scd2_tracked"       -> (Queries.scd2Tracked _),
+    "q186_pagerank_deep"      -> (Queries.pagerankDeep _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -857,31 +859,63 @@ object Queries {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** A memoized frame whose persist may have been dropped externally
+    * (Bench clears ALL cache between query blocks to measure each from
+    * equal footing) is re-registered for caching before use — the next
+    * action recomputes and re-caches it, so consumers after a clearCache
+    * behave exactly like first-ever consumers, instead of silently
+    * recomputing the full pipeline on EVERY action.
+    */
+  private def ensureCached(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  private val tmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val tmpCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach(p => deleteRecursively(p.toFile))))
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Temp dir for gate queries that exercise filesystem machinery
+    * (bucketed writes, snapshot stores, stream checkpoints). Registered
+    * for recursive deletion at JVM exit so repeated bench/suite
+    * invocations can't accumulate disk across a session's lifetime — the
+    * returned DataFrames read these paths LAZILY, so deletion can't be
+    * earlier than shutdown without breaking re-evaluation.
+    */
+  private[graft] def tempDir(tag: String): String = {
+    tmpCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(tag)
+    tmpDirs.add(p)
+    p.toString
+  }
+
   /** The corpus's verified near-dup pair list (LSH candidates + exact
     * Jaccard ≥ threshold), computed once per (session, dir) — the shared
     * upstream of the decision table AND the pair-level reports (q87).
     */
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((spark, dir), _ => {
-      val p = NearDup.lshVerifiedJaccardPairs(
-        Tables.documents(spark, dir), "doc_id", "text", JaccardN, JaccardThreshold)
-      p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p
-    })
+    ensureCached(pairsMemo.computeIfAbsent((spark, dir), _ =>
+      NearDup.lshVerifiedJaccardPairs(
+        Tables.documents(spark, dir), "doc_id", "text", JaccardN, JaccardThreshold)))
 
   /** The corpus's dedup decision table (NearDup.componentTable), computed
     * once per (session, data dir) and served from the block-manager cache
     * to every consumer after that.
     */
   def dedupDecisionTable(spark: SparkSession, dir: String): DataFrame =
-    decisionMemo.computeIfAbsent((spark, dir), _ => {
-      val t = NearDup.componentTable(
+    ensureCached(decisionMemo.computeIfAbsent((spark, dir), _ =>
+      NearDup.componentTable(
         Tables.documents(spark, dir), "doc_id", "text",
         JaccardN, JaccardThreshold, docQuality, carryCols = Seq("source"),
-        precomputedPairs = Some(verifiedPairs(spark, dir)))
-      t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t
-    })
+        precomputedPairs = Some(verifiedPairs(spark, dir)))))
 
   // --- q34: near-dup clusters → canonical doc per component -------------------
   // Edges come from the scale path: MinHash-LSH candidates verified with
@@ -1328,13 +1362,19 @@ object Queries {
   // pair explosion is bounded per order; the support filter + top-k keep
   // the output tiny however large the corpus. Top-k is a total order
   // (support DESC, then both keys) so ties can't flap between engines.
+  // CoMaxBasket is the ENFORCED basket bound (coOccurrencePairs
+  // quarantines larger baskets whole): far above any real order (TPC-H
+  // tops out ~13 distinct parts) so clean-data results are unchanged,
+  // and low enough that a poisoned 10^4-item bot basket can never fan
+  // out 10^8 pairs into one straggler task.
   val CoMinSupport = 2L
   val CoTopK = 100
+  val CoMaxBasket = 256L
 
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
     Analytics.coOccurrencePairs(
       Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
-      "l_orderkey", "l_partkey", CoMinSupport)
+      "l_orderkey", "l_partkey", CoMinSupport, maxBasketSize = CoMaxBasket)
       .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
       .limit(CoTopK)
 
@@ -1401,7 +1441,7 @@ object Queries {
     val freq = items.groupBy("i").agg(count(lit(1)).as("n"))
     Analytics.coOccurrencePairs(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", CoMinSupport)
+        "l_orderkey", "l_partkey", CoMinSupport, maxBasketSize = CoMaxBasket)
       .join(freq.select(col("i").as("item_a"), col("n").as("na")), Seq("item_a"))
       .join(freq.select(col("i").as("item_b"), col("n").as("nb")), Seq("item_b"))
       .withColumn("cosine",
@@ -2818,7 +2858,7 @@ object Queries {
                          tag: String): String = {
     val name = tag + java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong())
-    val cp = java.nio.file.Files.createTempDirectory(tag).toString
+    val cp = Queries.tempDir(tag)
     q.queryName(name).format("memory")
       .option("checkpointLocation", s"$cp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3385,7 +3425,11 @@ object Queries {
     val sw = org.apache.spark.sql.expressions.Window
       .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
     val ordered = samp.withColumn("rn", row_number().over(sw).cast("long"))
-    val step = floor(col("cnt") / lit(RangeK)).cast("long")
+    // greatest(…, 1): a sample smaller than RangeK would make the stride
+    // 0 and `rn % step` a DIVIDE_BY_ZERO under ANSI mode (DuckDB returns
+    // NULL — the engines would diverge); clamped, a tiny sample just
+    // yields fewer/degenerate boundaries instead of failing
+    val step = greatest(floor(col("cnt") / lit(RangeK)).cast("long"), lit(1L))
     val bounds = ordered
       .crossJoin(broadcast(samp.agg(count(lit(1)).as("cnt"))))
       .filter(col("rn") % step === 0 &&
@@ -3549,36 +3593,55 @@ object Queries {
         "joined_raw", "joined_tok")
   }
 
-  // --- q155: PageRank over the co-purchase graph (exact-integer, 3 rounds) ------
+  // --- q155/q186: PageRank over the co-purchase graph (exact-integer) -----------
   // Iterative graph centrality as Spark actually runs it: edges persist
   // across rounds, each round is one join (rank → out-edges) + one
   // hash-agg (sum contributions per dst) — all keyed shuffles, nothing
   // driver-side. Ranks live in scaled int64 (S=1e9) with floor division,
-  // so three rounds are bit-identical in any engine and the oracle can
+  // so every round is bit-identical in any engine and the oracle can
   // unroll them as CTEs; fp PageRank would drift by summation order.
+  // Iteration discipline (the Components.ccWithRounds pattern): each
+  // round's ranks are localCheckpoint(true)-materialized so plan size
+  // stays O(1) in rounds (lineage would otherwise double per round), and
+  // the cached edge frames are unpersisted before returning — the final
+  // frame references only the last checkpoint, so nothing strands in the
+  // block manager across the 184-query drive or repeated bench runs.
   val PrScale = 1000000000L
   val PrRounds = 3
+  val PrRoundsDeep = 10
 
-  def pagerankCopurchase(spark: SparkSession, dir: String): DataFrame = {
+  def pagerankCopurchase(spark: SparkSession, dir: String): DataFrame =
+    pagerankRounds(spark, dir, PrRounds)
+
+  def pagerankDeep(spark: SparkSession, dir: String): DataFrame =
+    pagerankRounds(spark, dir, PrRoundsDeep)
+
+  def pagerankRounds(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "pagerank needs at least one round")
     val e0 = Analytics.coOccurrencePairs(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", minSupport = 1L)
+        "l_orderkey", "l_partkey", minSupport = 1L,
+        maxBasketSize = CoMaxBasket)
       .select(col("item_a").as("src"), col("item_b").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     val edges = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // one cached frame reused by every round (edge ⋈ out-degree)
     val withDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(15L * PrScale / 100L)
     var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
-    for (_ <- 1 to PrRounds) {
+    for (_ <- 1 to rounds) {
       // `div` (integer division on int64) — NOT `/`, which routes longs
       // through double and can misround once 85·p crosses 2^53
       ranks = withDeg.join(ranks, withDeg("src") === ranks("i"))
         .select(col("dst"), expr("(85 * p) div (100 * d)").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
+        .localCheckpoint(true)
     }
+    withDeg.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
       .orderBy(col("rank_score").desc, col("item"))
   }
@@ -3614,7 +3677,7 @@ object Queries {
     val freq = baskets.groupBy("i").agg(count(lit(1)).as("n"))
     Analytics.coOccurrencePairs(
         Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", CoMinSupport)
+        "l_orderkey", "l_partkey", CoMinSupport, maxBasketSize = CoMaxBasket)
       .join(freq.select(col("i").as("item_a"), col("n").as("na")), Seq("item_a"))
       .join(freq.select(col("i").as("item_b"), col("n").as("nb")), Seq("item_b"))
       .crossJoin(broadcast(nOrders))
@@ -3792,10 +3855,17 @@ object Queries {
   // re-shuffling the fact table on every join and reading it joined.
   // Table/path names are run-unique; the oracle is the plain SQL join.
   def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // Run-unique names keep concurrent invocations apart, so each new
+    // invocation first drops the PREVIOUS runs' tables — without this the
+    // catalog accrues two entries per bench iteration for the session's
+    // lifetime (their parquet dirs are reclaimed by the tempDir hook).
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     val id = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong())
     val (tl, tr) = (s"graft_bkt_ord_$id", s"graft_bkt_cust_$id")
-    val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val base = tempDir("graft_bkt_")
     Bucketing.saveBucketed(
       Tables.orders(spark, dir).groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
@@ -4049,7 +4119,7 @@ object Queries {
   // the reader must neither drop nor mangle a single row.
   def rescueAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rescue_").toString
+    val tmp = tempDir("graft_rescue_")
     Tables.events(spark, dir)
       .select(col("event_id"), dec2(col("value")).as("v"))
       .as[(Long, java.math.BigDecimal)]
@@ -4085,7 +4155,7 @@ object Queries {
 
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Snapshots
-    val tmp = java.nio.file.Files.createTempDirectory("graft_travel_").toString
+    val tmp = tempDir("graft_travel_")
     val target = s"$tmp/state"
     TravelTs.foreach { hi =>
       Snapshots.commit(
@@ -4118,7 +4188,7 @@ object Queries {
 
   def medallionRun(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Medallion
-    val tmp = java.nio.file.Files.createTempDirectory("graft_med_").toString
+    val tmp = tempDir("graft_med_")
     val spec = Medallion.TableSpec("events_gold", Seq("user_id"), "ts",
       tieCols = Seq("event_id"),
       rules = Seq(Quality.Rule("user_id_present", col("user_id").isNull)))
@@ -4139,7 +4209,7 @@ object Queries {
   // involved. The oracle derives both generations from `events`.
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    val tmp = tempDir("graft_evolve_")
     val landing = s"$tmp/landing"
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), (dec2(col("value")) * 100).cast("long").as("cents"),
@@ -4172,7 +4242,7 @@ object Queries {
   // key query — the streaming/batch convergence contract of the
   // reference's DLT SCD1 flow, on the hash gate.
   def streamedScd1(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_scd1s_").toString
+    val tmp = tempDir("graft_scd1s_")
     val q = Tables.eventsStream(spark, dir)
       .select("user_id", "event_id", "ts", "event_type")
       .writeStream
@@ -4194,7 +4264,7 @@ object Queries {
   // contract that decides scan cost at 100 TB, content-checked against
   // the oracle's unpartitioned filter.
   def partitionedWrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_partw_").toString
+    val tmp = tempDir("graft_partw_")
     graft.sources.Sources.writePartitioned(
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
@@ -4287,11 +4357,12 @@ object Queries {
   }
 
   // --- q183: bitmap-index membership intersection ------------------------------------
-  // The OLAP bitmap-join: per (event_type, 64-user word), an int64
-  // bitmap built with ONE bit_or hash-agg (idempotent — no distinct
-  // pass needed), then audience overlap between every type pair is a
+  // The OLAP bitmap-join: per (event_type, 32-user word) — 32 user bits
+  // carried inside an int64 word, see the shift note below — a bitmap
+  // built with ONE bit_or hash-agg (idempotent — no distinct pass
+  // needed), then audience overlap between every type pair is a
   // word-aligned AND + popcount, never a row-level join on users. At
-  // 100 TB the per-type bitmap is |user-domain|/64 words — membership
+  // 100 TB the per-type bitmap is |user-domain|/32 words — membership
   // set operations collapse to bitwise aggregates over co-partitioned
   // words, the reason low-cardinality dimensions get bitmap indexes.
   def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
@@ -4340,6 +4411,23 @@ object Queries {
         (col("n_hits").cast("double") / col("n_candidates")).as("precision"),
         (col("n_hits").cast("double") / col("n_true")).as("recall"))
   }
+
+  // --- q185: SCD2 with partial history tracking ----------------------------------
+  // q03's build under DLT's track_history_column_list contract
+  // (DimArtist.py:87-103): only event_type is TRACKED — a change row
+  // whose event_type equals the current version's updates that version
+  // in place (latest event_id/value win, effective_from survives)
+  // instead of opening a new validity interval. The audit-column-churn
+  // case every real SCD2 consumer hits: untracked noise must not
+  // version the dimension.
+  def scd2Tracked(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2FromChangelogTracked(
+      Tables.events(spark, dir)
+        .select("user_id", "event_id", "event_type", "value", "ts"),
+      keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id"),
+      trackCols = Seq("event_type"))
+      .select("user_id", "event_id", "event_type", "value",
+        "effective_from", "effective_to", "is_current")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6781,8 +6869,9 @@ object Oracles {
                         % $P) % ${Queries.RangeSampleMod} = 0),
           nn AS (SELECT COUNT(*) AS cnt FROM sa),
           bd AS (SELECT price FROM sa, nn
-                 WHERE rn % (cnt // ${Queries.RangeK}) = 0
-                   AND rn // (cnt // ${Queries.RangeK}) <= ${Queries.RangeK - 1}),
+                 WHERE rn % greatest(cnt // ${Queries.RangeK}, 1) = 0
+                   AND rn // greatest(cnt // ${Queries.RangeK}, 1)
+                       <= ${Queries.RangeK - 1}),
           a AS (SELECT price,
                        (SELECT COUNT(*) FROM bd WHERE bd.price < li.price)
                          AS bucket
@@ -7318,6 +7407,64 @@ object Oracles {
                  CAST(n_hits AS DOUBLE) / n_candidates AS precision,
                  CAST(n_hits AS DOUBLE) / n_true AS recall
           FROM m"""
+    },
+
+    "q185_scd2_tracked" ->
+      // IS NOT DISTINCT FROM ≡ Spark's null-safe <=>; runs collapse to
+      // one row via constant window values + DISTINCT
+      """WITH c AS (
+           SELECT user_id, event_id, event_type, value, ts,
+                  CASE WHEN event_type IS NOT DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                       THEN 0 ELSE 1 END AS opens
+           FROM events),
+          r AS (
+           SELECT *, SUM(opens) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+           FROM c),
+          v AS (
+           SELECT DISTINCT user_id, run,
+                  MIN(ts) OVER w AS effective_from,
+                  last_value(event_id) OVER w AS event_id,
+                  last_value(event_type) OVER w AS event_type,
+                  last_value(value) OVER w AS value
+           FROM r
+           WINDOW w AS (PARTITION BY user_id, run ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING))
+          SELECT user_id, event_id, event_type, value, effective_from,
+                 lead(effective_from) OVER (PARTITION BY user_id
+                                            ORDER BY effective_from)
+                   AS effective_to,
+                 (lead(effective_from) OVER (PARTITION BY user_id
+                                             ORDER BY effective_from) IS NULL)
+                   AS is_current
+          FROM v""",
+
+    "q186_pagerank_deep" -> {
+      val s = Queries.PrScale
+      val base = 15L * s / 100L
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT ed.dst AS i,
+                    $base + SUM((85 * p.p) // (100 * deg.d)) AS p
+             FROM ed JOIN $prev p ON ed.src = p.i
+                     JOIN deg ON ed.src = deg.src
+             GROUP BY 1)"""
+      val rounds = (1 to Queries.PrRoundsDeep)
+        .map(r => round(s"p${r - 1}", s"p$r")).mkString(",\n          ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                         FROM lineitem),
+          e0 AS (SELECT a.i AS src, b2.i AS dst
+                 FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                 GROUP BY 1, 2),
+          ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY 1),
+          p0 AS (SELECT src AS i, CAST($s AS BIGINT) AS p FROM deg),
+          $rounds
+          SELECT i AS item, CAST(p AS BIGINT) AS rank_score
+          FROM p${Queries.PrRoundsDeep}"""
     },
   )
 

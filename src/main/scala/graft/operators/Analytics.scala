@@ -53,16 +53,27 @@ object Analytics {
     * (basket, item) first (repeat lines must not double-count), then a
     * per-basket self-join with `item_a < item_b` so each unordered pair
     * counts once per basket. The join fans out as the basket size
-    * SQUARED, so scale is governed by the basket-size bound the pipeline
-    * enforces upstream (an order has dozens of lines; a "basket" with
-    * 10^4 items is a bot/crawler and belongs in a quarantine, not this
-    * join) — with bounded baskets the whole shape is two hash shuffles
-    * on uniform keys.
+    * SQUARED, so the bound is ENFORCED here, not delegated: baskets with
+    * more than `maxBasketSize` distinct items are quarantined whole (a
+    * real order has dozens of lines; a "basket" with 10^4 items is a
+    * bot/crawler whose 10^8 pairs would be one straggler task that never
+    * finishes at 100 TB — and its "co-occurrences" are noise, not
+    * signal). The size count is a window over the same __basket
+    * hash-partitioning the self-join needs, so the guard reuses that
+    * exchange instead of adding one. With the bound in force the whole
+    * shape is two hash shuffles on uniform keys and per-task work is
+    * ≤ maxBasketSize² per basket by construction.
     */
   def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
-                        minSupport: Long): DataFrame = {
+                        minSupport: Long,
+                        maxBasketSize: Long = 1000L): DataFrame = {
+    require(maxBasketSize >= 2, "maxBasketSize below 2 yields no pairs")
     val items = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
+      .withColumn("__bsize",
+        count(lit(1)).over(Window.partitionBy(col("__basket"))))
+      .filter(col("__bsize") <= maxBasketSize)
+      .drop("__bsize")
     val a = items.alias("a")
     val b = items.alias("b")
     a.join(b, col("a.__basket") === col("b.__basket") &&

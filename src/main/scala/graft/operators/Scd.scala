@@ -71,4 +71,91 @@ object Scd {
   def asOfSnapshot(scd2: DataFrame, at: Column): DataFrame =
     scd2.filter(col("effective_from") <= at &&
       (col("effective_to").isNull || col("effective_to") > at))
+
+  /** SCD Type 2 with PARTIAL history tracking — DLT's
+    * `track_history_column_list` / `track_history_except_column_list`
+    * (reference: local_spotify_dab/src/gold/spotify_etl/transformations/
+    * DimArtist.py:87-103, the parameter every gold dim exposes): a new
+    * validity interval opens ONLY when one of `trackCols` changes; change
+    * rows touching untracked columns alone update the current version in
+    * place (latest untracked values win, `effective_from` keeps the
+    * version's opening sequence value). This is what stops churning audit
+    * columns from versioning a dimension.
+    *
+    * Mechanics: one keyed window marks rows whose tracked tuple differs
+    * (null-safely) from the previous row's, a running sum turns the marks
+    * into run ids, and a struct-max per (key, run) picks the run's LAST
+    * row as the version payload (tracked columns are constant within a
+    * run by construction, so only untracked values "win"). effective_from
+    * = the run's first sequence value; effective_to chains via lead. All
+    * windows/aggs hash-partition by the business key — same single-
+    * shuffle posture as [[scd2FromChangelog]] (which is the special case
+    * trackCols = all payload columns, where every change opens a run).
+    */
+  def scd2FromChangelogTracked(df: DataFrame, keys: Seq[String], seqCol: String,
+                               tieCols: Seq[String],
+                               trackCols: Seq[String]): DataFrame =
+    scd2TrackedCore(df.withColumn("__from", col(seqCol)),
+      keys, seqCol, tieCols, trackCols)
+
+  /** Incremental fold of an update batch into a TRACKED SCD2 history
+    * (the merge-shape twin of [[scd2Merge]]): only keys present in the
+    * batch are rebuilt — their version rows re-enter the collapse as
+    * pseudo-change rows carrying their original `effective_from`, so an
+    * update whose tracked columns equal the current version's extends
+    * that version in place (its effective_from survives the merge)
+    * instead of opening a new interval. Exactly-once under redelivery:
+    * a re-delivered change row collides with the version row at the same
+    * (keys, seq, ties) and the earlier effective_from wins
+    * deterministically. For batches arriving in sequence order the fold
+    * is spec-verified ≡ the full-changelog rebuild.
+    */
+  def scd2MergeTracked(history: DataFrame, updates: DataFrame,
+                       keys: Seq[String], seqCol: String, tieCols: Seq[String],
+                       trackCols: Seq[String]): DataFrame = {
+    val metaCols = Seq("effective_from", "effective_to", "is_current")
+    val batchKeys = updates.select(keys.map(col): _*).distinct()
+    val touched = history.join(batchKeys, keys, "left_semi")
+    val untouched = history.join(batchKeys, keys, "left_anti")
+    val histRows = touched
+      .withColumn("__from", col("effective_from"))
+      .drop(metaCols: _*)
+    val updRows = updates.withColumn("__from", col(seqCol))
+    val dupW = Window
+      .partitionBy((keys ++ (seqCol +: tieCols)).map(col): _*)
+      .orderBy(col("__from"))
+    val changelog = histRows.unionByName(updRows)
+      .withColumn("__rn", row_number().over(dupW))
+      .filter(col("__rn") === 1).drop("__rn")
+    scd2TrackedCore(changelog, keys, seqCol, tieCols, trackCols)
+      .unionByName(untouched)
+  }
+
+  private def scd2TrackedCore(withFrom: DataFrame, keys: Seq[String],
+                              seqCol: String, tieCols: Seq[String],
+                              trackCols: Seq[String]): DataFrame = {
+    require(trackCols.nonEmpty, "tracked-history SCD2 needs tracked columns")
+    val payloadCols = withFrom.columns.filterNot(_ == "__from").toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((seqCol +: tieCols).map(col): _*)
+    val tracked = struct(trackCols.map(col): _*)
+    val runs = withFrom
+      // null-safe: a null tracked value equals a null, and the first row
+      // of a key (lag = null struct) always opens a run
+      .withColumn("__opens",
+        when(tracked <=> lag(tracked, 1).over(w), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = runs
+      .groupBy((keys.map(col) :+ col("__run")): _*)
+      .agg(min(col("__from")).as("effective_from"),
+        max(struct((seqCol +: tieCols).map(col) :+
+          struct(payloadCols.map(col): _*).as("__p"): _*)).as("__last"))
+      .select(col("__last.__p.*"), col("effective_from"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq("effective_from", seqCol) ++ tieCols).map(col): _*)
+    versions
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wKey))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -21,16 +21,28 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  private val SaltSeed = 0x5a17eDL
+
   /** Inner equi-join with the probe side salted. `dim` should be the
     * smaller side (it is replicated `salts` times).
+    *
+    * Salt assignment is a CONTENT hash of the fact row
+    * (`pmod(xxhash64(cols…, seed), salts)`), not
+    * `monotonically_increasing_id`: the id is recompute-nondeterministic
+    * (a retried task can assign different salts than the lost attempt),
+    * which makes shuffle outputs non-idempotent under speculative
+    * execution and breaks bit-determinism across runs. A row hash is
+    * deterministic per row and equally uniform — provided the fact
+    * carries at least one per-row-varying column (an event/line id;
+    * every real fact table does), since fully identical rows necessarily
+    * share a salt.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // Per-row shard assignment: partition-local id spreads a hot key's
-    // rows uniformly without needing any key statistics.
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq :+ lit(SaltSeed): _*),
+        lit(salts.toLong)))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(replicatedDim, Seq(key, SaltCol)).drop(SaltCol)

@@ -314,7 +314,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q158_distance_histogram")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair join must be an equi-join on blk:\n$p")
-    assert(p.contains("VecDot".toLowerCase) || p.contains("vecdot"),
+    assert(p.toLowerCase.contains("vecdot"),
       "distance kernel must be the codegen VecDot")
   }
 
