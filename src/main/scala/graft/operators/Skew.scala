@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for keyed joins.
@@ -37,12 +37,17 @@ object Skew {
     * every real fact table does), since fully identical rows necessarily
     * share a salt.
     */
+  /** The salt assignment itself (content hash of every `fact` column) —
+    * public so specs can pin its recompute-determinism directly.
+    */
+  def saltExpr(fact: DataFrame, salts: Int): Column =
+    pmod(xxhash64(fact.columns.map(col).toIndexedSeq :+ lit(SaltSeed): _*),
+      lit(salts.toLong))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn(SaltCol,
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq :+ lit(SaltSeed): _*),
-        lit(salts.toLong)))
+    val saltedFact = fact.withColumn(SaltCol, saltExpr(fact, salts))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(replicatedDim, Seq(key, SaltCol)).drop(SaltCol)
