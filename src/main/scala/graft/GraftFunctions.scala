@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.Lsh
-import graft.plans.{DistinctNGrams, MinHashSig, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
+import graft.plans.{DistinctNGrams, HllEstimateAgg, MinHashSig, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
 
 /** SQL surface for the graft kernels: every custom expression is callable
   * from `spark.sql(...)` as `graft_*`, so SQL-first users of the library
@@ -30,7 +30,11 @@ object GraftFunctions {
     "graft_minhash"     -> (args => MinHashSig(args.head, Lsh.A, Lsh.B, Lsh.P)),
     "graft_simhash"     -> (args => SimHash(args.head, Lsh.GA, Lsh.GB, Lsh.TwoPow32, Lsh.SimBits)),
     "graft_ngrams"      -> (args => DistinctNGrams(args(0), lit2Int(args(1), "graft_ngrams n"))),
-    "graft_nfc_casefold" -> (args => NfcCaseFold(args.head)))
+    "graft_nfc_casefold" -> (args => NfcCaseFold(args.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression during function resolution, so the builder
+    // returns the function itself
+    "graft_hll"         -> (args => HllEstimateAgg(args(0), lit2Int(args(1), "graft_hll m"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -202,6 +202,9 @@ object SparkEntry {
     "q184_lsh_evaluation"     -> (Queries.lshEvaluation _),
     "q185_scd2_tracked"       -> (Queries.scd2Tracked _),
     "q186_pagerank_deep"      -> (Queries.pagerankDeep _),
+    "q187_triangle_count"     -> (Queries.triangleCount _),
+    "q188_prefix_jaccard"     -> (Queries.prefixJaccard _),
+    "q189_hll_native_agg"     -> (Queries.hllNativeAgg _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4428,6 +4431,59 @@ object Queries {
       trackCols = Seq("event_type"))
       .select("user_id", "event_id", "event_type", "value",
         "effective_from", "effective_to", "is_current")
+
+  // --- q187: triangle counting via degree orientation -----------------------------
+  // Graph-analytics breadth past PageRank/CC: triangles + the global
+  // clustering coefficient of the co-purchase graph. Degree orientation
+  // bounds wedge enumeration at O(m^1.5) whatever the degree
+  // distribution (see operators/Triangles) — the plan that survives a
+  // power-law co-purchase graph at 100 TB where naive wedge joins melt
+  // on the hottest item. Exact longs; one double division.
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    Triangles.triangleStats(
+      Analytics.coOccurrencePairs(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minSupport = 1L,
+        maxBasketSize = CoMaxBasket)
+        .select("item_a", "item_b"),
+      "item_a", "item_b")
+
+  // --- q188: prefix-filtered exact-Jaccard join ------------------------------------
+  // The LOSSLESS scale path for exact similarity join (PPJoin prefix
+  // principle): q21's df cap bounds fan-out by DROPPING boilerplate
+  // shingles (lossy), LSH (q22) recalls probabilistically — prefix
+  // filtering keeps EVERY qualifying pair while joining only each doc's
+  // |t|−⌈θ|t|⌉+1 rarest tokens (ascending-df global order puts the
+  // smallest-df² fan-out in the prefix). Threshold enters the prefix
+  // arithmetic as the rational 4/5 so the recall proof is integer-exact.
+  // Oracle = the UNBOUNDED exact-Jaccard join (no df cap) — the gate
+  // proves losslessness, not just agreement with another approximation.
+  val PrefixThrNum = 4L
+  val PrefixThrDen = 5L
+
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        JaccardN, PrefixThrNum, PrefixThrDen)
+      .orderBy("doc_a", "doc_b")
+
+  // --- q189: native HLL sketch AGGREGATE -------------------------------------------
+  // q121's estimator as a TypedImperativeAggregate (plans/SketchAggs):
+  // the m-byte register buffer rides Spark's partial-aggregation
+  // machinery — map-side partials absorb rows locally, the shuffle
+  // moves ONE buffer per (partition × group), and the sketch composes
+  // with other aggregates in the same agg() — one scan, one shuffle,
+  // the shape the register-frame form can't express. Estimate
+  // arithmetic identical to q121 ⇒ oracle-exact per group.
+  def hllNativeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(graft.plans.SketchAggs.hllEstimateAgg(col("l_orderkey"), HllM)
+          .as("est_distinct"),
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+      .select(col("l_returnflag"), col("exact_distinct"), col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double"))
+          .as("est_ratio"))
+      .orderBy("l_returnflag")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7465,6 +7521,90 @@ object Oracles {
           $rounds
           SELECT i AS item, CAST(p AS BIGINT) AS rank_score
           FROM p${Queries.PrRoundsDeep}"""
+    },
+
+    "q187_triangle_count" ->
+      // degree orientation ≡ Triangles.triangleStats: row-value
+      // comparison (deg, id) < (deg, id) is the same lexicographic order
+      // as Spark's struct comparison
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+          e AS (SELECT a.i AS x, b2.i AS y
+                FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2),
+          d AS (SELECT n, COUNT(*) AS deg
+                FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+                GROUP BY 1),
+          o AS (SELECT CASE WHEN (dx.deg, e.x) < (dy.deg, e.y)
+                            THEN e.x ELSE e.y END AS u,
+                       CASE WHEN (dx.deg, e.x) < (dy.deg, e.y)
+                            THEN e.y ELSE e.x END AS v
+                FROM e JOIN d dx ON dx.n = e.x JOIN d dy ON dy.n = e.y),
+          wg AS (SELECT e1.v AS p, e2.v AS q
+                 FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+          t AS (SELECT COUNT(*) AS n_triangles
+                FROM wg JOIN e ON e.x = wg.p AND e.y = wg.q),
+          wt AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT)
+                          AS n_wedges,
+                        COUNT(*) AS n_nodes
+                 FROM d),
+          et AS (SELECT COUNT(*) AS n_edges FROM e)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 CASE WHEN n_wedges > 0
+                      THEN 3.0 * CAST(n_triangles AS DOUBLE)
+                           / CAST(n_wedges AS DOUBLE)
+                 END AS clustering_coeff
+          FROM wt, et, t""",
+
+    "q188_prefix_jaccard" ->
+      // the UNBOUNDED exact-Jaccard join — no df cap: the gate proves
+      // prefix filtering is lossless, not merely consistent with
+      // another bounded approximation
+      s"""WITH d AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len($ws) - ${Queries.JaccardN - 1}),
+                  i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS sh
+           FROM documents),
+          ex0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+          ex AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, s
+                 FROM ex0),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n AS na, b.n AS nb, COUNT(*) AS common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+          SELECT doc_a, doc_b, common, jaccard FROM (
+            SELECT doc_a, doc_b, common,
+                   CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+            FROM p)
+          WHERE jaccard >= ${Queries.PrefixThrNum.toDouble / Queries.PrefixThrDen}""",
+
+    "q189_hll_native_agg" -> {
+      import graft.functions.Sketches._
+      val m = Queries.HllM
+      val p = java.lang.Integer.numberOfTrailingZeros(m)
+      val w = hllRestBits(m)
+      val amm = hllNumerator(m)
+      s"""WITH h0 AS (SELECT l_returnflag AS g,
+                             ($HA * l_orderkey + $HB) % $P AS h
+                      FROM lineitem),
+          h AS (SELECT g, (((h*h) % $P) * h) % $P AS h FROM h0),
+          s AS (SELECT g, h % $m AS idx,
+                       ${hllRhoSql(s"h // ${1L << p}", w)} AS rho
+                FROM h),
+          r AS (SELECT g, idx, MAX(rho) AS rho FROM s GROUP BY 1, 2),
+          z AS (SELECT g,
+                       SUM(CAST(1.0 AS DOUBLE)
+                           / CAST((1::BIGINT << rho) AS DOUBLE))
+                       + ($m - COUNT(*)) * CAST(1.0 AS DOUBLE) AS z
+                FROM r GROUP BY 1),
+          ex AS (SELECT l_returnflag AS g,
+                        COUNT(DISTINCT l_orderkey) AS exact_distinct
+                 FROM lineitem GROUP BY 1)
+          SELECT g AS l_returnflag, exact_distinct,
+                 CAST($amm AS DOUBLE) / z AS est_distinct,
+                 (CAST($amm AS DOUBLE) / z) / CAST(exact_distinct AS DOUBLE)
+                   AS est_ratio
+          FROM z JOIN ex USING (g)"""
     },
   )
 

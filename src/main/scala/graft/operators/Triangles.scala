@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected graph by DEGREE ORIENTATION —
+  * the standard distributed plan (Suri & Vassilvitskii's MR triangle
+  * counting; Latapy's compact-forward in the serial world): orient every
+  * edge from its lower endpoint to its higher endpoint under the total
+  * order (degree, id), enumerate wedges only from ORIENTED out-edges,
+  * and close each wedge against the undirected edge set.
+  *
+  * Why this survives scale where the naive wedge join does not: wedges
+  * from raw adjacency fan out as Σ d(v)² — a single celebrity node with
+  * d = 10^6 contributes 10^12 wedge candidates to one key. Under degree
+  * orientation every vertex's OUT-degree is O(√m) (a vertex with
+  * out-degree k has k higher-ordered neighbors of degree ≥ its own, so
+  * k² ≤ 2m), which bounds the whole wedge enumeration by O(m^{3/2})
+  * regardless of the degree distribution — the power-law-proof bound.
+  * Each triangle {x,y,z}, ordered x<y<z by (degree, id), is counted
+  * exactly once: as the wedge at x closed by the (y,z) edge.
+  *
+  * All joins are hash equi-joins on node keys; counts are exact longs;
+  * the only double is the final clustering-coefficient division.
+  */
+object Triangles {
+
+  /** One-row graph summary over undirected edges `(aCol, bCol)` (each
+    * unordered pair present once, endpoints distinct): node/edge/wedge/
+    * triangle counts and the global clustering coefficient
+    * 3·triangles / wedges (null on a wedge-free graph).
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    val deg = e.select(col("x").as("n"))
+      .unionByName(e.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by the total order (deg, id): struct comparison is
+    // lexicographic in both engines
+    val withDeg = e
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+        col("x")).otherwise(col("y")).as("u"),
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+        col("y")).otherwise(col("x")).as("v"))
+    val e1 = oriented.alias("e1")
+    val e2 = oriented.alias("e2")
+    // wedge (u; v, w) with v < w BY ID — the closing edge is then looked
+    // up at its canonical (least, greatest) representation, which is how
+    // `edges` stores pairs
+    val wedges = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(least(col("e1.v"), col("e2.v")).as("x"),
+        greatest(col("e1.v"), col("e2.v")).as("y"))
+    val tri = wedges.join(e, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // open+closed wedge total Σ d(d−1)/2 — exact (d·(d−1) is even)
+    val wedgeTotal = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val edgeTotal = e.agg(count(lit(1)).as("n_edges"))
+    wedgeTotal.crossJoin(edgeTotal).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+}

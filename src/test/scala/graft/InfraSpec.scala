@@ -12,7 +12,7 @@ class InfraSpec extends AnyFunSuite {
   import TestSession._
 
   test("json rescue read quarantines malformed and schema-violating rows") {
-    val dir = Files.createTempDirectory("graft_src").toString
+    val dir = TestSession.tempDir("graft_src")
     val good = """{"id": 1, "name": "ok"}"""
     val badJson = """{"id": 2, "name": """ // truncated record
     val badType = """{"id": "not-a-number", "name": "x"}"""
@@ -29,7 +29,7 @@ class InfraSpec extends AnyFunSuite {
   }
 
   test("csv rescue read captures arity/type mismatches") {
-    val dir = Files.createTempDirectory("graft_src").toString
+    val dir = TestSession.tempDir("graft_src")
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
       "id,qty\n1,10\n2,notanumber\n3,7\n")
     val schema = StructType(Seq(
@@ -41,7 +41,7 @@ class InfraSpec extends AnyFunSuite {
   }
 
   test("schema evolution admits new columns; earlier rows read null-padded") {
-    val dir = Files.createTempDirectory("graft_evolve").toString
+    val dir = TestSession.tempDir("graft_evolve")
     val store = new Sources.SchemaStore(spark, s"$dir/_schema")
 
     // batch 1: two columns
@@ -199,7 +199,7 @@ class InfraSpec extends AnyFunSuite {
   }
 
   test("co-bucketed tables join without a shuffle on either side") {
-    val dir = Files.createTempDirectory("graft_buckets").toString
+    val dir = TestSession.tempDir("graft_buckets")
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
       .withColumnRenamed("l_orderkey", "k")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
@@ -224,7 +224,7 @@ class InfraSpec extends AnyFunSuite {
     // (PLANS round-7): lineitem and orders landed bucketed by order key,
     // the q08 rollup rides the co-location with zero exchange below the
     // fact join — and produces exactly q08's oracle-gated rows
-    val dir = Files.createTempDirectory("graft_star_buckets").toString
+    val dir = TestSession.tempDir("graft_star_buckets")
     operators.Bucketing.saveBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice", "l_discount"),
       "bs_lineitem", s"$dir/li", "l_orderkey", 8)

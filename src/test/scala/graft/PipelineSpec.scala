@@ -16,7 +16,7 @@ class PipelineSpec extends AnyFunSuite {
   private val eventCols = Seq("user_id", "event_id", "event_type", "value", "ts")
 
   test("two-run medallion pipeline converges and extracts each slice once") {
-    val state = Files.createTempDirectory("graft_medallion").toString
+    val state = TestSession.tempDir("graft_medallion")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val specs = Seq(
       TableSpec("events_scd1", keys = Seq("user_id"), seqCol = "ts",
@@ -61,7 +61,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("DQ rules quarantine rows before they reach gold") {
-    val state = Files.createTempDirectory("graft_medallion_dq").toString
+    val state = TestSession.tempDir("graft_medallion_dq")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val specs = Seq(TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
       tieCols = Seq("event_id"), scdType = 1,
@@ -74,7 +74,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("snapshot commit is crash-safe: a reader always sees a complete snapshot") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_snap").toString + "/t"
+    val target = TestSession.tempDir("graft_snap") + "/t"
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), target)
     assert(Snapshots.read(spark, target).count() == 2)
 
@@ -106,7 +106,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("incremental gold commit rewrites only touched buckets") {
-    val state = Files.createTempDirectory("graft_medallion_slice").toString
+    val state = TestSession.tempDir("graft_medallion_slice")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val spec = TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
       tieCols = Seq("event_id"), scdType = 2, buckets = 8)
@@ -161,7 +161,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("watermark store stays compacted: N runs leave one row per table") {
-    val state = Files.createTempDirectory("graft_medallion_wm").toString
+    val state = TestSession.tempDir("graft_medallion_wm")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val specs = Seq(TableSpec("a", keys = Seq("user_id"), seqCol = "ts",
       tieCols = Seq("event_id")), TableSpec("b", keys = Seq("user_id"),
@@ -177,7 +177,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("fragmented bucketed store compacts back into one root") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_compact").toString + "/t"
+    val target = TestSession.tempDir("graft_compact") + "/t"
     def commitOne(bucket: Int, ids: Seq[Long]): Unit = {
       val df = ids.toDF("id").withColumn(Snapshots.BucketCol, lit(bucket))
       val dir = Snapshots.writeBucketSnapshot(df, target)
@@ -203,7 +203,7 @@ class PipelineSpec extends AnyFunSuite {
   test("random batch folds through bucketed commits equal one global latest-wins") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
-    val target = Files.createTempDirectory("graft_bucket_prop").toString + "/t"
+    val target = TestSession.tempDir("graft_bucket_prop") + "/t"
     val batches = (0 until 6).map { b =>
       (0 until 400).map { i =>
         (rnd.nextInt(150).toLong, (b * 1000 + i).toLong, rnd.nextDouble())
@@ -229,7 +229,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("bucketed commit is crash-safe across both windows") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_bucket_crash").toString + "/t"
+    val target = TestSession.tempDir("graft_bucket_crash") + "/t"
     def commitKv(rows: Seq[(Long, String)]): Unit =
       Snapshots.mergeCommitBuckets(rows.toDF("id", "v"), target, Seq("id"), 4)(
         identity)((base, u) => base.unionByName(u))
@@ -259,7 +259,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("two interleaved writers to disjoint buckets both land (OCC)") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_occ_disjoint").toString + "/t"
+    val target = TestSession.tempDir("graft_occ_disjoint") + "/t"
     // base: two keys in two different buckets
     val k = (0L until 16L).map(i => (i, s"base$i"))
     Snapshots.mergeCommitBuckets(k.toDF("id", "v"), target, Seq("id"), 4)(
@@ -306,7 +306,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("concurrent commits to the SAME bucket re-merge instead of losing an update") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_occ_conflict").toString + "/t"
+    val target = TestSession.tempDir("graft_occ_conflict") + "/t"
     Snapshots.mergeCommitBuckets(Seq((1L, "base")).toDF("id", "v"), target,
       Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
     val base = Snapshots.currentBuckets(spark, target).get._2
@@ -328,7 +328,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // the high-level path retries internally: two racing threads, same
     // bucket — both updates land, none lost
-    val t2 = Files.createTempDirectory("graft_occ_threads").toString + "/t"
+    val t2 = TestSession.tempDir("graft_occ_threads") + "/t"
     Snapshots.mergeCommitBuckets(Seq((1L, "seed")).toDF("id", "v"), t2,
       Seq("id"), 2)(identity)((b, u) => b.unionByName(u))
     val writers = Seq("w1", "w2").map { tag =>
@@ -346,7 +346,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("a wide touched set takes the footer-count path and stays exact") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_footer").toString + "/t"
+    val target = TestSession.tempDir("graft_footer") + "/t"
     val n = 500
     val df = (0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val buckets = 128 // > ObservePerBucketLimit distinct buckets touched
@@ -365,7 +365,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("a store merged down to zero rows reads with a clear guard") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_empty_store").toString + "/t"
+    val target = TestSession.tempDir("graft_empty_store") + "/t"
     Snapshots.mergeCommitBuckets(Seq((1L, "a")).toDF("id", "v"), target,
       Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
     // the next merge deletes every row of the only occupied bucket
@@ -381,7 +381,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("gc retains a configurable window of previous manifests") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_gc_retain").toString + "/t"
+    val target = TestSession.tempDir("graft_gc_retain") + "/t"
     (1 to 3).foreach { i =>
       val dir = Snapshots.writeSnapshot(Seq((i.toLong, "x")).toDF("id", "v"), target)
       Snapshots.publish(spark, target, dir)
@@ -396,7 +396,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("log store survives empty segments at any position") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_log_empty").toString + "/t"
+    val target = TestSession.tempDir("graft_log_empty") + "/t"
     val empty = Seq((0L, "x")).toDF("id", "v").filter("id < 0")
     // empty FIRST segment records its token; reads are guarded by totalRows
     assert(Snapshots.appendCommit(empty, target, 0L))
@@ -413,7 +413,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("8-run incremental soak converges, compacting gold in-pipeline") {
-    val state = Files.createTempDirectory("graft_medallion_soak").toString
+    val state = TestSession.tempDir("graft_medallion_soak")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val spec = TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
       tieCols = Seq("event_id"), scdType = 2, buckets = 4)
@@ -439,7 +439,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("a medallion run triggers no counting actions beyond its writes") {
-    val state = Files.createTempDirectory("graft_medallion_jobs").toString
+    val state = TestSession.tempDir("graft_medallion_jobs")
     val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
     val specs = Seq(TableSpec("ev", keys = Seq("user_id"), seqCol = "ts",
       tieCols = Seq("event_id"), scdType = 1))
@@ -469,7 +469,7 @@ class PipelineSpec extends AnyFunSuite {
     import graft.operators.Quality
     import graft.streaming.IngestPipeline
 
-    val root = Files.createTempDirectory("graft_e2e").toString
+    val root = TestSession.tempDir("graft_e2e")
     val landing = s"$root/landing"
     val bronze = s"$root/bronze"
     val state = s"$root/state"
@@ -536,7 +536,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("one committed dedup decision table feeds the keep/drop and health reports") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_decision").toString
+    val dir = TestSession.tempDir("graft_decision")
     val target = s"$dir/decision"
     // The pipeline run: compute the component table ONCE, commit it.
     val table = operators.NearDup.componentTable(
@@ -565,7 +565,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("partitioned writes prune whole directories at read time") {
     import graft.sources.Sources
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = TestSession.tempDir("graft_part")
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "value")
     Sources.writePartitioned(ev, s"$dir/events", Seq("event_type"))
@@ -591,7 +591,7 @@ class PipelineSpec extends AnyFunSuite {
     val numWriters = 4
     val commitsPer = 2
     (1 to 8).foreach { it =>
-      val target = Files.createTempDirectory("graft_occ_storm").toString + "/t"
+      val target = TestSession.tempDir("graft_occ_storm") + "/t"
       Snapshots.mergeCommitBuckets(Seq((0L, "seed")).toDF("id", "v"), target,
         Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -650,7 +650,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("a missing table OUTSIDE the store fails the commit immediately, unretried") {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_fnf").toString
+    val base = TestSession.tempDir("graft_fnf")
     val target = s"$base/t"
     Snapshots.mergeCommitBuckets(Seq((0L, "seed")).toDF("id", "v"), target,
       Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
@@ -681,7 +681,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("time travel: retained versions read their historical snapshots") {
     import spark.implicits._
-    val target = Files.createTempDirectory("graft_tt").toString + "/t"
+    val target = TestSession.tempDir("graft_tt") + "/t"
     Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), target, retainManifests = 2)
     Snapshots.commit(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), target,
       retainManifests = 2)
@@ -728,7 +728,7 @@ class PipelineSpec extends AnyFunSuite {
     // rename-if-absent claim can be driven against the RAW local fs to
     // exhibit the exact double-win the AtomicRenameSchemes allowlist
     // exists to prevent.
-    val dir = Files.createTempDirectory("graft_claim").toString
+    val dir = TestSession.tempDir("graft_claim")
     val fs = org.apache.hadoop.fs.FileSystem
       .getLocal(spark.sparkContext.hadoopConfiguration).getRawFileSystem
     def stage(name: String, content: String) = {
@@ -764,7 +764,7 @@ class PipelineSpec extends AnyFunSuite {
   test("append-log contention: a won appendCommit is never erased by a racer") {
     import spark.implicits._
     (1 to 6).foreach { it =>
-      val target = Files.createTempDirectory("graft_log_storm").toString + "/t"
+      val target = TestSession.tempDir("graft_log_storm") + "/t"
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val threads = (0 until 6).map { w =>

@@ -22,7 +22,7 @@ class Round11StreamSpec extends AnyFunSuite {
   private val eventCols = Seq("user_id", "event_id", "event_type", "value", "ts")
   private lazy val ev = Tables.events(spark, sf).select(eventCols.map(col): _*)
 
-  private def tmp(): String = Files.createTempDirectory("graft_soak").toString
+  private def tmp(): String = TestSession.tempDir("graft_soak")
 
   test("scd1 foreachBatch sink under a live ProcessingTime trigger converges to batch latest-wins") {
     val dir = tmp()

@@ -19,7 +19,7 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val half1 = ev.filter(col("ts") <= Cols.utcTs(Queries.SplitTs))
   private lazy val half2 = ev.filter(col("ts") > Cols.utcTs(Queries.SplitTs))
 
-  private def tmp(): String = Files.createTempDirectory("graft_stream").toString
+  private def tmp(): String = TestSession.tempDir("graft_stream")
 
   test("ingest pipeline processes only newly arrived files per run") {
     val dir = tmp()
