@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.Lsh
-import graft.plans.{DistinctNGrams, HllEstimateAgg, MinHashSig, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
+import graft.plans.{DistinctNGrams, HllEstimateAgg, KmvEstimateAgg, MinHashSig, MisraGriesTopK, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
 
 /** SQL surface for the graft kernels: every custom expression is callable
   * from `spark.sql(...)` as `graft_*`, so SQL-first users of the library
@@ -34,7 +34,9 @@ object GraftFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression during function resolution, so the builder
     // returns the function itself
-    "graft_hll"         -> (args => HllEstimateAgg(args(0), lit2Int(args(1), "graft_hll m"))))
+    "graft_hll"         -> (args => HllEstimateAgg(args(0), lit2Int(args(1), "graft_hll m"))),
+    "graft_kmv"         -> (args => KmvEstimateAgg(args(0), lit2Int(args(1), "graft_kmv k"))),
+    "graft_mg"          -> (args => MisraGriesTopK(args(0), lit2Int(args(1), "graft_mg k"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -205,6 +205,9 @@ object SparkEntry {
     "q187_triangle_count"     -> (Queries.triangleCount _),
     "q188_prefix_jaccard"     -> (Queries.prefixJaccard _),
     "q189_hll_native_agg"     -> (Queries.hllNativeAgg _),
+    "q190_mg_heavy_hitters"   -> (Queries.mgHeavyHitters _),
+    "q191_kmv_native_agg"     -> (Queries.kmvNativeAgg _),
+    "q192_cramers_v"          -> (Queries.cramersV _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4484,6 +4487,64 @@ object Queries {
         (col("est_distinct") / col("exact_distinct").cast("double"))
           .as("est_ratio"))
       .orderBy("l_returnflag")
+
+  // --- q190: Misra–Gries heavy hitters (candidates → exact filter) ----------------
+  // The O(k)-state frequent-items path: the MG aggregate's candidate set
+  // is partition-order dependent (inherent), but its GUARANTEE — every
+  // item with frequency > N/(k+1) survives the merged summary — is not.
+  // So the deterministic pipeline is candidates → exact counts of
+  // candidates ONLY (the second scan's agg is candidate-bounded, not
+  // key-cardinality-bounded) → integer threshold filter. At 100 TB this
+  // replaces a billion-key hash-agg with a 64-counter buffer per
+  // partition plus a tiny candidate count. Oracle = plain GROUP BY
+  // HAVING — the gate fails if MG ever drops a true heavy hitter.
+  val MgK = 64
+  val MgHeavyDen = 8L
+
+  def mgHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), xxhash64(col("event_type")).as("k"))
+    val cands = ev
+      .agg(graft.plans.SketchAggs.misraGriesTopK(col("k"), MgK).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.item").as("k"))
+    val total = Tables.events(spark, dir).agg(count(lit(1)).as("total"))
+    ev.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_events") * lit(MgHeavyDen) >= col("total"))
+      .select(col("event_type"), col("n_events"),
+        (col("n_events").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("event_type")
+  }
+
+  // --- q191: native KMV aggregate --------------------------------------------------
+  // q38's estimator as a TypedImperativeAggregate: the k-min distinct
+  // hash set is a pure SET function of the input (no insertion-order
+  // dependence, unlike MG), so per-group estimates are bit-deterministic
+  // and ORACLE-EXACT — the second member of the native mergeable-sketch
+  // family next to q189's HLL (max algebra vs k-min algebra).
+  def kmvNativeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(graft.plans.SketchAggs.kmvEstimateAgg(col("l_orderkey"), KmvK)
+          .as("est_distinct"),
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+      .select(col("l_returnflag"), col("exact_distinct"), col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double"))
+          .as("est_ratio"))
+      .orderBy("l_returnflag")
+
+  // --- q192: Cramér's V categorical association ------------------------------------
+  // Chi-square association strength between l_returnflag and
+  // l_linestatus over the DENSIFIED contingency grid (structural zeros
+  // contribute e each — see Analytics.cramersV, which carries the full
+  // determinism rationale).
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cramersV(Tables.lineitem(spark, dir),
+      "l_returnflag", "l_linestatus")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7606,6 +7667,75 @@ object Oracles {
                    AS est_ratio
           FROM z JOIN ex USING (g)"""
     },
+
+    "q190_mg_heavy_hitters" ->
+      // the MG candidate pass is semantics-neutral (guarantee: no true
+      // heavy hitter dropped), so the oracle is the plain HAVING query
+      s"""WITH t AS (SELECT COUNT(*) AS total FROM events),
+          c AS (SELECT event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1)
+          SELECT event_type, n_events,
+                 CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+          FROM c, t
+          WHERE n_events * ${Queries.MgHeavyDen} >= total""",
+
+    "q191_kmv_native_agg" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      val k = Queries.KmvK
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                            ($HA * l_orderkey + $HB) % $P AS h
+                     FROM lineitem),
+          r AS (SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM h),
+          kth AS (SELECT g, h AS kth FROM r WHERE rn = $k),
+          ex AS (SELECT l_returnflag AS g,
+                        COUNT(DISTINCT l_orderkey) AS exact_distinct
+                 FROM lineitem GROUP BY 1)
+          SELECT g AS l_returnflag, exact_distinct,
+                 CAST(${k - 1} AS DOUBLE)
+                   / (CAST(kth AS DOUBLE) / CAST($P AS DOUBLE))
+                   AS est_distinct,
+                 (CAST(${k - 1} AS DOUBLE)
+                   / (CAST(kth AS DOUBLE) / CAST($P AS DOUBLE)))
+                   / CAST(exact_distinct AS DOUBLE) AS est_ratio
+          FROM kth JOIN ex USING (g)"""
+    },
+
+    "q192_cramers_v" ->
+      // densified grid (structural zeros contribute e each);
+      // list_reduce folds left in list order; Spark's aggregate() starts
+      // at 0.0 — adding zero is exact, so the partial-sum sequences match
+      """WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                           COUNT(*) AS o
+                    FROM lineitem GROUP BY 1, 2),
+          dense AS (SELECT ga.a, gb.b, COALESCE(c.o, 0) AS o
+                    FROM (SELECT DISTINCT a FROM c) ga
+                    CROSS JOIN (SELECT DISTINCT b FROM c) gb
+                    LEFT JOIN c ON c.a = ga.a AND c.b = gb.b),
+          ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+          cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+          nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                        COUNT(DISTINCT a) AS nr,
+                        COUNT(DISTINCT b) AS nc
+                 FROM c),
+          t AS (SELECT d.a, d.b, n, nr, nc,
+                       (CAST(d.o AS DOUBLE)
+                        - CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(d.o AS DOUBLE)
+                          - CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS term
+                FROM dense d JOIN ra USING (a) JOIN cb USING (b), nn),
+          f AS (SELECT n AS n_rows, nr, nc,
+                       list_reduce(list(term ORDER BY a, b),
+                                   (x, y) -> x + y) AS chi2
+                FROM t GROUP BY 1, 2, 3)
+          SELECT n_rows, nr, nc, chi2,
+                 sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+                              * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+                   AS cramers_v
+          FROM f""",
   )
 
   private lazy val sessionOverlapSql: String =

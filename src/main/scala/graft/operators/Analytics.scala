@@ -139,6 +139,44 @@ object Analytics {
       .drop("__island")
   }
 
+  /** Cramér's V association strength between two categorical columns —
+    * the log-free cousin of mutual information (MI needs ln(), whose
+    * last-ulp behavior is libm lottery; chi-square is +,×,÷ and one
+    * sqrt, all IEEE-deterministic). Cell counts are exact longs over ONE
+    * hash-agg; the contingency grid is DENSIFIED (distinct-a × distinct-b
+    * with zero fill) because absent combinations contribute (0−e)²/e = e
+    * to the chi-square — dropping them understates association exactly
+    * when it's strongest. Expected cells (ra·cb)/n stay below 2^53 so
+    * the doubles are exact; per-cell terms fold in FIXED (a, b) order
+    * via sort_array+aggregate (a partition-ordered double SUM would be
+    * nondeterministic). Output one row: n_rows, nr, nc, chi2, cramers_v.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val grid = cells.select("a").distinct()
+      .crossJoin(cells.select("b").distinct())
+    val dense = grid.join(cells, Seq("a", "b"), "left").na.fill(0L, Seq("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").as("cb"))
+    val nn = cells.agg(sum("o").as("n"),
+      countDistinct("a").as("nr"), countDistinct("b").as("nc"))
+    val e = (col("ra") * col("cb")).cast("double") / col("n").cast("double")
+    dense.join(ra, "a").join(cb, "b").crossJoin(broadcast(nn))
+      .select(col("a"), col("b"), col("n"), col("nr"), col("nc"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("term"))
+      .groupBy("n", "nr", "nc")
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+        .as("ts"))
+      .select(col("n").cast("long").as("n_rows"), col("nr"), col("nc"),
+        expr("aggregate(ts, cast(0.0 as double), (acc, x) -> acc + x.term)")
+          .as("chi2"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") / (col("n_rows").cast("double") *
+          least(col("nr") - 1, col("nc") - 1).cast("double"))))
+  }
+
   /** Trailing-window z-score anomaly columns over a daily frame: for each
     * day, mean/variance of `valueLongCol` (an INTEGER-quantized metric —
     * the caller picks units coarse enough that Σv and Σv² stay below

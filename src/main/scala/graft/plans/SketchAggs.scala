@@ -41,6 +41,34 @@ object SketchAggs {
     GraftColumnBridge.column(
       HllEstimateAgg(GraftColumnBridge.expression(key), m)
         .toAggregateExpression())
+
+  /** KMV distinct estimate of a long key column — the q38 estimator as a
+    * native aggregate. Unlike Misra–Gries, the k-min-distinct-hash state
+    * is a pure SET function of the input (insertion order cannot change
+    * which k hashes are smallest), so the estimate is bit-deterministic
+    * across partitionings and oracle-verifiable per group. Null when the
+    * group has fewer than k distinct hashes — in that regime an exact
+    * count is cheaper than any sketch (the groupedKmvDistinct contract).
+    */
+  def kmvEstimateAgg(key: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvEstimateAgg(GraftColumnBridge.expression(key), k)
+        .toAggregateExpression())
+
+  /** Misra–Gries top-k candidate summary of a long key column: an array
+    * of (item, lower) counters, at most k entries. The summary SET is
+    * partition-order dependent (inherent to MG), but its GUARANTEE is
+    * not: every item with true frequency > N/(k+1) is present in the
+    * merged summary (Agarwal et al., mergeable summaries) — so the
+    * deterministic consumption pattern is candidates → exact-count join
+    * → threshold filter, which q190 gates. State is O(k) per group
+    * through partial aggregation, vs the full key-cardinality hash-agg
+    * an exact GROUP BY needs on the raw stream.
+    */
+  def misraGriesTopK(key: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MisraGriesTopK(GraftColumnBridge.expression(key), k)
+        .toAggregateExpression())
 }
 
 /** The HLL register buffer is a dense Array[Byte] of length m (rho ≤
@@ -128,4 +156,215 @@ case class HllEstimateAgg(child: Expression, m: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_hll"
+}
+
+/** KMV buffer: the k smallest DISTINCT hashes as a sorted set. Merge is
+  * set union re-truncated to k minima — associative, commutative,
+  * insertion-order free, so unlike MG this aggregate is value-
+  * deterministic under any partitioning.
+  */
+case class KmvEstimateAgg(child: Expression, k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 1, s"KMV needs k > 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv requires an integral key, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.remove(buf.last()); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      // ≡ Sketches.keyHash: (HA·key + HB) mod P
+      insert(buf, (Sketches.HA * key + Sketches.HB) % Sketches.P)
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next().longValue())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) null
+    else {
+      // ≡ Sketches.kmvDistinctEstimate: (k−1) / (kth / P)
+      val kth = buf.last().longValue()
+      (k - 1).toDouble / (kth.toDouble / Sketches.P.toDouble)
+    }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    while (bb.remaining() >= 8) out.add(bb.getLong())
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvEstimateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvEstimateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimateAgg =
+    copy(child = newChild)
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv"
+}
+
+/** Misra–Gries counters: at most k (item → lower-bound count) entries.
+  * update is the classic decrement-all step; merge adds counters then
+  * subtracts the (k+1)-th largest count from every entry and drops the
+  * non-positive (the mergeable-summaries reduction, which preserves the
+  * frequency > N/(k+1) presence guarantee).
+  */
+case class MisraGriesTopK(child: Expression, k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"Misra-Gries needs k > 0, got $k")
+
+  private type Buf = java.util.HashMap[java.lang.Long, java.lang.Long]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_mg requires an integral key, got $other")
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def add(buf: Buf, item: Long, cnt: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) { buf.put(item, cur + cnt); () }
+    else if (buf.size < k) { buf.put(item, cnt); () }
+    else {
+      // decrement-all by the capped amount; drop exhausted counters
+      val it = buf.entrySet().iterator()
+      var minV = Long.MaxValue
+      while (it.hasNext) { val v = it.next().getValue.longValue(); if (v < minV) minV = v }
+      val dec = math.min(cnt, minV)
+      val it2 = buf.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val nv = e.getValue.longValue() - dec
+        if (nv <= 0) it2.remove() else e.setValue(nv)
+      }
+      if (cnt - dec > 0) add(buf, item, cnt - dec)
+    }
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      add(buf, key, 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, if (cur == null) e.getValue
+        else java.lang.Long.valueOf(cur.longValue() + e.getValue.longValue()))
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count, drop non-positive
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next().longValue(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(buf.size - k - 1)
+      val it2 = buf.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val nv = e.getValue.longValue() - cut
+        if (nv <= 0) it2.remove() else e.setValue(nv)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    // sorted by item id so the ARRAY form is canonical for a given
+    // counter map (the map itself is partition-order dependent — see
+    // the object doc for the deterministic consumption pattern)
+    val items = new Array[Long](buf.size)
+    var i = 0
+    val ks = buf.keySet().iterator()
+    while (ks.hasNext) { items(i) = ks.next().longValue(); i += 1 }
+    java.util.Arrays.sort(items)
+    val rows: Array[Any] = items.map(item =>
+      InternalRow(item, buf.get(item).longValue()): Any)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue.longValue())
+    }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val out = new Buf()
+    while (bb.remaining() >= 16) out.put(bb.getLong(), bb.getLong())
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("lower", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_mg"
 }
