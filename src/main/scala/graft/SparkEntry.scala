@@ -208,6 +208,7 @@ object SparkEntry {
     "q190_mg_heavy_hitters"   -> (Queries.mgHeavyHitters _),
     "q191_kmv_native_agg"     -> (Queries.kmvNativeAgg _),
     "q192_cramers_v"          -> (Queries.cramersV _),
+    "q193_session_window"     -> (Queries.sessionWindowAgg _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4545,6 +4546,24 @@ object Queries {
   def cramersV(spark: SparkSession, dir: String): DataFrame =
     Analytics.cramersV(Tables.lineitem(spark, dir),
       "l_returnflag", "l_linestatus")
+
+  // --- q193: Spark's NATIVE session_window aggregation -----------------------------
+  // The built-in session-window operator next to the hand-rolled
+  // machinery (q32's lag/cumsum windows, q127's flatMapGroupsWithState
+  // stream): `session_window(ts, gap)` plans through
+  // UpdatingSessionsIterator + a session-merging aggregate — Spark's own
+  // answer to gap sessionization, and the one that carries straight into
+  // Structured Streaming. Boundary semantics differ from q32 by one
+  // epsilon (a new session opens at gap ≥ 6h, vs q32's strict >;
+  // window end = last event + gap) — the oracle reproduces the
+  // session_window contract, not q32's. Decimal-exact value sums.
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7736,6 +7755,27 @@ object Oracles {
                               * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
                    AS cramers_v
           FROM f""",
+
+    "q193_session_window" ->
+      // session_window's contract: a new session opens when the gap
+      // REACHES the duration (>=, unlike q32's strict >); window end =
+      // last event + gap
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+          s AS (SELECT user_id, ts, value,
+                  SUM(CASE WHEN gap >= ${Queries.SessionGapMicros}
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seq
+                FROM e)
+          SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 6 HOUR AS session_end,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+          FROM s GROUP BY user_id, seq""",
   )
 
   private lazy val sessionOverlapSql: String =
