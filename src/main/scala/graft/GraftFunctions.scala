@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.Lsh
-import graft.plans.{DistinctNGrams, HllEstimateAgg, KmvEstimateAgg, MinHashSig, MisraGriesTopK, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
+import graft.plans.{CmsCountersAgg, DistinctNGrams, HllEstimateAgg, KmvEstimateAgg, MinHashSig, MisraGriesTopK, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
 
 /** SQL surface for the graft kernels: every custom expression is callable
   * from `spark.sql(...)` as `graft_*`, so SQL-first users of the library
@@ -36,7 +36,9 @@ object GraftFunctions {
     // returns the function itself
     "graft_hll"         -> (args => HllEstimateAgg(args(0), lit2Int(args(1), "graft_hll m"))),
     "graft_kmv"         -> (args => KmvEstimateAgg(args(0), lit2Int(args(1), "graft_kmv k"))),
-    "graft_mg"          -> (args => MisraGriesTopK(args(0), lit2Int(args(1), "graft_mg k"))))
+    "graft_mg"          -> (args => MisraGriesTopK(args(0), lit2Int(args(1), "graft_mg k"))),
+    "graft_cms"         -> (args => CmsCountersAgg(args(0),
+      lit2Int(args(1), "graft_cms depth"), lit2Int(args(2), "graft_cms width"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -209,6 +209,7 @@ object SparkEntry {
     "q191_kmv_native_agg"     -> (Queries.kmvNativeAgg _),
     "q192_cramers_v"          -> (Queries.cramersV _),
     "q193_session_window"     -> (Queries.sessionWindowAgg _),
+    "q194_cms_native_agg"     -> (Queries.cmsNativeAgg _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4564,6 +4565,32 @@ object Queries {
         sum(dec2(col("value"))).cast("double").as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  // --- q194: q94's CMS report through the NATIVE additive aggregate ----------------
+  // Fourth member of the native sketch-aggregate family (HLL max / KMV
+  // k-min / MG counters / CMS additive): the depth×width grid rides
+  // partial aggregation as ONE long[] buffer per partition — the explode
+  // ×depth + shuffle of the frame form collapses to a vector-add merge.
+  // Non-zero cells come back as exactly the cmsCounters frame, so the
+  // report (head words' exact counts vs CMS estimates) and its oracle
+  // are IDENTICAL to q94's — the gate proves the two construction paths
+  // agree cell-for-cell.
+  def cmsNativeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+    val fp = graft.plans.VectorExprs.polyFingerprint(col("word"))
+    val counters = words
+      .agg(graft.plans.SketchAggs.cmsCountersAgg(fp, CmsDepth, CmsWidth).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.d").as("d"), col("c.bucket").as("bucket"),
+        col("c.cnt").as("cnt"))
+    val top = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(CmsTopK)
+    graft.functions.Sketches.cmsEstimates(top, fp, counters,
+        CmsDepth, CmsWidth, "cms_est")
+      .withColumn("overcount", col("cms_est") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5210,33 +5237,9 @@ object Oracles {
               AND aa.list = bb.list AND a.vec_id < b.vec_id)
           WHERE cos >= ${Queries.CosineThreshold}""",
 
-    "q94_cms_heavy_hitters" -> {
-      import graft.functions.{Lsh, Sketches}
-      val d = Queries.CmsDepth
-      val wdt = Queries.CmsWidth
-      val buckets = (0 until d).map(i =>
-        s"((${Lsh.A(i)} * f + ${Lsh.B(i)}) % ${Sketches.P}) % $wdt AS b$i").mkString(", ")
-      s"""WITH w AS (SELECT unnest($ws) AS word FROM documents),
-          fp AS (SELECT word, ${fpSql("word")} AS f FROM w),
-          cells AS (SELECT word, $buckets FROM fp),
-          counters AS (
-            SELECT d, bucket, COUNT(*) AS cnt FROM (
-              ${(0 until d).map(i => s"SELECT $i AS d, b$i AS bucket FROM cells")
-                .mkString(" UNION ALL ")})
-            GROUP BY 1, 2),
-          top AS (SELECT word, COUNT(*) AS exact_n FROM w GROUP BY 1
-                  ORDER BY exact_n DESC, word LIMIT ${Queries.CmsTopK}),
-          est AS (SELECT t.word, t.exact_n, MIN(c.cnt) AS cms_est
-                  FROM top t
-                  JOIN (SELECT DISTINCT word, ${(0 until d).map(i => s"b$i")
-                          .mkString(", ")} FROM cells) x ON t.word = x.word
-                  JOIN counters c ON (
-                    ${(0 until d).map(i => s"(c.d = $i AND c.bucket = x.b$i)")
-                      .mkString(" OR ")})
-                  GROUP BY 1, 2)
-          SELECT word, exact_n, cms_est, cms_est - exact_n AS overcount
-          FROM est"""
-    },
+    // q194 runs the SAME report with counters built by the native
+    // additive aggregate — identical cells, identical oracle
+    "q94_cms_heavy_hitters" -> cmsHeavySql,
 
     "q97_copurchase_similarity" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
@@ -7776,7 +7779,41 @@ object Oracles {
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_value
           FROM s GROUP BY user_id, seq""",
+
+    "q194_cms_native_agg" -> cmsHeavySql,
   )
+
+  /** The CMS heavy-hitter report (shared by q94's frame path and q194's
+    * native-aggregate path — the counter cells are identical by the
+    * additive algebra, so one oracle gates both construction paths).
+    */
+  private lazy val cmsHeavySql: String = {
+    import graft.functions.{Lsh, Sketches}
+    val d = Queries.CmsDepth
+    val wdt = Queries.CmsWidth
+    val buckets = (0 until d).map(i =>
+      s"((${Lsh.A(i)} * f + ${Lsh.B(i)}) % ${Sketches.P}) % $wdt AS b$i").mkString(", ")
+    s"""WITH w AS (SELECT unnest($ws) AS word FROM documents),
+        fp AS (SELECT word, ${fpSql("word")} AS f FROM w),
+        cells AS (SELECT word, $buckets FROM fp),
+        counters AS (
+          SELECT d, bucket, COUNT(*) AS cnt FROM (
+            ${(0 until d).map(i => s"SELECT $i AS d, b$i AS bucket FROM cells")
+              .mkString(" UNION ALL ")})
+          GROUP BY 1, 2),
+        top AS (SELECT word, COUNT(*) AS exact_n FROM w GROUP BY 1
+                ORDER BY exact_n DESC, word LIMIT ${Queries.CmsTopK}),
+        est AS (SELECT t.word, t.exact_n, MIN(c.cnt) AS cms_est
+                FROM top t
+                JOIN (SELECT DISTINCT word, ${(0 until d).map(i => s"b$i")
+                        .mkString(", ")} FROM cells) x ON t.word = x.word
+                JOIN counters c ON (
+                  ${(0 until d).map(i => s"(c.d = $i AND c.bucket = x.b$i)")
+                    .mkString(" OR ")})
+                GROUP BY 1, 2)
+        SELECT word, exact_n, cms_est, cms_est - exact_n AS overcount
+        FROM est"""
+  }
 
   private lazy val sessionOverlapSql: String =
       s"""WITH e AS (SELECT user_id, event_id, ts,

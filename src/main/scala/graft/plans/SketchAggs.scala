@@ -55,6 +55,20 @@ object SketchAggs {
       KmvEstimateAgg(GraftColumnBridge.expression(key), k)
         .toAggregateExpression())
 
+  /** Count-min-sketch counters of a fingerprint column as a single
+    * aggregate: the depth×width integer grid rides partial aggregation
+    * (one long[] buffer per partition, vector-add merge — the additive
+    * algebra, fourth member of the native sketch family next to HLL's
+    * max, KMV's k-min and MG's counters). Returns the NON-ZERO cells as
+    * (d, bucket, cnt) structs — exactly the `Sketches.cmsCounters` frame
+    * — so `cmsEstimates` consumes either form interchangeably. Fully
+    * deterministic (integer adds are order-free).
+    */
+  def cmsCountersAgg(keyFp: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CmsCountersAgg(GraftColumnBridge.expression(keyFp), depth, width)
+        .toAggregateExpression())
+
   /** Misra–Gries top-k candidate summary of a long key column: an array
     * of (item, lower) counters, at most k entries. The summary SET is
     * partition-order dependent (inherent to MG), but its GUARANTEE is
@@ -367,4 +381,96 @@ case class MisraGriesTopK(child: Expression, k: Int,
     StructField("item", LongType, nullable = false),
     StructField("lower", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_mg"
+}
+
+/** CMS buffer: dense Array[Long] of depth·width cells; merge is a
+  * vector add. Bucket arithmetic ≡ Sketches.cmsBucket on the shared
+  * affine row hashes (`Lsh.A(d)`, `Lsh.B(d)` mod P mod width).
+  */
+case class CmsCountersAgg(child: Expression, depth: Int, width: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth > 0 && width > 0, s"CMS needs positive depth/width: $depth x $width")
+  require(depth <= graft.functions.Lsh.A.length,
+    s"CMS depth $depth exceeds the shared hash family")
+
+  private val as = (0 until depth).map(graft.functions.Lsh.A).toArray
+  private val bs = (0 until depth).map(graft.functions.Lsh.B).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cms requires an integral fingerprint, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val fp = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      var d = 0
+      while (d < depth) {
+        val bucket = (((as(d) * fp + bs(d)) % Sketches.P) % width).toInt
+        buffer(d * width + bucket) += 1
+        d += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer[Any]()
+    var d = 0
+    while (d < depth) {
+      var b = 0
+      while (b < width) {
+        val c = buffer(d * width + b)
+        if (c != 0L) rows += InternalRow(d, b.toLong, c)
+        b += 1
+      }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    val out = new Array[Long](storage.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsCountersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsCountersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsCountersAgg =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cms"
 }

@@ -89,6 +89,41 @@ class Round11cSpec extends AnyFunSuite {
     assert(v(ind) == 0.0)
   }
 
+  test("CMS native aggregate emits exactly the frame path's counter cells") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalysis.words(col("text"))).as("word"))
+    val fp = graft.plans.VectorExprs.polyFingerprint(col("word"))
+    val viaFrame = graft.functions.Sketches
+      .cmsCounters(words, fp, Queries.CmsDepth, Queries.CmsWidth)
+      .as[(Int, Long, Long)].collect().toSet
+    val viaAgg = words
+      .agg(SketchAggs.cmsCountersAgg(fp, Queries.CmsDepth, Queries.CmsWidth).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.d"), col("c.bucket"), col("c.cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(viaAgg == viaFrame,
+      s"extra=${viaAgg -- viaFrame}, missing=${viaFrame -- viaAgg}")
+    // additive determinism: a different partitioning sums to the same grid
+    val viaAgg2 = words.repartition(7)
+      .agg(SketchAggs.cmsCountersAgg(fp, Queries.CmsDepth, Queries.CmsWidth).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.d"), col("c.bucket"), col("c.cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(viaAgg2 == viaFrame)
+  }
+
+  test("graft_cms is callable from SQL text") {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_cms_spec")
+    val cells = spark.sql(
+      s"SELECT graft_cms(l_orderkey, ${Queries.CmsDepth}, ${Queries.CmsWidth}) AS cs FROM li_cms_spec")
+      .select(explode(col("cs")).as("c"))
+    assert(cells.count() > 0)
+    // every row lands in exactly depth cells: total mass = depth x rows
+    val mass = cells.select(sum(col("c.cnt"))).as[Long].head()
+    assert(mass == Queries.CmsDepth * Tables.lineitem(spark, sf).count())
+  }
+
   test("q190 output equals the plain exact heavy-hitter query") {
     val got = Queries.mgHeavyHitters(spark, sf)
       .select("event_type", "n_events").as[(String, Long)].collect().toSet
