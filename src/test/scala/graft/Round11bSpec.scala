@@ -100,6 +100,13 @@ class Round11bSpec extends AnyFunSuite {
     assert(hit.toSeq == Seq(1.0), s"lossless path missed the duplicate: got ${hit.toSeq}")
   }
 
+  test("q188 plan: prefix join is an equi-join on tokens, never a cartesian") {
+    val p = Queries.prefixJaccard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated:\n$p")
+  }
+
   // --- native HLL aggregate -------------------------------------------------------
 
   test("native HLL aggregate is bit-identical to the register-frame estimator") {
