@@ -210,6 +210,7 @@ object SparkEntry {
     "q192_cramers_v"          -> (Queries.cramersV _),
     "q193_session_window"     -> (Queries.sessionWindowAgg _),
     "q194_cms_native_agg"     -> (Queries.cmsNativeAgg _),
+    "q195_revenue_trend"      -> (Queries.revenueTrend _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4591,6 +4592,48 @@ object Queries {
       .withColumn("overcount", col("cms_est") - col("exact_n"))
       .orderBy(col("exact_n").desc, col("word"))
   }
+
+  // --- q195: per-group OLS revenue trend (exact integer moments) -------------------
+  // Least-squares slope/intercept/R² of daily revenue against the day
+  // number, per return flag — the trend statistic a KPI dashboard fits.
+  // NOT Spark's regr_slope/corr (their double partial-sums are
+  // partition-order dependent): the five moments Σx, Σy, Σxy, Σx², Σy²
+  // accumulate as EXACT int64 over kilodollar-quantized daily revenue
+  // (the q93 quantize-then-moment recipe; every product and the n·Σ
+  // cross terms stay far below int64), and doubles appear only in the
+  // final fixed-shape slope/intercept/R² expressions — so both engines
+  // round the same int64 values through the same IEEE ops. Thin or
+  // variance-free groups yield nulls, not divide-by-zero.
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .select(col("l_returnflag"),
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("rev_dec").cast("double") / lit(AnomalyUnit))
+          .cast("long").as("y"))
+    val m = daily.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val dXY = col("n_days") * col("sxy") - col("sx") * col("sy")
+    val dXX = col("n_days") * col("sxx") - col("sx") * col("sx")
+    val dYY = col("n_days") * col("syy") - col("sy") * col("sy")
+    val slope = dXY.cast("double") / dXX.cast("double")
+    m.select(col("l_returnflag"), col("n_days"),
+        when(col("n_days") >= 2 && dXX > 0, slope).as("slope_ku_per_day"),
+        when(col("n_days") >= 2 && dXX > 0,
+          (col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n_days").cast("double")).as("intercept_ku"),
+        when(col("n_days") >= 2 && dXX > 0 && dYY > 0,
+          (dXY.cast("double") * dXY.cast("double"))
+            / (dXX.cast("double") * dYY.cast("double"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7781,6 +7824,47 @@ object Oracles {
           FROM s GROUP BY user_id, seq""",
 
     "q194_cms_native_agg" -> cmsHeavySql,
+
+    "q195_revenue_trend" ->
+      // moments as exact BIGINTs; doubles only in the final fixed-shape
+      // slope/intercept/R² (identical int64→double roundings)
+      s"""WITH daily AS (
+            SELECT l_returnflag,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS x,
+                   CAST(floor(CAST(SUM($discTerm) AS DOUBLE)
+                              / ${Queries.AnomalyUnit}) AS BIGINT) AS y
+            FROM lineitem GROUP BY 1, 2),
+          m AS (
+            SELECT l_returnflag, COUNT(*) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM daily GROUP BY 1),
+          d AS (
+            SELECT l_returnflag, n_days,
+                   n_days * sxy - sx * sy AS dxy,
+                   n_days * sxx - sx * sx AS dxx,
+                   n_days * syy - sy * sy AS dyy,
+                   sx, sy
+            FROM m)
+          SELECT l_returnflag, n_days,
+                 CASE WHEN n_days >= 2 AND dxx > 0
+                      THEN CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE)
+                 END AS slope_ku_per_day,
+                 CASE WHEN n_days >= 2 AND dxx > 0
+                      THEN (CAST(sy AS DOUBLE)
+                            - (CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                              * CAST(sx AS DOUBLE))
+                           / CAST(n_days AS DOUBLE)
+                 END AS intercept_ku,
+                 CASE WHEN n_days >= 2 AND dxx > 0 AND dyy > 0
+                      THEN (CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE))
+                           / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
+                 END AS r2
+          FROM d""",
   )
 
   /** The CMS heavy-hitter report (shared by q94's frame path and q194's
