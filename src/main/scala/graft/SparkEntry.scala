@@ -211,6 +211,7 @@ object SparkEntry {
     "q193_session_window"     -> (Queries.sessionWindowAgg _),
     "q194_cms_native_agg"     -> (Queries.cmsNativeAgg _),
     "q195_revenue_trend"      -> (Queries.revenueTrend _),
+    "q196_weighted_median"    -> (Queries.weightedMedian _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4634,6 +4635,70 @@ object Queries {
             / (dXX.cast("double") * dYY.cast("double"))).as("r2"))
       .orderBy("l_returnflag")
   }
+
+  // --- q196: weighted median ------------------------------------------------------
+  // The quantity-WEIGHTED median price per return flag — the quantile
+  // primitive where each row counts `w` times (exact percentiles q68
+  // weight every row once; sketch quantiles q88 bin first). Definition:
+  // under the total order (value, keys), the first row whose running
+  // weight reaches half the total — integer cross-multiplication
+  // (2·cw ≥ tw, weights exact longs) so no 0.5-boundary float ever
+  // decides.
+  //
+  // Scale shape (the first draft's per-group window sorted ENTIRE
+  // groups — with 3 return flags that is three single-task sorts of
+  // n/3 rows each, measured near-linear 1.2→21 s at 30×): value-bucket
+  // decomposition instead. (1) per-(group, bucket) weight cells — one
+  // hash-agg, fully distributed; (2) per-group cumulative over the tiny
+  // O(buckets) frame finds the CROSSING BUCKET and the cumulative
+  // weight strictly below it; (3) only that bucket's rows (≈ rows ÷
+  // buckets) are sorted to locate the crossing row. Bucket = floor(v /
+  // 2^11): the divisor is a POWER OF TWO, so the decimal→double cast
+  // (≤15 significant digits, exact) followed by the division is exact
+  // and the floor is engine-portable; bucket count is the scale knob.
+  // Qualifying rows form a SUFFIX of the order (cw nondecreasing), so
+  // min(value) over them IS the crossing value — no second window. The
+  // oracle keeps the one-window definitional form; the gate proves the
+  // decomposition equals it.
+  val WmBucketWidth = 2048.0
+
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), dec2(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket",
+        floor(col("v").cast("double") / lit(WmBucketWidth)).cast("long"))
+    val cells = li.groupBy("g", "bucket").agg(sum("w").as("bw"))
+    val wB = Window.partitionBy("g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cb", sum(col("bw")).over(wB))
+    val tot = cells.groupBy("g").agg(sum("bw").as("tw"))
+    val bstar = cum.join(tot, "g")
+      .filter(lit(2) * col("cb") >= col("tw"))
+      .groupBy("g", "tw").agg(min(col("bucket")).as("bstar"))
+    // the crossing bucket's own cumulative minus its weight = the exact
+    // running weight carried INTO the bucket (aliased: cum and bstar
+    // share the cells lineage, so bare columns would be ambiguous)
+    val c2 = cum.alias("c2")
+    val b2 = bstar.alias("b2")
+    val entry = c2.join(b2,
+        col("c2.g") === col("b2.g") && col("c2.bucket") === col("b2.bstar"))
+      .select(col("b2.g").as("g"), col("b2.tw").as("tw"),
+        col("b2.bstar").as("bstar"),
+        (col("c2.cb") - col("c2.bw")).as("below"))
+    val wIn = Window.partitionBy("g")
+      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.join(broadcast(entry), Seq("g"))
+      .filter(col("bucket") === col("bstar"))
+      .withColumn("cw", col("below") + sum(col("w")).over(wIn))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy(col("g").as("l_returnflag"), col("tw").as("total_weight"))
+      .agg(min(col("v")).cast("double").as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7865,6 +7930,26 @@ object Oracles {
                            / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
                  END AS r2
           FROM d""",
+
+    "q196_weighted_median" ->
+      // qualifying rows are a suffix of the (v, keys) order, so MIN(v)
+      // over them is the crossing value; 2·cw ≥ tw keeps the half-weight
+      // test in exact integers
+      """WITH li AS (SELECT l_returnflag AS g,
+                            CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                            CAST(l_quantity AS BIGINT) AS w,
+                            l_orderkey AS ok, l_linenumber AS ln
+                     FROM lineitem),
+          c AS (SELECT g, v,
+                       SUM(w) OVER (PARTITION BY g ORDER BY v, ok, ln
+                                    ROWS UNBOUNDED PRECEDING) AS cw
+                FROM li),
+          t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM li GROUP BY 1)
+          SELECT c.g AS l_returnflag, t.tw AS total_weight,
+                 CAST(MIN(v) AS DOUBLE) AS weighted_median
+          FROM c JOIN t ON c.g = t.g
+          WHERE 2 * cw >= tw
+          GROUP BY 1, 2""",
   )
 
   /** The CMS heavy-hitter report (shared by q94's frame path and q194's
