@@ -124,6 +124,13 @@ class Round11cSpec extends AnyFunSuite {
     assert(mass == Queries.CmsDepth * Tables.lineitem(spark, sf).count())
   }
 
+  test("every registered query has a DuckDB oracle (full-strength gate, no silent rows-only fallback)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+  }
+
   test("q190 output equals the plain exact heavy-hitter query") {
     val got = Queries.mgHeavyHitters(spark, sf)
       .select("event_type", "n_events").as[(String, Long)].collect().toSet
