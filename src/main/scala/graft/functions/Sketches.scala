@@ -17,8 +17,14 @@ object Sketches {
   val HA: Long = 2654435761L
   val HB: Long = 1013904223L
 
-  /** Portable uniform-ish hash of a long key into [0, P). */
-  def keyHash(key: Column): Column = (lit(HA) * key + lit(HB)) % lit(P)
+  /** Portable uniform-ish hash of a long key into [0, P). `pmod`, not
+    * `%`: `%` keeps the dividend's sign, so negative keys would emit
+    * negative "hashes" that silently corrupt every downstream order
+    * statistic / register index. pmod ≡ % on the non-negative domain
+    * (oracle arithmetic unchanged) and total on the rest — the same rule
+    * the native SketchAggs apply with java.lang.Math.floorMod.
+    */
+  def keyHash(key: Column): Column = pmod(lit(HA) * key + lit(HB), lit(P))
 
   /** K-minimum-values distinct-count estimate: with m = the k-th smallest
     * distinct hash (normalized to (0,1]), the estimator is (k-1)/m.
@@ -145,7 +151,10 @@ object Sketches {
     * (A, fp < P ≈ 2^30), every step is integer — identical in any engine.
     */
   def cmsBucket(fp: Column, d: Int, width: Int): Column =
-    ((lit(Lsh.A(d)) * fp + lit(Lsh.B(d))) % lit(P)) % lit(width)
+    // inner pmod keeps the bucket total on out-of-range (negative)
+    // fingerprints — ≡ % on the documented [0, P) domain; the outer %
+    // then operates on a provably non-negative value
+    pmod(lit(Lsh.A(d)) * fp + lit(Lsh.B(d)), lit(P)) % lit(width)
 
   /** Count-min sketch counters over a key column: `depth × width` integer
     * cells as a (d, bucket, cnt) frame — ONE pass over the data (each row

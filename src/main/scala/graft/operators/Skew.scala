@@ -37,17 +37,33 @@ object Skew {
     * every real fact table does), since fully identical rows necessarily
     * share a salt.
     */
-  /** The salt assignment itself (content hash of every `fact` column) —
-    * public so specs can pin its recompute-determinism directly.
+  /** The salt assignment itself — public so specs can pin its
+    * recompute-determinism directly. `saltCols` names the columns whose
+    * content distinguishes rows (an event/line id); empty means "hash
+    * every column". The caveat with the full-row default: FULLY IDENTICAL
+    * rows necessarily share a salt, so on a duplicate-heavy fact the hot
+    * key's clones collapse onto one shard and the mitigation silently
+    * degrades — which is why `saltedJoin` takes the distinguishing
+    * columns EXPLICITLY instead of leaving that as an undocumented
+    * caller obligation.
     */
-  def saltExpr(fact: DataFrame, salts: Int): Column =
-    pmod(xxhash64(fact.columns.map(col).toIndexedSeq :+ lit(SaltSeed): _*),
-      lit(salts.toLong))
+  def saltExpr(fact: DataFrame, salts: Int,
+               saltCols: Seq[String] = Nil): Column = {
+    val cols = if (saltCols.nonEmpty) saltCols.map(col)
+      else fact.columns.map(col).toIndexedSeq
+    pmod(xxhash64(cols :+ lit(SaltSeed): _*), lit(salts.toLong))
+  }
 
+  /** @param saltCols columns that (together) distinguish the fact's rows
+    *   — a line/event id; every real fact table has one. Passing them is
+    *   what guarantees uniform salt spread even when rows are otherwise
+    *   identical. Empty falls back to hashing the full row, documented
+    *   above to degrade on exact-duplicate rows.
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn(SaltCol, saltExpr(fact, salts))
+    val saltedFact = fact.withColumn(SaltCol, saltExpr(fact, salts, saltCols))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(replicatedDim, Seq(key, SaltCol)).drop(SaltCol)

@@ -29,9 +29,16 @@ object Triangles {
     * unordered pair present once, endpoints distinct): node/edge/wedge/
     * triangle counts and the global clustering coefficient
     * 3·triangles / wedges (null on a wedge-free graph).
+    *
+    * Edges are canonicalized internally to (least, greatest) — callers
+    * may store each unordered pair in either orientation. Without this
+    * the closing-edge semi-join (which probes at the canonical
+    * representation) would silently miss triangles whose closing edge
+    * arrived as (b, a) with a < b.
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    val e = edges.select(least(col(aCol), col(bCol)).as("x"),
+      greatest(col(aCol), col(bCol)).as("y"))
     val deg = e.select(col("x").as("n"))
       .unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

@@ -117,8 +117,15 @@ case class HllEstimateAgg(child: Expression, m: Int,
         case l: java.lang.Long    => l.longValue()
         case i: java.lang.Integer => i.longValue()
       }
-      // identical to Sketches.hllHash(keyHash(k)): affine then cube mod P
-      val h0 = (Sketches.HA * k + Sketches.HB) % Sketches.P
+      // identical to Sketches.hllHash(keyHash(k)): affine then cube mod P.
+      // floorMod, not %: `%` keeps the dividend's sign, so a negative key
+      // (or one past ~2^63/HA, where HA·k wraps) yields a negative h and
+      // buffer(h % m) is an AIOOBE that kills the whole query — graft_hll
+      // is a public SQL aggregate over ANY integral column, so the hash
+      // must be total. floorMod ≡ % on the non-negative non-wrapping
+      // domain (bit-identity with the oracle-gated arithmetic preserved),
+      // and maps the rest of the long domain into [0, P) deterministically.
+      val h0 = java.lang.Math.floorMod(Sketches.HA * k + Sketches.HB, Sketches.P)
       val h = ((h0 * h0) % Sketches.P * h0) % Sketches.P
       val idx = (h % m).toInt
       val rest = h >> p
@@ -209,8 +216,12 @@ case class KmvEstimateAgg(child: Expression, k: Int,
         case l: java.lang.Long    => l.longValue()
         case i: java.lang.Integer => i.longValue()
       }
-      // ≡ Sketches.keyHash: (HA·key + HB) mod P
-      insert(buf, (Sketches.HA * key + Sketches.HB) % Sketches.P)
+      // ≡ Sketches.keyHash: (HA·key + HB) mod P — floorMod so negative /
+      // wrapping keys hash into [0, P) instead of poisoning the k-min
+      // order statistic with negative "hashes" (same totality rule as
+      // HllEstimateAgg; bit-identical on the non-negative domain)
+      insert(buf, java.lang.Math.floorMod(Sketches.HA * key + Sketches.HB,
+        Sketches.P))
     }
     buf
   }
@@ -417,7 +428,12 @@ case class CmsCountersAgg(child: Expression, depth: Int, width: Int,
       }
       var d = 0
       while (d < depth) {
-        val bucket = (((as(d) * fp + bs(d)) % Sketches.P) % width).toInt
+        // floorMod: graft_cms accepts ANY integral fingerprint column, so
+        // a negative fp (out of polyFingerprint's [0,P) range) must land
+        // in a real bucket, not index buffer(-n) and crash the query.
+        // Identical to % on the documented [0, P) domain.
+        val bucket = (java.lang.Math.floorMod(as(d) * fp + bs(d),
+          Sketches.P) % width).toInt
         buffer(d * width + bucket) += 1
         d += 1
       }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Medallion
+import graft.sources.Snapshots
+
+/** Round-12 fault drills (VERDICT r11 items 4-5): the commit protocol
+  * raced through the REGISTERED-claim path (the conditional-put route
+  * every object-store deployment takes — the prior storms all exercised
+  * the local `link(2)` claim), and a crash injected between
+  * write-new-snapshot and publish-pointer at the MEDALLION level,
+  * proving the pipeline converges to the never-crashed state and gc
+  * reaps the orphan without ever stranding the winner.
+  */
+class Round12FaultSpec extends AnyFunSuite {
+  import TestSession._
+
+  // --- concurrent writers through a registered conditional-put claim ------------
+
+  test("OCC storm through a registered claim: one winner per version, losers retry, nothing lost") {
+    import spark.implicits._
+    // Simulated store-side conditional put (S3 If-None-Match / GCS
+    // generation-match-0): the if-absent check and the content landing
+    // are one atom, here provided by a lock standing in for the store's
+    // server-side atomicity. Registered on "file" it takes precedence
+    // over the built-in link(2) claim, so the whole protocol runs the
+    // object-store route.
+    val lock = new Object
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    Snapshots.registerClaim("file", (fs, tmp, dst) => lock.synchronized {
+      attempts.incrementAndGet()
+      if (fs.exists(dst)) false
+      else if (fs.rename(tmp, dst)) { wins.add(dst.toString); true }
+      else false
+    })
+    try {
+      val target = TestSession.tempDir("graft_claim_storm") + "/t"
+      Snapshots.mergeCommitBuckets(Seq((0L, "seed")).toDF("id", "v"), target,
+        Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers = (0 until 4).map { w =>
+        new Thread(() => {
+          try (0 until 2).foreach { c =>
+            // even/odd writers share keys → overlapping bucket ownership
+            val rows = (0 until 4).map(i => ((i * 2 + w % 2).toLong, s"w$w-c$c-$i"))
+            Snapshots.mergeCommitBuckets(rows.toDF("id", "v"), target,
+              Seq("id"), 4)(identity)((b, u) => b.unionByName(u))
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      assert(failures.isEmpty, s"writer failed through the custom claim: ${failures.peek()}")
+      // exactly one winner per version: every won dst is distinct
+      val wonVersions = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(wins).asScala.toSeq
+      assert(wonVersions.distinct.size == wonVersions.size,
+        s"two writers won one version: $wonVersions")
+      // losers retried (the storm is contended enough that at least one
+      // claim attempt must have lost) and re-merged cleanly: every
+      // writer's every row landed
+      assert(attempts.get() > wonVersions.size,
+        "storm was uncontended — claim race never exercised")
+      val got = Snapshots.read(spark, target)
+        .select("id", "v").as[(Long, String)].collect().toSet
+      val want = Set(0L -> "seed") ++ (for {
+        w <- 0 until 4; c <- 0 until 2; i <- 0 until 4
+      } yield (i * 2 + w % 2).toLong -> s"w$w-c$c-$i")
+      assert(got == want, s"lost updates through the custom claim: ${want -- got}")
+    } finally Snapshots.unregisterClaim("file")
+  }
+
+  // --- crash between write-new and publish-pointer, at the pipeline level --------
+
+  test("medallion crash mid-commit: rerun equals the never-crashed run; gc reaps the orphan") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val specs = Seq(Medallion.TableSpec("events", Seq("user_id"), "ts",
+      tieCols = Seq("event_id"), scdType = 1, buckets = 4))
+    val src = (_: String) => ev
+    // four watermarks splitting the event stream into slices — enough
+    // post-crash commits that the orphan's staged version ages below the
+    // gc retention window (reaping is version-driven, not clock-driven)
+    val ts = ev.select(col("ts").cast("long")).orderBy("ts")
+      .as[Long].collect()
+    val cut = Seq(ts(ts.length / 4), ts(ts.length / 2),
+        ts(3 * ts.length / 4), ts.last)
+      .map(s => new java.sql.Timestamp(s * 1000L))
+
+    val crashed = TestSession.tempDir("graft_crash") + "/state"
+    val clean = TestSession.tempDir("graft_clean") + "/state"
+    Medallion.run(spark, specs, src, crashed, cut(0))
+    Medallion.run(spark, specs, src, clean, cut(0))
+
+    // CRASH INJECTION: a run-2 writer dies AFTER staging its new gold
+    // snapshot but BEFORE the manifest publish — the window between
+    // write-new and publish-pointer. Its debris: a fully written but
+    // unreferenced snapshot dir, plus a torn manifest tmp.
+    val goldPath = s"$crashed/gold/events"
+    val slice2 = ev.filter(col("ts") > lit(cut(0)) && col("ts") <= lit(cut(1)))
+    val orphan = Snapshots.writeBucketSnapshot(
+      graft.operators.Dedup.latestByKey(slice2, Seq("user_id"),
+          Seq("ts", "event_id"))
+        .withColumn(Snapshots.BucketCol,
+          Snapshots.bucketOf(Seq("user_id"), 4)),
+      goldPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    // the torn manifest tmp carries the version the crashed writer was
+    // claiming (current+1 at crash time) — the shape a real crash leaves
+    val crashVersion = Snapshots.currentVersion(spark, goldPath).get + 1
+    val tornTmp = new org.apache.hadoop.fs.Path(
+      f"$goldPath%s/_manifests/.tmp-$crashVersion%08d-deadbeef")
+    val out = fs.create(tornTmp, true)
+    try out.write("torn".getBytes("UTF-8")) finally out.close()
+    val orphanName = orphan.takeWhile(_ != '/')
+
+    // a reader between the crash and the rerun sees only run-1 state —
+    // the staged-but-unpublished snapshot is invisible by protocol
+    assert(Snapshots.read(spark, goldPath).count() ==
+      Snapshots.read(spark, s"$clean/gold/events").count(),
+      "staged-but-unpublished snapshot leaked into readers")
+
+    // reruns proceed normally on both stores
+    Seq(cut(1), cut(2), cut(3)).foreach { hw =>
+      Medallion.run(spark, specs, src, crashed, hw)
+      Medallion.run(spark, specs, src, clean, hw)
+    }
+    val gotGold = Snapshots.read(spark, goldPath)
+      .select("user_id", "event_id", "ts")
+    val expGold = Snapshots.read(spark, s"$clean/gold/events")
+      .select("user_id", "event_id", "ts")
+    assert(gotGold.exceptAll(expGold).count() == 0 &&
+      expGold.exceptAll(gotGold).count() == 0,
+      "crashed-and-rerun gold diverged from the never-crashed run")
+    // watermark store consistent with the clean twin
+    val wmCrashed = new Medallion.WatermarkStore(spark, s"$crashed/_watermarks").snapshot()
+    val wmClean = new Medallion.WatermarkStore(spark, s"$clean/_watermarks").snapshot()
+    assert(wmCrashed == wmClean, s"watermarks diverged: $wmCrashed vs $wmClean")
+
+    // gc: the orphaned snapshot dir and torn tmp age out of the retention
+    // window as versions advance (bounded, deterministic garbage) — and
+    // the WINNER's current state is untouched by the reaping
+    Snapshots.gc(spark, goldPath)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(goldPath))
+      .map(_.getPath.getName).filter(_ == orphanName)
+    assert(leftovers.isEmpty,
+      s"crashed writer's staged dir survived gc past its window: $orphanName")
+    assert(!fs.exists(tornTmp),
+      "torn manifest tmp survived gc past its window")
+    assert(gotGold.exceptAll(expGold).count() == 0,
+      "gc of the orphan disturbed the winner's state")
+  }
+}
