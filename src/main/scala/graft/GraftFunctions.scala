@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.Lsh
-import graft.plans.{CmsCountersAgg, DistinctNGrams, HllEstimateAgg, KmvEstimateAgg, MinHashSig, MisraGriesTopK, NfcCaseFold, PolyFingerprint, SimHash, VecDot}
+import graft.plans.{CmsCountersAgg, DamerauLevenshtein, DistinctNGrams, HllEstimateAgg, KmvEstimateAgg, MinHashSig, MisraGriesTopK, NfcCaseFold, PolyFingerprint, SimHash, TopKPairsAgg, VecDot}
 
 /** SQL surface for the graft kernels: every custom expression is callable
   * from `spark.sql(...)` as `graft_*`, so SQL-first users of the library
@@ -38,7 +38,10 @@ object GraftFunctions {
     "graft_kmv"         -> (args => KmvEstimateAgg(args(0), lit2Int(args(1), "graft_kmv k"))),
     "graft_mg"          -> (args => MisraGriesTopK(args(0), lit2Int(args(1), "graft_mg k"))),
     "graft_cms"         -> (args => CmsCountersAgg(args(0),
-      lit2Int(args(1), "graft_cms depth"), lit2Int(args(2), "graft_cms width"))))
+      lit2Int(args(1), "graft_cms depth"), lit2Int(args(2), "graft_cms width"))),
+    "graft_dleven"      -> (args => DamerauLevenshtein(args(0), args(1))),
+    "graft_topk"        -> (args => TopKPairsAgg(args(0), args(1),
+      lit2Int(args(2), "graft_topk k"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

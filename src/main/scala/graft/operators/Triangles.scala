@@ -75,4 +75,52 @@ object Triangles {
           lit(3.0) * col("n_triangles").cast("double")
             / col("n_wedges").cast("double")).as("clustering_coeff"))
   }
+
+  /** Per-vertex triangle participation and LOCAL clustering coefficient
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) over vertices with degree ≥ 2 —
+    * the node-level refinement of `triangleStats` (same degree-oriented
+    * O(m^{3/2}) enumeration; the only change is keeping the triangle
+    * TRIPLES instead of their count, so each triangle credits its three
+    * corners). Orientation affects only enumeration order, never the
+    * triangle set, so per-vertex counts are exact whatever the degree
+    * distribution. Vertices on no triangle surface with n_triangles = 0
+    * (left join), lcc = 0 — absence of closure is signal for
+    * recommender/community work, not a missing row.
+    */
+  def localTriangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(least(col(aCol), col(bCol)).as("x"),
+      greatest(col(aCol), col(bCol)).as("y"))
+    val deg = e.select(col("x").as("n"))
+      .unionByName(e.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+        col("x")).otherwise(col("y")).as("u"),
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+        col("y")).otherwise(col("x")).as("v"))
+    val e1 = oriented.alias("e1")
+    val e2 = oriented.alias("e2")
+    // wedge (u; v, w) with v < w by id — its closing edge is canonical
+    // (v, w), so an INNER join (vs triangleStats' semi join) yields each
+    // triangle's full corner set exactly once
+    val triples = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"),
+        least(col("e1.v"), col("e2.v")).as("x"),
+        greatest(col("e1.v"), col("e2.v")).as("y"))
+      .join(e, Seq("x", "y"))
+    val perVertex = triples.select(col("u").as("n"))
+      .unionByName(triples.select(col("x").as("n")))
+      .unionByName(triples.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(perVertex, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double")).as("lcc"))
+  }
 }
