@@ -163,4 +163,54 @@ object ScaleGen {
     println(s"""{"scaled":"$src -> $dest","factor":$factor}""")
     spark.stop()
   }
+
+  /** Graph-drill variant (`runMain graft.ScaleGenGraph src dest factor`):
+    * lineitem replicated with BOTH l_orderkey and l_partkey offset, all
+    * other tables passed through unchanged. Rationale: the co-purchase
+    * graph has the ITEM CATALOG as its vertex set, and `scaleLineitem`
+    * (facts-only offset) holds that set fixed while basket count grows —
+    * at 100× the pair table saturates toward the complete graph on 20k
+    * parts, which is a density regime no real 100× corpus is in (a 100×
+    * catalog grows too). Offsetting both keys yields `factor` disjoint
+    * copies of the original graph — the structure-preserving scale-up
+    * the graph family's exponents should be fitted on (same reasoning as
+    * scaleEvents preserving per-user timelines).
+    */
+  def graphMain(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    scaleByKeyOffset(spark.read.parquet(s"$src/lineitem.parquet"), factor,
+        Seq("l_orderkey", "l_partkey"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    new java.io.File(src).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.getName != "lineitem.parquet")
+      .foreach { f =>
+        val out = java.nio.file.Paths.get(dest, f.getName)
+        if (!java.nio.file.Files.exists(out)) {
+          if (f.isDirectory)
+            spark.read.parquet(f.getPath).write.mode("overwrite")
+              .parquet(out.toString)
+          else { java.nio.file.Files.copy(f.toPath, out); () }
+        }
+      }
+    println(s"""{"graph_scaled":"$src -> $dest","factor":$factor}""")
+    spark.stop()
+  }
+}
+
+object ScaleGenGraph {
+  def main(args: Array[String]): Unit = ScaleGen.graphMain(args)
 }

@@ -112,9 +112,12 @@ object Triangles {
         least(col("e1.v"), col("e2.v")).as("x"),
         greatest(col("e1.v"), col("e2.v")).as("y"))
       .join(e, Seq("x", "y"))
-    val perVertex = triples.select(col("u").as("n"))
-      .unionByName(triples.select(col("x").as("n")))
-      .unionByName(triples.select(col("y").as("n")))
+    // ONE evaluation of the wedge-close join: exploding the corner array
+    // credits all three vertices in a single pass — a union of three
+    // projections of `triples` re-runs the O(m^1.5) join subtree three
+    // times (the q76 lesson; measured 30.5 s → 11 s at sf0.1)
+    val perVertex = triples
+      .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("deg") >= 2)
       .join(perVertex, Seq("n"), "left")
