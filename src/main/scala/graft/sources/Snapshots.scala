@@ -267,11 +267,27 @@ object Snapshots {
 
   private def stagePath(spark: SparkSession, target: String): Path = {
     val v = currentVersion(spark, target).getOrElse(0L) + 1
-    // version prefix is informational (a CAS loser republishes the same
-    // dir at a later version); the salt is what prevents two concurrent
-    // writers from staging into one directory
+    // the version prefix is a gc LEASE, not decoration: gc only reaps
+    // unreferenced staged dirs named for versions below its keep horizon,
+    // so a dir named at-or-above the store's current version is immune to
+    // any gc whose view predates this writer's publish. Writers must
+    // therefore never publish a dir named for an older version than the
+    // one they are CASing against (publish/publishBuckets/appendCommit
+    // all enforce this — the round-12 storm drill caught the lost-update
+    // race reusing a stale-named stage across several lost CASes opens).
+    // The salt is what prevents two concurrent writers from staging into
+    // one directory.
     new Path(target, s"snap-${fmt(v)}-${newSalt()}")
   }
+
+  /** The version a staged dir's name was aimed at (`snap-<v>-<salt>`) —
+    * the writer-side mirror of gc's reap-eligibility parse.
+    */
+  private def stagedVersion(name: String): Long =
+    name.stripPrefix("snap-").takeWhile(_.isDigit) match {
+      case "" => -1L
+      case d => d.toLong
+    }
 
   /** Step 1 (whole-table): stage the next complete snapshot dir (invisible
     * to readers). Returns the staged dir name (relative to the store root).
@@ -314,6 +330,14 @@ object Snapshots {
           s"staged snapshot $stagedDir at $target was garbage-collected " +
             "by a concurrent commit before publish — re-stage and retry")
       val cur = currentVersion(spark, target)
+      // a dir named for an older version than the current one has lost
+      // its gc lease: a racing gc can reap it in the unobservable window
+      // right after the post-win verify below — refuse to publish it
+      if (stagedVersion(stagedDir) < cur.getOrElse(0L))
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target is named for an older " +
+            "version than the store's current one (gc lease expired) — " +
+            "re-stage and retry")
       val v = cur.getOrElse(0L) + 1
       if (casPublish(spark, target, v, stagedDir)) {
         // a gc racing this publish can reap the staged dir in the window
@@ -409,6 +433,13 @@ object Snapshots {
         throw new java.util.ConcurrentModificationException(
           s"staged snapshot $stagedDir at $target was garbage-collected " +
             "by a concurrent commit before publish — re-stage and retry")
+      // same gc-lease rule as `publish`: a stale-named stage can be
+      // reaped right after the post-win verify — never publish it
+      if (stagedVersion(stagedDir) < cur.getOrElse(0L))
+        throw new java.util.ConcurrentModificationException(
+          s"staged snapshot $stagedDir at $target is named for an older " +
+            "version than the store's current one (gc lease expired) — " +
+            "re-merge and re-stage")
       val entries = (prev.filterNot(e => touchedSet(e.bucket)) ++ fresh).sortBy(_.bucket)
       val content = (s"buckets=$numBuckets" +:
         entries.map(e => s"${e.bucket}\t${e.dir}\t${e.rows}")).mkString("\n")
@@ -630,12 +661,8 @@ object Snapshots {
       val live = (keep to cur).iterator
         .filter(v => fs.exists(new Path(manifestPath(target), fmt(v))))
         .flatMap(v => rootsOf(spark, target, v)).toSet
-      def stagedFor(name: String): Long =
-        name.stripPrefix("snap-").takeWhile(_.isDigit) match {
-          case "" => -1L; case d => d.toLong
-        }
       snaps.foreach { p =>
-        if (!live(p.getName) && stagedFor(p.getName) < keep) fs.delete(p, true)
+        if (!live(p.getName) && stagedVersion(p.getName) < keep) fs.delete(p, true)
       }
       fs.listStatus(manifestPath(target)).foreach { st =>
         val n = st.getPath.getName
@@ -923,6 +950,12 @@ object Snapshots {
       try {
         val (v, prev) = logNow() // re-read: a CAS loss means the log moved
         if (prev.lastOption.exists(_.token >= token)) return false
+        // gc-lease rule (see stagePath): a dir staged while the log was at
+        // an older version becomes reap-eligible to a racing gc, and the
+        // post-win verify below cannot close that window (the reap can
+        // land just after it — the round-12 storm drill caught exactly
+        // this lost update). Re-stage under a current-version name.
+        if (dir != null && stagedVersion(dir) < v) dir = null
         if (dir == null || !fs.exists(new Path(target, dir))) {
           // first pass, or a concurrent commit's gc reaped the staged
           // segment — (re-)stage; footer row count is metadata only

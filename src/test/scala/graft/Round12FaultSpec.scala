@@ -152,4 +152,34 @@ class Round12FaultSpec extends AnyFunSuite {
     assert(gotGold.exceptAll(expGold).count() == 0,
       "gc of the orphan disturbed the winner's state")
   }
+
+  // --- gc lease: the lost-update fix the storm drill caught -----------------------
+
+  test("gc lease: publish refuses a staged dir named for an older version") {
+    import spark.implicits._
+    // The storm drill surfaced this lost update: a CAS loser that reuses
+    // a dir staged several versions ago can win a later CAS while a
+    // racing gc (whose view predates the publish) reaps the dir AFTER
+    // the post-win verify — the commit returns true, the data is gone.
+    // The fix is a gc LEASE on the staged dir's name-version: publish
+    // refuses any dir named below the store's current version, forcing a
+    // re-stage under a fresh (gc-immune) name. This pins the refusal
+    // deterministically — no thread timing required.
+    val target = TestSession.tempDir("graft_lease") + "/t"
+    val stale = Snapshots.writeSnapshot(
+      Seq((1L, "a")).toDF("id", "v"), target) // named snap-00000001-…
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "v"), target) // version 1
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "v"), target) // version 2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target, stale)),
+      "fixture: the stale stage must still exist (gc keep horizon spares it)")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publish(spark, target, stale)
+    }
+    assert(e.getMessage.contains("gc lease"), e.getMessage)
+    // the store is undisturbed: version 2's content is still the truth
+    assert(Snapshots.read(spark, target).select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
 }
