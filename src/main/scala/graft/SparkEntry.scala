@@ -217,6 +217,12 @@ object SparkEntry {
     "q199_kcore"              -> (Queries.kCoreCopurchase _),
     "q200_dl_linkage"         -> (Queries.dlLinkage _),
     "q201_window_funnel"      -> (Queries.windowFunnel _),
+    "q202_survival_table"     -> (Queries.survivalLifeTable _),
+    "q203_bfs_hops"           -> (Queries.bfsHops _),
+    "q204_cusum_changepoint"  -> (Queries.cusumChangepoint _),
+    "q205_principal_component" -> (Queries.principalComponent _),
+    "q206_label_communities"  -> (Queries.labelCommunities _),
+    "q207_ushape_attribution" -> (Queries.ushapeAttribution _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -4778,14 +4784,18 @@ object Queries {
   // Density filtering by iterative peel (operators/KCore): the maximal
   // subgraph where every item keeps >= k co-purchase partners — the
   // pre-filter community/recommender pipelines run before anything
-  // quadratic. k sits above the quasi-random bulk's collapse threshold
-  // measured on the fixtures (k=80: a 6-round cascade that strips ~7%
-  // of vertices then stabilizes at both sf0.01 and sf0.1; k=90 empties
-  // the graph — the sharp core collapse a uniform-key graph predicts).
-  // Rounds are capped at 10 and the oracle unrolls the same 10; the
-  // round-12 spec asserts the cap is not binding (round 10 ≡ round 9,
-  // i.e. the output IS the fixpoint k-core on the fixtures).
-  val KCoreK = 80
+  // quadratic. k must sit BELOW every fixture's collapse threshold —
+  // quasi-random graphs have a sharp core collapse, and the threshold
+  // tracks graph density, so the smallest fixture binds: at sf0.001
+  // (200 vertices, median degree 89) the cliff is between 68 and 70
+  // (k=68 → 176 survive after a 5-round cascade; k=70 → empty), while
+  // sf0.01/sf0.1 (median degree 115/119) collapse only near k=90.
+  // k=65 peels a real cascade at every SF (sf0.001: 6% stripped over 3
+  // rounds; sf0.01: 0.4%/2; sf0.1: 0.8%/3 — measured) and stays clear
+  // of all three cliffs. Rounds are capped at 10 and the oracle unrolls
+  // the same 10; the round-12 spec asserts the cap is not binding
+  // (round 10 ≡ round 9, i.e. the output IS the fixpoint k-core).
+  val KCoreK = 65
   val KCoreRounds = 10
 
   def kCoreCopurchase(spark: SparkSession, dir: String): DataFrame =
@@ -4867,6 +4877,223 @@ object Queries {
           .when(col("t_view").isNotNull, 1)
           .otherwise(0).as("stage"))
       .orderBy("user_id")
+  }
+
+  // --- q202: Kaplan–Meier life table of user lifetimes ------------------------------
+  // Survival analysis over the activity log: a user's lifetime is the
+  // span from first to last event; users still active near the
+  // observation horizon are CENSORED (their true lifetime is only
+  // known to exceed the observed one — dropping them would bias churn
+  // short, the classic survival-analysis mistake). The output is the
+  // exact life table (n at risk / deaths / censored per duration) —
+  // the integer input of the Kaplan–Meier product-limit estimator —
+  // with the per-duration hazard as the single double division. The
+  // distributed work is one per-user min/max agg; the cumulative
+  // n-at-risk runs on the O(distinct durations) frame.
+  val CensorWindowDays = 7L
+
+  def survivalLifeTable(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+    val horizon = ev.agg(max(col("us")).as("__h"))
+    val u = perUser.crossJoin(broadcast(horizon))
+      .select(expr(s"(last_us - first_us) div $day").as("duration_days"),
+        (col("__h") - col("last_us") < lit(CensorWindowDays * day)).as("cens"))
+    val byDur = u.groupBy("duration_days").agg(
+      count(lit(1)).as("n_ending"),
+      sum(when(!col("cens"), 1L).otherwise(0L)).as("n_deaths"),
+      sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
+    val tot = u.agg(count(lit(1)).as("__n"))
+    // global window on the aggregated frame: O(distinct durations) rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("duration_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDur.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("n_ending")).over(w))
+      .withColumn("n_risk", col("__n") - col("__cum") + col("n_ending"))
+      .select(col("duration_days"), col("n_risk"),
+        col("n_deaths"), col("n_censored"),
+        (col("n_deaths").cast("double") / col("n_risk").cast("double"))
+          .as("hazard"))
+      .orderBy("duration_days")
+  }
+
+  // --- q203: bounded-depth BFS from the max-degree hub ------------------------------
+  // Single-source shortest hops over the co-purchase graph (operators/
+  // Bfs): synchronous frontier expansion, depth capped at 3 — on this
+  // small-world graph (diameter ~2-3) that reaches everything reachable.
+  // The source is DATA-DERIVED (max-degree vertex, min-id tiebreak) as a
+  // one-row frame, so nothing is collected driver-side.
+  val BfsMaxHops = 3
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir).select("item_a", "item_b")
+    Bfs.hops(e, "item_a", "item_b",
+        Bfs.maxDegreeHub(e, "item_a", "item_b"), BfsMaxHops)
+      .orderBy("node")
+  }
+
+  // --- q204: mean-shift changepoint via integer CUSUM -------------------------------
+  // Where did each event type's daily volume regime change? The CUSUM
+  // statistic against the per-type mean, kept EXACT by multiplying
+  // through by n (CUSUM_i = Σ_{j≤i}(n·c_j − S) = n·cum_i − i·S — all
+  // int64, no float drift to argmax over), then one struct-max picks
+  // the peak |CUSUM| with earliest-day tiebreak. The heavy work is the
+  // daily count agg; the windows run per-type on O(days) rows.
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = W.partitionBy("event_type").orderBy("epoch_day")
+    val wAll = W.partitionBy("event_type")
+    daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum",
+        sum(col("c")).over(wOrd.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c")).over(wAll))
+      .withColumn("cusum", col("n") * col("cum") - col("i") * col("s"))
+      .groupBy("event_type")
+      .agg(max(struct(abs(col("cusum")).as("a"), (-col("epoch_day")).as("negd"),
+        col("cusum").as("c0"), col("n").as("n0"), col("s").as("s0"))).as("m"))
+      .select(col("event_type"), col("m.n0").as("n_days"),
+        date_add(to_date(lit("1970-01-01")), (-col("m.negd")).cast("int"))
+          .as("change_day"),
+        col("m.a").as("max_abs_cusum"),
+        signum(col("m.c0")).cast("int").as("shift_sign"),
+        // scale-free severity in [0, 1): one double division
+        (col("m.a").cast("double") / (col("m.n0") * col("m.s0")).cast("double"))
+          .as("shift_score"))
+      .orderBy("event_type")
+  }
+
+  // --- q205: top principal component via integer-Gram power iteration ---------------
+  // Distributed PCA done scale-right: the d×d Gram matrix is a BOUNDED
+  // DISTRIBUTIVE AGGREGATE (one pass, map-side partials into ≤d² cells
+  // — the only thing that touches the corpus), and power iteration then
+  // runs on the tiny d×d frame. Everything is exact int64: embeddings
+  // truncate to 2^14 units (the q42 idiom), the iterate renormalizes to
+  // max-|component| = 2^8 via floor division each round, so both
+  // engines walk bit-identical integer states — no float accumulation
+  // order anywhere. Doubles appear only in the final Rayleigh quotient
+  // (exact 128-bit/decimal sums → two casts + divisions in fixed
+  // order). Bounds at bench scale: |q|≤0.53·2^14, G ≤ n·q² ≈ 3.8e11 at
+  // n=5000, |w| ≤ 64·G·2^8 ≈ 6.2e15, w·2^8 ≈ 1.6e18 < 2^63; at larger
+  // corpora lift G to DECIMAL(38,0) (the q107 convention).
+  val PcQuant = 16384L
+  val PcScale = 256L
+  val PcRounds = 6
+
+  def principalComponent(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gram = Tables.embeddings(spark, dir)
+      .select(expr(s"transform(embedding, x -> cast(x * $PcQuant as bigint))")
+        .as("q"))
+      .select(explode(expr(
+        """flatten(transform(q, (x, i) ->
+           transform(q, (y, j) -> named_struct('i', i, 'j', j, 'p', x * y))))"""))
+        .as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+      .agg(sum(col("cell.p")).as("g"))
+      .localCheckpoint(true)
+    var v = gram.select(col("i").as("pos")).distinct()
+      .withColumn("vq", lit(PcScale))
+      .localCheckpoint(true)
+    for (_ <- 1 to PcRounds) {
+      val w = gram.join(v.withColumnRenamed("pos", "j"), Seq("j"))
+        .groupBy(col("i").as("pos"))
+        .agg(sum(col("g") * col("vq")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("__m"))
+      v = w.crossJoin(broadcast(m))
+        // floor((w·S)/m): subtract floorMod first so the `div` is exact
+        // (truncation == floor on an exactly-divisible dividend)
+        .select(col("pos"),
+          expr(s"(w * $PcScale - ((w * $PcScale) % __m + __m) % __m) div __m")
+            .as("vq"))
+        .localCheckpoint(true)
+    }
+    val num = gram
+      .join(v.select(col("pos").as("i"), col("vq").as("vi")), Seq("i"))
+      .join(v.select(col("pos").as("j"), col("vq").as("vj")), Seq("j"))
+      .agg(sum(col("g").cast(dec) * col("vi").cast(dec) * col("vj").cast(dec))
+        .as("num"))
+    val den = v.agg(sum(col("vq") * col("vq")).as("den"))
+    v.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("pos").cast("long").as("pos"), col("vq").as("pc_q"),
+        (col("num").cast("double") / col("den").cast("double")
+          / lit((PcQuant * PcQuant).toDouble)).as("lambda"))
+      .orderBy("pos")
+  }
+
+  // --- q206: label-propagation communities -------------------------------------------
+  // Synchronous LPA over the co-purchase graph (operators/LabelProp)
+  // with the deterministic min-label tiebreak; 4 bounded rounds (the
+  // cap IS the operator — synchronous LPA has no guaranteed fixpoint).
+  // Output is the community-size histogram.
+  val LpaRounds = 4
+
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame =
+    LabelProp.communities(
+        copurchaseEdges(spark, dir).select("item_a", "item_b"),
+        "item_a", "item_b", LpaRounds)
+      .orderBy("community")
+
+  // --- q207: U-shaped (position-based) multi-touch attribution ----------------------
+  // q112's linear split upgraded to the industry 40/20/40 convention:
+  // first and last click before the purchase take 40% each, the middle
+  // touches share the remaining 20%. All allocation is EXACT integer
+  // cents (div/% with the remainder surfaced, not silently dropped),
+  // computed closed-form per purchase from the same single per-user
+  // window scan as q112 — no per-touch explosion, no self-join.
+  def ushapeAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+    val w = W.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    val clickUs = when(isClick, unix_micros(col("ts")))
+    ev.withColumn("n_touches",
+        coalesce(sum(when(isClick, 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("first_click_us", min(clickUs).over(w))
+      .withColumn("last_click_us", max(clickUs).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("first_credit_cents",
+        when(col("n_touches") === 0L, lit(null).cast("long"))
+          .when(col("n_touches") === 1L, col("cents"))
+          .when(col("n_touches") === 2L,
+            col("cents") - expr("cents div 2"))
+          .otherwise(expr("(cents * 2) div 5")))
+      .withColumn("last_credit_cents",
+        when(col("n_touches") === 0L, lit(null).cast("long"))
+          .when(col("n_touches") === 1L, lit(0L))
+          .when(col("n_touches") === 2L, expr("cents div 2"))
+          .otherwise(expr("(cents * 2) div 5")))
+      .withColumn("mid_credit_each_cents",
+        when(col("n_touches") <= 2L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(cents - 2 * ((cents * 2) div 5)) div (n_touches - 2)")))
+      .withColumn("mid_remainder_cents",
+        when(col("n_touches") <= 2L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(cents - 2 * ((cents * 2) div 5)) % (n_touches - 2)")))
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("n_touches"),
+        timestamp_micros(col("first_click_us")).as("first_click_ts"),
+        timestamp_micros(col("last_click_us")).as("last_click_ts"),
+        col("cents"), col("first_credit_cents"), col("last_credit_cents"),
+        col("mid_credit_each_cents"), col("mid_remainder_cents"))
+      .orderBy("user_id", "purchase_event_id")
   }
 }
 
@@ -5124,7 +5351,195 @@ object Oracles {
                            WHEN t_view IS NOT NULL THEN 1
                            ELSE 0 END AS INT) AS stage
           FROM d"""
-    })
+    },
+
+    "q202_survival_table" -> {
+      val win = Queries.CensorWindowDays * 86400000000L
+      s"""WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                            max(epoch_us(ts)) AS l
+                     FROM events GROUP BY 1),
+          h AS (SELECT max(epoch_us(ts)) AS h FROM events),
+          d AS (SELECT (l - f) // 86400000000 AS duration_days,
+                       CASE WHEN h - l < $win THEN 1 ELSE 0 END AS cens
+                FROM u, h),
+          g AS (SELECT duration_days, CAST(COUNT(*) AS BIGINT) AS n_ending,
+                       CAST(SUM(1 - cens) AS BIGINT) AS n_deaths,
+                       CAST(SUM(cens) AS BIGINT) AS n_censored
+                FROM d GROUP BY 1),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+          r AS (SELECT duration_days, n_deaths, n_censored,
+                       CAST(n - SUM(n_ending) OVER (ORDER BY duration_days
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            + n_ending AS BIGINT) AS n_risk
+                FROM g, t)
+          SELECT duration_days, n_risk, n_deaths, n_censored,
+                 CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
+          FROM r"""
+    },
+
+    "q203_bfs_hops" -> bfsSql(Queries.BfsMaxHops),
+
+    "q204_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS epoch_day,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+          sc AS (SELECT event_type, epoch_day,
+                        CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+                        CAST(SUM(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum,
+                        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                        CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+                 FROM daily
+                 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day)),
+          cu AS (SELECT *, n * cum - i * s AS cusum FROM sc)
+          SELECT event_type, n AS n_days,
+                 DATE '1970-01-01' + CAST(epoch_day AS INT) AS change_day,
+                 ABS(cusum) AS max_abs_cusum,
+                 CAST(sign(cusum) AS INT) AS shift_sign,
+                 CAST(ABS(cusum) AS DOUBLE) / CAST(n * s AS DOUBLE) AS shift_score
+          FROM cu
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY ABS(cusum) DESC, epoch_day ASC) = 1""",
+
+    "q205_principal_component" -> {
+      val Q = Queries.PcQuant
+      val S = Queries.PcScale
+      val R = Queries.PcRounds
+      val rounds = (1 to R).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT g.i AS pos,
+                  CAST(SUM(g.g * v.vq) AS BIGINT) AS w
+                FROM g JOIN v${r - 1} v ON g.j = v.pos GROUP BY 1),
+            m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+            v$r AS MATERIALIZED (SELECT pos,
+                  (w * $S - ((w * $S) % m + m) % m) // m AS vq
+                FROM w$r, m$r)"""
+      }.mkString(",\n          ")
+      s"""WITH e1 AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $Q) AS BIGINT)
+                     AS qv,
+                   unnest(generate_series(1, len(embedding))) AS idx
+            FROM embeddings),
+          g AS MATERIALIZED (
+            SELECT a.idx - 1 AS i, b.idx - 1 AS j,
+                   CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+            FROM e1 a JOIN e1 b USING (vec_id) GROUP BY 1, 2),
+          v0 AS (SELECT DISTINCT i AS pos, CAST($S AS BIGINT) AS vq FROM g),
+          $rounds,
+          num AS (SELECT SUM(CAST(g.g AS HUGEINT) * vi.vq * vj.vq) AS num
+                  FROM g JOIN v$R vi ON g.i = vi.pos
+                         JOIN v$R vj ON g.j = vj.pos),
+          den AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS den FROM v$R)
+          SELECT CAST(pos AS BIGINT) AS pos, vq AS pc_q,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   / ${(Q * Q).toDouble} AS lambda
+          FROM v$R, num, den"""
+    },
+
+    "q206_label_communities" -> lpaSql(Queries.LpaRounds),
+
+    "q207_ushape_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type, value
+                     FROM events WHERE event_type IN ('click', 'purchase')),
+          x AS (SELECT user_id, event_id, ts, event_type, value,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+                                          ELSE 0 END) OVER w, 0) AS BIGINT)
+                     AS n_touches,
+                   MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                     OVER w AS f_us,
+                   MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                     OVER w AS l_us
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          p AS (SELECT *, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            AS cents
+                FROM x WHERE event_type = 'purchase')
+          SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+                 n_touches,
+                 make_timestamp(f_us) AS first_click_ts,
+                 make_timestamp(l_us) AS last_click_ts,
+                 cents,
+                 CAST(CASE WHEN n_touches = 0 THEN NULL
+                           WHEN n_touches = 1 THEN cents
+                           WHEN n_touches = 2 THEN cents - cents // 2
+                           ELSE (cents * 2) // 5 END AS BIGINT)
+                   AS first_credit_cents,
+                 CAST(CASE WHEN n_touches = 0 THEN NULL
+                           WHEN n_touches = 1 THEN 0
+                           WHEN n_touches = 2 THEN cents // 2
+                           ELSE (cents * 2) // 5 END AS BIGINT)
+                   AS last_credit_cents,
+                 CAST(CASE WHEN n_touches <= 2 THEN NULL
+                           ELSE (cents - 2 * ((cents * 2) // 5))
+                                // (n_touches - 2) END AS BIGINT)
+                   AS mid_credit_each_cents,
+                 CAST(CASE WHEN n_touches <= 2 THEN NULL
+                           ELSE (cents - 2 * ((cents * 2) // 5))
+                                % (n_touches - 2) END AS BIGINT)
+                   AS mid_remainder_cents
+          FROM p""")
+
+  /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
+    * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,
+    * a per-vertex MIN absorbs re-discoveries; the source is the
+    * (max-degree, min-id) hub — mirrors Bfs.maxDegreeHub).
+    */
+  private def bfsSql(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n, MIN(hop) AS hop FROM (
+              SELECT n, hop FROM d${r - 1}
+              UNION ALL
+              SELECT und.v AS n, $r AS hop
+              FROM d${r - 1} f JOIN und ON und.u = f.n
+              WHERE f.hop = ${r - 1})
+            GROUP BY 1)"""
+    }.mkString(",\n          ")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+                                           l_partkey AS i
+                       FROM lineitem),
+         e0 AS MATERIALIZED (SELECT a.i AS x, b2.i AS y
+               FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+               GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT x AS u, y AS v FROM e0
+               UNION ALL SELECT y, x FROM e0),
+         deg AS (SELECT n, COUNT(*) AS deg
+                 FROM (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0)
+                 GROUP BY 1),
+         hub AS (SELECT n FROM deg ORDER BY deg DESC, n ASC LIMIT 1),
+         d0 AS (SELECT n, 0 AS hop FROM hub),
+         $steps
+         SELECT n AS node, CAST(hop AS BIGINT) AS hop FROM d$maxHops"""
+  }
+
+  /** The `rounds`-round unrolled synchronous label propagation (mirrors
+    * LabelProp.propagate: per round each vertex adopts its neighbors'
+    * modal label, ties to the SMALLEST label).
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT n, lbl FROM (
+              SELECT u.u AS n, l.lbl, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY u.u
+                       ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+              FROM und u JOIN l${r - 1} l ON l.n = u.v
+              GROUP BY 1, 2) WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+                                           l_partkey AS i
+                       FROM lineitem),
+         e0 AS MATERIALIZED (SELECT a.i AS x, b2.i AS y
+               FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+               GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT x AS u, y AS v FROM e0
+               UNION ALL SELECT y, x FROM e0),
+         l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM und),
+         $steps
+         SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM l$rounds GROUP BY 1"""
+  }
 
   /** The `rounds`-round unrolled k-core peel (mirrors KCore.kCore: per
     * round, survivors = vertices with degree >= k over the CURRENT edge
