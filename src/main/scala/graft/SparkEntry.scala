@@ -4906,13 +4906,17 @@ object Queries {
       count(lit(1)).as("n_ending"),
       sum(when(!col("cens"), 1L).otherwise(0L)).as("n_deaths"),
       sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
-    val tot = u.agg(count(lit(1)).as("__n"))
-    // global window on the aggregated frame: O(distinct durations) rows
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("duration_days")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    byDur.crossJoin(broadcast(tot))
+    // global windows on the aggregated frame: O(distinct durations) rows.
+    // The total-users scalar is the FULL-FRAME sum of n_ending over the
+    // same tiny frame (same sort, second frame spec) — deriving it from
+    // the raw table cost a whole extra pass over events (plan-audited)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("duration_days").rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.orderBy("duration_days")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    byDur
       .withColumn("__cum", sum(col("n_ending")).over(w))
+      .withColumn("__n", sum(col("n_ending")).over(wAll))
       .withColumn("n_risk", col("__n") - col("__cum") + col("n_ending"))
       .select(col("duration_days"), col("n_risk"),
         col("n_deaths"), col("n_censored"),
@@ -5052,15 +5056,19 @@ object Queries {
   // window scan as q112 — no per-touch explosion, no self-join.
   def ushapeAttribution(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // `us` is projected ONCE so all three Window nodes order by the same
+    // attribute and stack on a single sort (the q66/q201 discipline —
+    // an inline unix_micros(ts) in each window spec re-derives a fresh
+    // attribute per window and costs three sorts, plan-audited)
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
-        col("value"))
+        col("value"), unix_micros(col("ts")).as("us"))
     val w = W.partitionBy("user_id")
-      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .orderBy(col("us"), col("event_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     val isClick = col("event_type") === "click"
-    val clickUs = when(isClick, unix_micros(col("ts")))
+    val clickUs = when(isClick, col("us"))
     ev.withColumn("n_touches",
         coalesce(sum(when(isClick, 1L).otherwise(0L)).over(w), lit(0L)))
       .withColumn("first_click_us", min(clickUs).over(w))
@@ -5366,12 +5374,12 @@ object Oracles {
                        CAST(SUM(1 - cens) AS BIGINT) AS n_deaths,
                        CAST(SUM(cens) AS BIGINT) AS n_censored
                 FROM d GROUP BY 1),
-          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
           r AS (SELECT duration_days, n_deaths, n_censored,
-                       CAST(n - SUM(n_ending) OVER (ORDER BY duration_days
+                       CAST(SUM(n_ending) OVER ()
+                            - SUM(n_ending) OVER (ORDER BY duration_days
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                             + n_ending AS BIGINT) AS n_risk
-                FROM g, t)
+                FROM g)
           SELECT duration_days, n_risk, n_deaths, n_censored,
                  CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
           FROM r"""
