@@ -223,6 +223,9 @@ object SparkEntry {
     "q205_principal_component" -> (Queries.principalComponent _),
     "q206_label_communities"  -> (Queries.labelCommunities _),
     "q207_ushape_attribution" -> (Queries.ushapeAttribution _),
+    "q208_seasonal_anomalies" -> (Queries.seasonalAnomalies _),
+    "q209_rolling_correlation" -> (Queries.rollingCorrelation _),
+    "q210_fifo_allocation"    -> (Queries.fifoAllocation _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5103,6 +5106,119 @@ object Queries {
         col("mid_credit_each_cents"), col("mid_remainder_cents"))
       .orderBy("user_id", "purchase_event_id")
   }
+
+  // --- q208: most weekday-anomalous day per event type --------------------------------
+  // q93's trailing z-score catches LEVEL breaks; this catches the day
+  // most abnormal FOR ITS WEEKDAY (the Sunday that behaved like a
+  // Wednesday) — the seasonality correction volume monitoring needs.
+  // Per (event_type, dow) profile moments (n, Σc, Σc²) stay exact
+  // int64; z = (n·c − s)/√(n·q − s²) is the one fixed-shape double —
+  // identical IEEE ops in both engines, so the |z| argmax (one
+  // struct-max per type, earliest-day tiebreak) selects identically.
+  // `is_extreme` (z² > 4) is decided by INTEGER cross-multiplication.
+  // dow convention: (epoch_day + 4) % 7, 0 = Sunday (1970-01-01 = Thu).
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("(epoch_day + 4) % 7"))
+    val prof = W.partitionBy("event_type", "dow")
+    daily
+      .withColumn("n", count(lit(1)).over(prof))
+      .withColumn("s", sum(col("c")).over(prof))
+      .withColumn("q", sum(col("c") * col("c")).over(prof))
+      .withColumn("d", col("n") * col("c") - col("s"))
+      .withColumn("var_num", col("n") * col("q") - col("s") * col("s"))
+      .filter(col("var_num") > 0L)
+      .withColumn("z",
+        col("d").cast("double") / sqrt(col("var_num").cast("double")))
+      .groupBy("event_type")
+      .agg(max(struct(abs(col("z")).as("az"), (-col("epoch_day")).as("negd"),
+        col("z").as("z0"), col("dow").as("dow0"), col("c").as("c0"),
+        col("d").as("d0"), col("var_num").as("v0"))).as("m"))
+      .select(col("event_type"),
+        date_add(to_date(lit("1970-01-01")), (-col("m.negd")).cast("int"))
+          .as("day"),
+        col("m.dow0").as("dow"), col("m.c0").as("n_events"),
+        col("m.d0").as("dev"), col("m.v0").as("var_num"),
+        col("m.z0").as("z"),
+        (col("m.d0") * col("m.d0") > lit(4L) * col("m.v0")).as("is_extreme"))
+      .orderBy("event_type")
+  }
+
+  // --- q209: rolling 28-day correlation between two event series ---------------------
+  // Co-movement monitoring (do purchases still track views?): both
+  // daily series come out of ONE conditional aggregation pass (no
+  // self-join), then a trailing RANGE window over epoch_day — gap-robust
+  // where a ROWS frame would silently stretch across missing days —
+  // accumulates the five exact integer moments, and q107's
+  // multiply-through Pearson form runs on them (doubles only in the
+  // final fixed-shape expression; thin/degenerate windows null out).
+  // The window is unpartitioned BUT runs on the O(days) aggregated
+  // frame — the q202/q114 discipline.
+  val RollCorrDays = 28
+  val RollCorrMinDays = 14
+
+  def rollingCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = W.orderBy("epoch_day").rangeBetween(-(RollCorrDays - 1L), 0L)
+    val m = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(
+        date_add(to_date(lit("1970-01-01")), col("epoch_day").cast("int"))
+          .as("day"),
+        col("n").as("n_days"), col("x").as("n_views"),
+        col("y").as("n_purchases"),
+        when(col("n") >= RollCorrMinDays && denx > 0L && deny > 0L,
+          num / (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+          .as("corr_28d"))
+      .orderBy("day")
+  }
+
+  // --- q210: FIFO allocation via cumulative-interval overlap -------------------------
+  // Inventory-style first-in-first-out matching per part: fulfilled
+  // lineitems ('F') are the supply lots, open ones ('O') the demand,
+  // both in (shipdate, orderkey, linenumber) arrival order. The operator
+  // (operators/Fifo) replaces the sequential allocator with two
+  // prefix-sum windows + a bucketed interval-overlap join on the
+  // cumulative-quantity axis — fully distributed, each matched
+  // (lot, demand) pair exactly once with its matched quantity.
+  val FifoBucket = 64L
+
+  def fifoAllocation(spark: SparkSession, dir: String): DataFrame = {
+    // ord in whole epoch DAYS: shipdates are midnight-aligned NTZ
+    // timestamps (contract-checked), so day ordering ≡ time ordering and
+    // the age arithmetic needs no division or timezone anywhere
+    def side(status: String) = Tables.lineitem(spark, dir)
+      .filter(col("l_linestatus") === status)
+      .select(col("l_partkey").as("key"),
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("ord"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+        dec2(col("l_quantity")).cast("long").as("qty"))
+    Fifo.allocate(side("F"), side("O"), FifoBucket)
+      .select(col("key").as("part"),
+        col("s_id").as("supply_id"), col("d_id").as("demand_id"),
+        col("matched_qty"),
+        // allocation age: negative when an open demand predates its lot
+        (col("d_ord") - col("s_ord")).as("age_days"))
+      .orderBy("part", "supply_id", "demand_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5488,7 +5604,88 @@ object Oracles {
                            ELSE (cents - 2 * ((cents * 2) // 5))
                                 % (n_touches - 2) END AS BIGINT)
                    AS mid_remainder_cents
-          FROM p""")
+          FROM p""",
+
+    "q208_seasonal_anomalies" ->
+      """WITH daily AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS epoch_day,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+          p AS (SELECT event_type, epoch_day, c,
+                       (epoch_day + 4) % 7 AS dow,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                       CAST(SUM(c) OVER w AS BIGINT) AS s,
+                       CAST(SUM(c * c) OVER w AS BIGINT) AS q
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type, (epoch_day + 4) % 7)),
+          z AS (SELECT *, n * c - s AS d, n * q - s * s AS var_num FROM p),
+          zz AS (SELECT *, CAST(d AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE))
+                             AS z
+                 FROM z WHERE var_num > 0)
+          SELECT event_type,
+                 DATE '1970-01-01' + CAST(epoch_day AS INT) AS day,
+                 dow, c AS n_events, d AS dev, var_num, z,
+                 d * d > 4 * var_num AS is_extreme
+          FROM zz
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY ABS(z) DESC, epoch_day ASC) = 1""",
+
+    "q209_rolling_correlation" -> {
+      val k = Queries.RollCorrDays - 1
+      val minD = Queries.RollCorrMinDays
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+          m AS (SELECT epoch_day, x, y,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                       CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                       CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                       CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+                       CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+                FROM daily
+                WINDOW w AS (ORDER BY epoch_day
+                             RANGE BETWEEN $k PRECEDING AND CURRENT ROW))
+          SELECT DATE '1970-01-01' + CAST(epoch_day AS INT) AS day,
+                 n AS n_days, x AS n_views, y AS n_purchases,
+                 CASE WHEN n >= $minD AND n * sxx - sx * sx > 0
+                           AND n * syy - sy * sy > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END AS corr_28d
+          FROM m"""
+    },
+
+    "q210_fifo_allocation" -> {
+      """WITH li AS (SELECT l_partkey AS key, l_linestatus AS st,
+                            CAST(CAST(l_shipdate AS DATE)
+                                 - DATE '1970-01-01' AS BIGINT) AS ord,
+                            l_orderkey * 100 + l_linenumber AS id,
+                            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)
+                              AS qty
+                     FROM lineitem
+                     WHERE l_linestatus IN ('F', 'O')),
+          c AS (SELECT *,
+                       CAST(SUM(qty) OVER (PARTITION BY key, st
+                              ORDER BY ord, id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS e
+                FROM li),
+          s AS (SELECT key, ord AS s_ord, id AS s_id,
+                       e - qty AS s_start, e AS s_end FROM c WHERE st = 'F'),
+          d AS (SELECT key, ord AS d_ord, id AS d_id,
+                       e - qty AS d_start, e AS d_end FROM c WHERE st = 'O')
+          SELECT s.key AS part, s_id AS supply_id, d_id AS demand_id,
+                 least(s_end, d_end) - greatest(s_start, d_start)
+                   AS matched_qty,
+                 d_ord - s_ord AS age_days
+          FROM s JOIN d ON s.key = d.key
+                       AND s_start < d_end AND d_start < s_end"""
+    })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,
