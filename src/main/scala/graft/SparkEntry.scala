@@ -226,6 +226,8 @@ object SparkEntry {
     "q208_seasonal_anomalies" -> (Queries.seasonalAnomalies _),
     "q209_rolling_correlation" -> (Queries.rollingCorrelation _),
     "q210_fifo_allocation"    -> (Queries.fifoAllocation _),
+    "q211_degree_assortativity" -> (Queries.degreeAssortativity _),
+    "q212_reciprocal_best_match" -> (Queries.reciprocalBestMatch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5219,6 +5221,45 @@ object Queries {
         (col("d_ord") - col("s_ord")).as("age_days"))
       .orderBy("part", "supply_id", "demand_id")
   }
+
+  // --- q211: degree assortativity of the co-purchase graph --------------------------
+  // Do hub items co-purchase with other hubs (assortative, r > 0) or
+  // with the long tail (disassortative, r < 0)? Newman's r is the
+  // Pearson correlation of endpoint degrees over DIRECTED edge pairs
+  // (each undirected edge contributes both orientations, so the two
+  // marginals coincide and one set of moments serves both axes):
+  // r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²), all moments exact int64
+  // (the q107 multiply-through discipline), doubles only in the final
+  // division. One degree agg + two hash joins + one global agg — no
+  // window, no sort (operators/GraphStats).
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    GraphStats.assortativity(
+      copurchaseEdges(spark, dir).select("item_a", "item_b"),
+      "item_a", "item_b")
+
+  // --- q212: reciprocal best-match pairs ---------------------------------------------
+  // Mutual nearest neighbors under the co-purchase cosine: a pair
+  // survives only if each item is the OTHER's single best partner — the
+  // high-precision matching rule (reciprocal-NN) dedup and entity-
+  // matching pipelines use to avoid hub items absorbing everything.
+  // Per-item argmax as one struct-max over (cosine, −partner): the
+  // cosine doubles are bit-identical in both engines (q97's precedent),
+  // so the argmax — and therefore the mutual set — is deterministic
+  // (operators/GraphStats.reciprocalBest).
+  def reciprocalBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    val freq = items.groupBy("i").agg(count(lit(1)).as("n"))
+    val sim = copurchaseEdges(spark, dir)
+      .filter(col("n_baskets") >= CoMinSupport)
+      .join(freq.select(col("i").as("item_a"), col("n").as("na")), Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("n").as("nb")), Seq("item_b"))
+      .withColumn("cosine",
+        col("n_baskets").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")))
+    GraphStats.reciprocalBest(sim, "item_a", "item_b", "cosine")
+      .orderBy("item_a")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5685,6 +5726,67 @@ object Oracles {
                  d_ord - s_ord AS age_days
           FROM s JOIN d ON s.key = d.key
                        AND s_start < d_end AND d_start < s_end"""
+    },
+
+    "q211_degree_assortativity" ->
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+                                            l_partkey AS i
+                        FROM lineitem),
+          e AS MATERIALIZED (SELECT a.i AS x, b2.i AS y
+                FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2),
+          deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+                  GROUP BY 1),
+          dd AS (SELECT dx.deg AS dx, dy.deg AS dy
+                 FROM (SELECT x AS a, y AS b FROM e
+                       UNION ALL SELECT y, x FROM e) d
+                 JOIN deg dx ON dx.n = d.a
+                 JOIN deg dy ON dy.n = d.b),
+          m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+                       CAST(SUM(dx) AS BIGINT) AS sx,
+                       CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                       CAST(SUM(dx * dy) AS BIGINT) AS sxy
+                FROM dd),
+          nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+          SELECT n_nodes, mm // 2 AS n_edges,
+                 CAST(mm AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree,
+                 CASE WHEN CAST(mm AS HUGEINT) * sxx
+                           - CAST(sx AS HUGEINT) * sx > 0
+                      THEN CAST(CAST(mm AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           / CAST(CAST(mm AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 END AS assortativity
+          FROM m, nv""",
+
+    "q212_reciprocal_best_match" -> {
+      val minSup = Queries.CoMinSupport
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+                                             l_partkey AS i
+                         FROM lineitem),
+          e AS MATERIALIZED (SELECT a.i AS x, b2.i AS y,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                GROUP BY 1, 2),
+          freq AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM items GROUP BY 1),
+          sim AS (SELECT e.x, e.y,
+                         CAST(e.nb AS DOUBLE)
+                           / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cosine
+                  FROM e JOIN freq fa ON fa.i = e.x
+                         JOIN freq fb ON fb.i = e.y
+                  WHERE e.nb >= $minSup),
+          d AS (SELECT x AS me, y AS other, cosine FROM sim
+                UNION ALL SELECT y, x, cosine FROM sim),
+          best AS (SELECT me, other AS best, cosine FROM d
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY me
+                             ORDER BY cosine DESC, other ASC) = 1)
+          SELECT l.item_a, l.item_b, l.cosine
+          FROM (SELECT me AS item_a, best AS item_b, cosine FROM best) l
+          JOIN (SELECT me AS item_b, best AS item_a FROM best) r
+            USING (item_a, item_b)
+          WHERE item_a < item_b"""
     })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
