@@ -356,4 +356,41 @@ class PlanSpec extends AnyFunSuite {
         s"$q physical plan has no WholeStageCodegen span:\n$p")
     }
   }
+
+  test("q210: status filter pushed to both scans; the overlap join is an equi-join") {
+    val p = plan("q210_fifo_allocation")
+    assert(p.contains("EqualTo(l_linestatus,F)"), "supply filter not pushed")
+    assert(p.contains("EqualTo(l_linestatus,O)"), "demand filter not pushed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "FIFO overlap join fell back to a non-equi join")
+  }
+
+  test("q207: all three attribution windows stack on a single per-user sort") {
+    val p = plan("q207_ushape_attribution")
+    assert("Window \\[".r.findAllIn(p).length == 3, "expected exactly 3 Window nodes")
+    // one window sort (user_id, us, event_id) + the final output order —
+    // the q66/q201 shared-sort discipline (an inline unix_micros per
+    // window spec would re-sort twice more)
+    assert("\\+\\- Sort \\[".r.findAllIn(p).length <= 2,
+      s"window sorts did not collapse:\n$p")
+  }
+
+  test("q202: the life table reads events twice (per-user agg + horizon), not three times") {
+    val p = plan("q202_survival_table")
+    assert("FileScan parquet".r.findAllIn(p).length == 2,
+      s"expected exactly 2 events scans:\n$p")
+  }
+
+  test("q211/q212: graph stats never cartesian-join; the only window is the upstream basket bound") {
+    // every Window node in q211's tree is coOccurrencePairs' basket-size
+    // quarantine (__bsize — the shared edge build, cache-collapsed at
+    // execution) — GraphStats itself adds none, and nothing may fall
+    // back to a cartesian
+    val pa = plan("q211_degree_assortativity")
+    assert(pa.linesIterator.filter(_.contains("Window ["))
+      .forall(_.contains("__bsize")), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    val pr = plan("q212_reciprocal_best_match")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"), pr)
+  }
 }
