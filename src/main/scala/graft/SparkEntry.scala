@@ -228,6 +228,7 @@ object SparkEntry {
     "q210_fifo_allocation"    -> (Queries.fifoAllocation _),
     "q211_degree_assortativity" -> (Queries.degreeAssortativity _),
     "q212_reciprocal_best_match" -> (Queries.reciprocalBestMatch _),
+    "q213_pagerank_weighted"  -> (Queries.pagerankWeighted _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5260,6 +5261,51 @@ object Queries {
     GraphStats.reciprocalBest(sim, "item_a", "item_b", "cosine")
       .orderBy("item_a")
   }
+
+  // --- q213: WEIGHTED PageRank over the co-purchase graph ---------------------------
+  // q155 treats a 100-basket co-purchase tie the same as a 1-basket
+  // fluke; the weighted walk distributes each node's rank mass
+  // proportionally to edge weight (n_baskets). Same exact-int64
+  // discipline: per-edge contribution w · ((85·p) div (100·W)) with
+  // W = Σ out-weights — the per-node quotient floors ONCE, then scales
+  // by the integer weight, so every term stays far from 2^63
+  // (85·p ≤ 85·total-mass ≈ 1.7e15 at sf0.1) and both engines walk
+  // bit-identical states; the oracle unrolls the same rounds.
+  val PrWRounds = 3
+
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedPagerankRounds(
+      copurchaseEdges(spark, dir)
+        .select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("n_baskets").as("w")),
+      PrWRounds)
+
+  /** The weighted-PageRank round loop over any (src, dst, w) frame
+    * (each undirected pair once; both directions derived here) —
+    * factored out so the spec can drive it with hand-computable
+    * fixtures (the windowFunnelFrom pattern).
+    */
+  def weightedPagerankRounds(edgeFrame: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "pagerank needs at least one round")
+    val e0 = edgeFrame.localCheckpoint(true)
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+    val withW = edges.join(wsum, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = lit(15L * PrScale / 100L)
+    var ranks = wsum.select(col("src").as("i"), lit(PrScale).as("p"))
+    for (_ <- 1 to rounds) {
+      ranks = withW.join(ranks, withW("src") === ranks("i"))
+        .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("contrib"))
+        .groupBy(col("dst").as("i"))
+        .agg((base + sum(col("contrib"))).as("p"))
+        .localCheckpoint(true)
+    }
+    withW.unpersist()
+    ranks.select(col("i").as("item"), col("p").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("item"))
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5787,6 +5833,34 @@ object Oracles {
           JOIN (SELECT me AS item_b, best AS item_a FROM best) r
             USING (item_a, item_b)
           WHERE item_a < item_b"""
+    },
+
+    "q213_pagerank_weighted" -> {
+      val s = Queries.PrScale
+      val base = 15L * s / 100L
+      // q155's unrolled integer rounds with the weighted mass split:
+      // per-node quotient floors once, then scales by the edge weight
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT ed.dst AS i,
+                    $base + SUM(ed.w * ((85 * p.p) // (100 * t.tw))) AS p
+             FROM ed JOIN $prev p ON ed.src = p.i
+                     JOIN tww t ON ed.src = t.src
+             GROUP BY 1)"""
+      val rounds = (1 to Queries.PrWRounds)
+        .map(r => round(s"p${r - 1}", s"p$r")).mkString(",\n          ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                         FROM lineitem),
+          e0 AS (SELECT a.i AS src, b2.i AS dst, COUNT(*) AS w
+                 FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                 GROUP BY 1, 2),
+          ed AS (SELECT src, dst, w FROM e0
+                 UNION ALL SELECT dst, src, w FROM e0),
+          tww AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw
+                  FROM ed GROUP BY 1),
+          p0 AS (SELECT src AS i, CAST($s AS BIGINT) AS p FROM tww),
+          $rounds
+          SELECT i AS item, CAST(p AS BIGINT) AS rank_score
+          FROM p${Queries.PrWRounds}"""
     })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors

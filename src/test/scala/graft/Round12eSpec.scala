@@ -45,6 +45,30 @@ class Round12eSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0.7)))
   }
 
+  test("weighted pagerank: one hand-computed round on a weighted path") {
+    // a-b (w=1), b-c (w=3); W: a=1, b=4, c=3; p0 = S = 1e9 each.
+    // quotients: from a: (85e9 div 100) = 850,000,000;
+    //            from b: (85e9 div 400) = 212,500,000;
+    //            from c: (85e9 div 300) = 283,333,333.
+    // p1(a) = 0.15e9 + 1·212,500,000           = 362,500,000
+    // p1(b) = 0.15e9 + 1·850e6 + 3·283,333,333 = 1,849,999,999
+    // p1(c) = 0.15e9 + 3·212,500,000           = 787,500,000
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 3L)).toDF("src", "dst", "w")
+    val got = Queries.weightedPagerankRounds(e, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 362500000L, 2L -> 1849999999L,
+      3L -> 787500000L))
+  }
+
+  test("weighted pagerank: heavier edges pull more rank than q155's uniform walk") {
+    // same topology, weights skewed: the hub's mass splits 1:3, so the
+    // heavy neighbor must strictly out-rank the light one after a round
+    val e = Seq((10L, 1L, 1L), (10L, 2L, 3L)).toDF("src", "dst", "w")
+    val got = Queries.weightedPagerankRounds(e, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(1L), s"heavy neighbor did not out-rank: $got")
+  }
+
   test("q211/q212 run against the fixture and stay internally consistent") {
     val a = Queries.degreeAssortativity(spark, sf).collect().head
     val r = a.getDouble(a.fieldIndex("assortativity"))
