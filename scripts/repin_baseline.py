@@ -23,6 +23,8 @@ table = (f"## Per-query baseline (sf0.1, seconds, full-suite median-of-3)\n\n"
 
 src = open("BASELINE.md").read()
 start = src.index("## Per-query baseline")
-end = src.index("\n## ", start + 10)
-open("BASELINE.md", "w").write(src[:start] + table + src[end + 1:])
+# the pin table may be the LAST section: find() -1 means end-of-file
+end = src.find("\n## ", start + 10)
+tail = "" if end == -1 else src[end + 1:]
+open("BASELINE.md", "w").write(src[:start] + table + tail)
 print(f"pinned {len(qs)} rows, total {bench['value']:.1f}s")

@@ -180,6 +180,11 @@ object ScaleGen {
     val src = args(0)
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // fail up front on a missing/non-local src: listFiles() below would
+    // return null and NPE after work was already done (matches scaleMain)
+    val srcDir = new java.io.File(src)
+    require(srcDir.isDirectory,
+      s"ScaleGenGraph src must be a local testdata directory, got $src")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -194,7 +199,7 @@ object ScaleGen {
         Seq("l_orderkey", "l_partkey"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
-    new java.io.File(src).listFiles()
+    srcDir.listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&
         f.getName != "lineitem.parquet")
       .foreach { f =>

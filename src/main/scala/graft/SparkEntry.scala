@@ -229,6 +229,7 @@ object SparkEntry {
     "q211_degree_assortativity" -> (Queries.degreeAssortativity _),
     "q212_reciprocal_best_match" -> (Queries.reciprocalBestMatch _),
     "q213_pagerank_weighted"  -> (Queries.pagerankWeighted _),
+    "q214_sql_kernels"        -> (Queries.sqlKernels _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5213,6 +5214,9 @@ object Queries {
         datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
           .cast("long").as("ord"),
         (col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+        // decimal→long cast TRUNCATES toward zero in Spark; the oracle
+        // mirrors it with trunc() (DuckDB's bare CAST would round half
+        // away from zero — silent divergence on fractional quantities)
         dec2(col("l_quantity")).cast("long").as("qty"))
     Fifo.allocate(side("F"), side("O"), FifoBucket)
       .select(col("key").as("part"),
@@ -5305,6 +5309,41 @@ object Queries {
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
       .orderBy(col("rank_score").desc, col("item"))
+  }
+
+  // --- q214: round-12 kernels through the SQL-text surface --------------------------
+  // q179 gates the round-11 kernel set as `spark.sql` text; this is the
+  // same gate for the two kernels that landed after it: the native
+  // TOP-K aggregate (`graft_topk`, plans/TopKAgg) and the
+  // Damerau–Levenshtein codegen kernel (`graft_dleven`,
+  // plans/EditDistance). Per brand: top-3 parts by total quantity via
+  // the heap aggregate (quantity carried as exact centi-units — the
+  // DECIMAL(18,2)×100 product is integral for EVERY input, so the
+  // BIGINT cast is round-vs-truncate-proof), plus the brand label's DL
+  // distance to the family prototype string. The oracle recomputes the
+  // top-k as the window form (the q197 twin contract: same rows,
+  // different physical plan) and the distance via DuckDB's native
+  // `damerau_levenshtein` (same unrestricted Lowrance–Wagner semantics,
+  // probed in plans/EditDistance.scala).
+  def sqlKernels(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q214")
+    Tables.part(spark, dir).createOrReplaceTempView("part_q214")
+    spark.sql(
+      """WITH qty AS (SELECT l_partkey AS pk,
+                             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                               AS BIGINT) AS q
+                      FROM li_q214 GROUP BY l_partkey),
+          top AS (SELECT p.p_brand AS brand, graft_topk(q.q, q.pk, 3) AS tk
+                  FROM qty q JOIN part_q214 p ON p.p_partkey = q.pk
+                  GROUP BY p.p_brand)
+          SELECT brand,
+                 CAST(pos + 1 AS INT) AS rank,
+                 e.key AS partkey,
+                 e.value AS qty_centi,
+                 graft_dleven(brand, 'Brand#55') AS dl_proto
+          FROM top LATERAL VIEW posexplode(tk) x AS pos, e
+          ORDER BY brand, rank""")
   }
 }
 
@@ -5752,8 +5791,10 @@ object Oracles {
                             CAST(CAST(l_shipdate AS DATE)
                                  - DATE '1970-01-01' AS BIGINT) AS ord,
                             l_orderkey * 100 + l_linenumber AS id,
-                            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)
-                              AS qty
+                            -- trunc ≡ Spark's decimal→long cast (toward
+                            -- zero); bare CAST rounds in DuckDB
+                            CAST(trunc(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS BIGINT) AS qty
                      FROM lineitem
                      WHERE l_linestatus IN ('F', 'O')),
           c AS (SELECT *,
@@ -5861,7 +5902,25 @@ object Oracles {
           $rounds
           SELECT i AS item, CAST(p AS BIGINT) AS rank_score
           FROM p${Queries.PrWRounds}"""
-    })
+    },
+
+    "q214_sql_kernels" ->
+      // window form of the heap top-k (the q197 twin contract) + native
+      // damerau_levenshtein (same unrestricted semantics as graft_dleven)
+      """WITH qty AS (SELECT l_partkey AS pk,
+                             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                               AS BIGINT) AS q
+                      FROM lineitem GROUP BY 1),
+          r AS (SELECT p.p_brand AS brand, q.pk, q.q,
+                       row_number() OVER (PARTITION BY p.p_brand
+                                          ORDER BY q.q DESC, q.pk) AS rk
+                FROM qty q JOIN part p ON p.p_partkey = q.pk)
+          SELECT brand, CAST(rk AS INT) AS rank,
+                 CAST(pk AS BIGINT) AS partkey,
+                 q AS qty_centi,
+                 CAST(damerau_levenshtein(brand, 'Brand#55') AS INT)
+                   AS dl_proto
+          FROM r WHERE rk <= 3""")
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

@@ -65,5 +65,8 @@ object Bfs {
       .unionByName(edges.select(col(bCol).as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .agg(max(struct(col("deg"), (-col("n")).as("neg"))).as("m"))
+      // the global agg over an EMPTY edge frame yields one null struct;
+      // filter it so an empty graph gives an empty hub, not (null, 0)
+      .filter(col("m").isNotNull)
       .select((-col("m.neg")).as("n"))
 }
