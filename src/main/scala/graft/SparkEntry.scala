@@ -230,6 +230,9 @@ object SparkEntry {
     "q212_reciprocal_best_match" -> (Queries.reciprocalBestMatch _),
     "q213_pagerank_weighted"  -> (Queries.pagerankWeighted _),
     "q214_sql_kernels"        -> (Queries.sqlKernels _),
+    "q215_pmi_collocations"   -> (Queries.pmiCollocations _),
+    "q216_pagerank_directed"  -> (Queries.pagerankDirected _),
+    "q217_bitemporal"         -> (Queries.bitemporal _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5345,6 +5348,128 @@ object Queries {
           FROM top LATERAL VIEW posexplode(tk) x AS pos, e
           ORDER BY brand, rank""")
   }
+
+  // --- q215: PMI collocation mining --------------------------------------------------
+  // Adjacent word pairs occurring together far beyond what their
+  // marginal slot frequencies predict (operators/Collocations): one
+  // corpus pass (slice+zip+explode, no join), one bigram hash-agg;
+  // marginals and the grand total re-aggregated from that table. The
+  // gated value is the exact ratio INSIDE the PMI log (monotone in it):
+  // n_ab·N / (n_left·n_right), products in DECIMAL(38,0) — the q211
+  // overflow lesson applied up front — and one IEEE-exact division.
+  val PmiMinMarginal = 5L
+  val PmiMinPair     = 3L
+
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    Collocations.bigramPmi(Tables.documents(spark, dir), col("text"),
+        PmiMinMarginal, PmiMinPair)
+      .orderBy(col("pmi_lift").desc, col("word_a"), col("word_b"))
+
+  // --- q216: DIRECTED PageRank with dangling-mass redistribution --------------------
+  // The q155/q186/q213 walks run on the undirected co-purchase graph,
+  // where every node has out-mass by construction. A directed graph —
+  // here the sequential-basket graph, part at linenumber k → part at
+  // k+1 within an order — has DANGLING nodes (targets that never
+  // appear in source position), whose mass would silently leak out of
+  // the walk. The classic fix: each round, the danglers' pooled mass D
+  // is redistributed uniformly — every node receives (85·D) div
+  // (100·N) on top of its in-edge contributions. Same exact-int64
+  // discipline (all quantities non-negative, so Spark `div` ≡ DuckDB
+  // `//`; 85·D ≤ 85·N·scale ≈ 1.7e15 at sf0.1 — lift the share term to
+  // DECIMAL(38,0) past N ≈ 10^8 nodes, the q211 recipe); the oracle
+  // unrolls the same rounds with the same scalar dangling pool.
+  val PrDRounds = 3
+
+  def pagerankDirected(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val ed = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    directedPagerankRounds(ed, PrDRounds)
+  }
+
+  /** The directed weighted-PageRank round loop over any (src, dst, w)
+    * frame (edges used AS GIVEN — no symmetrization), with uniform
+    * dangling-mass redistribution. Factored out so the spec can drive
+    * it with a hand-computable dangling fixture.
+    */
+  def directedPagerankRounds(edgeFrame: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "pagerank needs at least one round")
+    val ed = edgeFrame.localCheckpoint(true)
+    val nodes = ed.select(col("src").as("i"))
+      .unionByName(ed.select(col("dst").as("i"))).distinct()
+      .localCheckpoint(true)
+    val outw = ed.groupBy("src").agg(sum(col("w")).as("tw"))
+    val withW = ed.join(outw, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-row frames, broadcast — the q101 global-span pattern (never a
+    // driver collect in the loop)
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val base = lit(15L * PrScale / 100L)
+    var ranks = nodes.select(col("i"), lit(PrScale).as("p"))
+    for (_ <- 1 to rounds) {
+      val dang = ranks.join(outw, ranks("i") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("p")), lit(0L)).as("d"))
+      val contrib = withW.join(ranks, withW("src") === ranks("i"))
+        .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib, nodes("i") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(nn))
+        .select(col("i"),
+          (base + coalesce(col("cs"), lit(0L)) +
+            expr("(85 * d) div (100 * nn)")).as("p"))
+        .localCheckpoint(true)
+    }
+    withW.unpersist()
+    ranks.select(col("i").as("item"), col("p").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("item"))
+  }
+
+  // --- q217: bitemporal composition (knowledge time × valid time) -------------------
+  // The classic audit query: "what did we believe on knowledge day X
+  // about validity at day Y". Both axes already exist separately —
+  // Snapshots versions are the KNOWLEDGE axis (q174), SCD2 validity
+  // intervals the VALID axis (q03/q15); this composes them: the SCD2
+  // history is rebuilt from the changelog as known at each of three
+  // successive knowledge watermarks and COMMITTED (three snapshot
+  // versions), then every version is read back via time travel and
+  // as-of-filtered at ONE fixed valid time. Belief genuinely moves
+  // between versions: a later-known event at ts > V re-CLOSES the
+  // interval that covers V (effective_to changes), and users whose
+  // first event lands between watermarks appear. The oracle recomputes
+  // each version's belief from the base table with the same watermark
+  // literals — both time axes from first principles.
+  val BtValidTs = "2024-01-15 00:00:00"
+
+  def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val target = s"${tempDir("graft_bitemporal_")}/scd2"
+    TravelTs.foreach { k =>
+      Snapshots.commit(
+        Scd.scd2FromChangelog(
+          Tables.events(spark, dir)
+            .filter(col("ts") < utcTs(k))
+            .select("user_id", "event_id", "event_type", "value", "ts"),
+          keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id"))
+          .select("user_id", "event_id", "event_type", "value",
+            "effective_from", "effective_to"),
+        target, retainManifests = 10)
+    }
+    val vs = Snapshots.versions(spark, target).sorted.takeRight(TravelTs.size)
+    vs.zipWithIndex.map { case (v, i) =>
+      Scd.asOfSnapshot(Snapshots.readAt(spark, target, v), utcTs(BtValidTs))
+        .select(lit(i + 1).cast("int").as("knowledge_version"),
+          col("user_id"), col("event_id"), col("event_type"), col("value"),
+          col("effective_from"), col("effective_to"))
+    }.reduce(_ unionByName _)
+      .orderBy("knowledge_version", "user_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5920,7 +6045,89 @@ object Oracles {
                  q AS qty_centi,
                  CAST(damerau_levenshtein(brand, 'Brand#55') AS INT)
                    AS dl_proto
-          FROM r WHERE rk <= 3""")
+          FROM r WHERE rk <= 3""",
+
+    "q215_pmi_collocations" -> {
+      val (m, p) = (Queries.PmiMinMarginal, Queries.PmiMinPair)
+      // zipped parallel unnests over the two length-(n-1) slices ≡ the
+      // Spark slice+arrays_zip bigram walk; HUGEINT products ≡ the
+      // DECIMAL(38,0) multiply-through
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents
+                        WHERE text IS NOT NULL
+                          AND len(string_split(text, ' ')) >= 2),
+          bg AS (SELECT unnest(ws[1:len(ws)-1]) AS word_a,
+                        unnest(ws[2:len(ws)])   AS word_b FROM toks),
+          c AS (SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM bg GROUP BY 1, 2),
+          la AS (SELECT word_a, CAST(SUM(n_ab) AS BIGINT) AS n_left
+                 FROM c GROUP BY 1),
+          rb AS (SELECT word_b, CAST(SUM(n_ab) AS BIGINT) AS n_right
+                 FROM c GROUP BY 1),
+          nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM c)
+          SELECT word_a, word_b, n_ab, n_left, n_right,
+                 CAST(CAST(n_ab AS HUGEINT) * n_total AS DOUBLE)
+                   / CAST(CAST(n_left AS HUGEINT) * n_right AS DOUBLE)
+                   AS pmi_lift
+          FROM c JOIN la USING (word_a) JOIN rb USING (word_b)
+          CROSS JOIN nn
+          WHERE n_left >= $m AND n_right >= $m AND n_ab >= $p"""
+    },
+
+    "q216_pagerank_directed" -> {
+      val s = Queries.PrScale
+      val base = 15L * s / 100L
+      // q213's unrolled integer rounds on the DIRECTED sequential-basket
+      // graph, plus the per-round scalar dangling pool redistributed
+      // uniformly; all quantities non-negative so // ≡ Spark div
+      def round(prev: String, r: Int) =
+        s"""dg$r AS (SELECT COALESCE(SUM(p), 0) AS d
+              FROM $prev a LEFT JOIN tw ON a.i = tw.src
+              WHERE tw.src IS NULL),
+          c$r AS (SELECT ed.dst AS i,
+                         SUM(ed.w * ((85 * p.p) // (100 * t.tw))) AS cs
+                  FROM ed JOIN $prev p ON ed.src = p.i
+                          JOIN tw t ON ed.src = t.src
+                  GROUP BY 1),
+          p$r AS (SELECT n.i,
+                         $base + COALESCE(c.cs, 0)
+                           + (85 * (SELECT d FROM dg$r))
+                             // (100 * (SELECT nn FROM nv)) AS p
+                  FROM nodes n LEFT JOIN c$r c ON c.i = n.i)"""
+      val rounds = (1 to Queries.PrDRounds)
+        .map(r => round(s"p${r - 1}", r)).mkString(",\n          ")
+      s"""WITH ed AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                             CAST(COUNT(*) AS BIGINT) AS w
+                      FROM lineitem a
+                      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                                     AND b.l_linenumber = a.l_linenumber + 1
+                      GROUP BY 1, 2),
+          nodes AS (SELECT DISTINCT i FROM
+                      (SELECT src AS i FROM ed UNION ALL SELECT dst FROM ed)),
+          nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+          tw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM ed GROUP BY 1),
+          p0 AS (SELECT i, CAST($s AS BIGINT) AS p FROM nodes),
+          $rounds
+          SELECT i AS item, CAST(p AS BIGINT) AS rank_score
+          FROM p${Queries.PrDRounds}"""
+    },
+
+    "q217_bitemporal" -> {
+      val v = Queries.BtValidTs
+      // each knowledge version's belief recomputed from the base table
+      // with the same watermark literal, then as-of-filtered at V
+      Queries.TravelTs.zipWithIndex.map { case (k, i) =>
+        s"""SELECT CAST(${i + 1} AS INT) AS knowledge_version,
+                   user_id, event_id, event_type, value,
+                   effective_from, effective_to
+            FROM (SELECT user_id, event_id, event_type, value,
+                         ts AS effective_from,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS effective_to
+                  FROM events WHERE ts < TIMESTAMP '$k')
+            WHERE effective_from <= TIMESTAMP '$v'
+              AND (effective_to IS NULL OR effective_to > TIMESTAMP '$v')"""
+      }.mkString("\nUNION ALL\n")
+    })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

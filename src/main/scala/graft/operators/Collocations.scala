@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** PMI collocation mining (Church & Hanks): which adjacent word pairs
+  * occur together far more often than their marginal frequencies
+  * predict — the corpus-linguistics report that surfaces multi-word
+  * units ("new york") and templated boilerplate next to the q53/q123
+  * document-frequency views.
+  *
+  * Shape, and why it scales: the corpus is touched ONCE with a pure
+  * map-side transform (slice + zip + explode of adjacent token pairs —
+  * no join, no window), collapsed by one hash aggregation into the
+  * bigram count table. Everything else — left/right marginals, the
+  * grand total, the PMI ratio — is re-aggregated from that table,
+  * whose size is bounded by the observed-bigram vocabulary, not the
+  * corpus (map-side partial agg absorbs hot bigrams exactly as q53's
+  * df counter does). There is no all-pairs structure anywhere, so no
+  * df cap is NEEDED for safety; the marginal floor plays the
+  * vocabulary-banding role (rare-word bigrams are noise at any PMI).
+  *
+  * Exactness: PMI = log2( n_ab·N / (n_left·n_right) ). The log is a
+  * transcendental whose last ulp differs across libm builds, so the
+  * gated output is the RATIO inside it (`pmi_lift`, monotone in PMI):
+  * both products are computed in DECIMAL(38,0) — the q211 lesson:
+  * token counts at the 100-TB scale reach ~1e14 and the products
+  * ~1e28, past int64 — and the single double division of two exactly-
+  * represented integers is correctly rounded identically in any IEEE
+  * engine.
+  *
+  * Reference analog: the corpus-statistics family of
+  * utilities/utils.py (token profiling) — the reference has no
+  * collocation miner; this extends the text-analysis surface.
+  */
+object Collocations {
+
+  /** Adjacent-bigram PMI table over `textCol` (whitespace tokens).
+    *
+    * @param minMarginal vocabulary band: both endpoint words must fill
+    *                    at least this many bigram slots (left for the
+    *                    left word, right for the right)
+    * @param minPair     minimum bigram count (output noise floor)
+    * @return (word_a, word_b, n_ab, n_left, n_right, pmi_lift)
+    */
+  def bigramPmi(docs: DataFrame, textCol: Column,
+                minMarginal: Long, minPair: Long): DataFrame = {
+    val ws = split(textCol, " ")
+    val pairs = docs
+      .filter(textCol.isNotNull && size(ws) >= 2)
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("a"),
+        slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+    val c = pairs
+      .groupBy(col("p.a").as("word_a"), col("p.b").as("word_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val la = c.groupBy(col("word_a")).agg(sum("n_ab").as("n_left"))
+    val rb = c.groupBy(col("word_b")).agg(sum("n_ab").as("n_right"))
+    val n = c.agg(sum("n_ab").as("n_total"))
+    val d38 = DecimalType(38, 0)
+    c.join(la, "word_a").join(rb, "word_b")
+      .crossJoin(broadcast(n))
+      .filter(col("n_left") >= minMarginal && col("n_right") >= minMarginal &&
+        col("n_ab") >= minPair)
+      .select(col("word_a"), col("word_b"),
+        col("n_ab"), col("n_left"), col("n_right"),
+        ((col("n_ab").cast(d38) * col("n_total").cast(d38)).cast("double") /
+          (col("n_left").cast(d38) * col("n_right").cast(d38)).cast("double"))
+          .as("pmi_lift"))
+  }
+}
