@@ -233,6 +233,8 @@ object SparkEntry {
     "q215_pmi_collocations"   -> (Queries.pmiCollocations _),
     "q216_pagerank_directed"  -> (Queries.pagerankDirected _),
     "q217_bitemporal"         -> (Queries.bitemporal _),
+    "q218_stream_cusum"       -> (Queries.cusumStreamed _),
+    "q219_stream_topk"        -> (Queries.topKStreamed _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5470,6 +5472,78 @@ object Queries {
     }.reduce(_ unionByName _)
       .orderBy("knowledge_version", "user_id")
   }
+
+  // --- q218: streaming CUSUM drift detector under the gate --------------------------
+  // The REAL `CusumStream` stateful stream (flatMapGroupsWithState,
+  // update mode, O(1) state per key) run against the fixture via
+  // AvailableNow: per event type, daily counts fold into Page's
+  // clipped statistic s = max(0, s + (c − ref)) as days close, ref =
+  // the type's integer mean daily rate (floor division, computed from
+  // the batch table — a bounded per-type collect, the watermark-store
+  // pattern). The oracle never runs the sequential fold: it uses the
+  // prefix-min closed form s_i = cum_i − min(0, min_{j≤i} cum_j)
+  // (q167's decomposition family), so the state machine and the
+  // window algebra must agree bit-for-bit. The open tail day never
+  // closes — both sides exclude each type's last day.
+  def cusumStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CusumStream
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val refs = daily.groupBy("event_type")
+      .agg(expr("sum(c) div count(1)").as("ref"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enc = org.apache.spark.sql.Encoders.product[CusumStream.CEv]
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("event_type").as("key"), unix_micros(col("ts")).as("tsMicros"))
+      .as(enc)
+    val name = runToTable(
+      CusumStream.detect(stream, refs).writeStream.outputMode("update"),
+      "graft_q218_")
+    // update-mode snapshots are monotone in n_days and fully determined
+    // by it (s only moves when a day closes) — max-struct is the final
+    spark.table(name)
+      .groupBy(col("key").as("event_type"))
+      .agg(max(struct(col("n_days"), col("final_cusum"), col("max_cusum"),
+        col("peak_day"))).as("m"))
+      .select(col("event_type"), col("m.n_days").as("n_days"),
+        col("m.final_cusum").as("final_cusum"),
+        col("m.max_cusum").as("max_cusum"), col("m.peak_day").as("peak_day"))
+      .orderBy("event_type")
+  }
+
+  // --- q219: streaming TOP-K leaderboard under the gate ------------------------------
+  // The REAL `TopKStream` stateful stream: per event type, the 5
+  // largest (cents, event_id) observations under the (value DESC, id
+  // ASC) total order, as bounded O(k) state — the stream form of the
+  // q197/q214 heap aggregate. The gated reduction re-ranks the DISTINCT
+  // union of all update-mode snapshots under the same order (sound
+  // because snapshots are prefix top-k sets and the final top-k is
+  // contained in the last one — see TopKStream scaladoc); the oracle is
+  // the batch window form.
+  val TopKStreamK = 5
+
+  def topKStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TopKStream
+    val enc = org.apache.spark.sql.Encoders.product[TopKStream.TEv]
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("event_type").as("key"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("event_id").as("id"))
+      .as(enc)
+    val name = runToTable(
+      TopKStream.track(stream, TopKStreamK).writeStream.outputMode("update"),
+      "graft_q219_")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").desc, col("id"))
+    spark.table(name).select("key", "v", "id").distinct()
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TopKStreamK)
+      .select(col("key").as("event_type"), col("rank"),
+        col("id").as("event_id"), col("v").as("value_cents"))
+      .orderBy("event_type", "rank")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6127,7 +6201,58 @@ object Oracles {
             WHERE effective_from <= TIMESTAMP '$v'
               AND (effective_to IS NULL OR effective_to > TIMESTAMP '$v')"""
       }.mkString("\nUNION ALL\n")
-    })
+    },
+
+    "q218_stream_cusum" ->
+      // the stream's sequential clipped fold via the prefix-min closed
+      // form: s_i = cum_i − min(0, min_{j≤i} cum_j); last (open) day
+      // excluded per type, ref = floor-mean daily count over ALL days
+      """WITH daily AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+          ref AS (SELECT event_type,
+                         CAST(CAST(SUM(c) AS BIGINT)
+                              // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS rf
+                  FROM daily GROUP BY 1),
+          lastd AS (SELECT event_type, MAX(day) AS last_day
+                    FROM daily GROUP BY 1),
+          closed AS (SELECT d.event_type, d.day, d.c - r.rf AS dd
+                     FROM daily d
+                     JOIN ref r USING (event_type)
+                     JOIN lastd l USING (event_type)
+                     WHERE d.day < l.last_day),
+          c1 AS (SELECT event_type, day,
+                        CAST(SUM(dd) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS cum
+                 FROM closed),
+          c2 AS (SELECT event_type, day,
+                        cum - LEAST(CAST(0 AS BIGINT),
+                          CAST(MIN(cum) OVER (PARTITION BY event_type
+                                              ORDER BY day) AS BIGINT)) AS s
+                 FROM c1),
+          fin AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(arg_max(s, day) AS BIGINT) AS final_cusum,
+                         CAST(MAX(s) AS BIGINT) AS max_cusum
+                  FROM c2 GROUP BY 1),
+          pk AS (SELECT c2.event_type, CAST(MIN(c2.day) AS BIGINT) AS peak_day
+                 FROM c2 JOIN fin ON c2.event_type = fin.event_type
+                                 AND c2.s = fin.max_cusum
+                 GROUP BY 1)
+          SELECT f.event_type, f.n_days, f.final_cusum, f.max_cusum,
+                 p.peak_day
+          FROM fin f JOIN pk p USING (event_type)""",
+
+    "q219_stream_topk" ->
+      s"""SELECT event_type, CAST(rn AS INT) AS rank, event_id,
+                 cents AS value_cents FROM (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) DESC, event_id) AS rn
+            FROM events)
+          WHERE rn <= ${Queries.TopKStreamK}""")
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Collocations, KCore, LabelProp}
+
+/** Round-13 contracts: the planted-collocation PMI fixture, the
+  * directed-PageRank dangling-mass arithmetic (hand-computed round +
+  * mass conservation up to floor loss), and the replica-graph
+  * structure-preservation drill made EXECUTABLE (VERDICT r12 item 8):
+  * the graph family's scaling argument is that disjoint replicas
+  * compute independently — so two replicas must yield per-replica
+  * results identical to the single-copy run, exactly.
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // --- PMI collocations ------------------------------------------------------------
+
+  test("bigramPmi finds the planted collocation with the hand-computed lift") {
+    val docs = Seq(
+      "new york is big",
+      "new york wins again",
+      "old town is quiet").toDF("text")
+    val got = Collocations.bigramPmi(docs, col("text"),
+      minMarginal = 1L, minPair = 2L).collect()
+    // 9 bigram slots; (new,york) twice; marginals: new-as-left 2,
+    // york-as-right 2 → lift = 2·9/(2·2) = 4.5; nothing else repeats
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 4.5)
+  }
+
+  test("bigramPmi marginal band drops rare-word pairs") {
+    val docs = Seq("a b", "a b", "c d").toDF("text")
+    val banded = Collocations.bigramPmi(docs, col("text"),
+      minMarginal = 2L, minPair = 1L).collect()
+    assert(banded.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")), "c/d fill only one slot each and must be banded out")
+  }
+
+  // --- directed PageRank: dangling mass --------------------------------------------
+
+  test("directedPagerankRounds matches a hand-computed dangling round and conserves mass") {
+    // 1 →(w2)→ 2, 1 →(w1)→ 3, 2 →(w1)→ 3; node 3 dangling
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Queries.directedPagerankRounds(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scale 1e9, base 150e6; d = p(3) = 1e9, share = 85e9 div 300
+    // = 283,333,333; per-node quotient for 1: 85e9 div 300 (tw=3),
+    // for 2: 85e9 div 100 (tw=1)
+    assert(got(1L) == 433333333L)   // base + share
+    assert(got(2L) == 999999999L)   // base + 2·283,333,333 + share
+    assert(got(3L) == 1566666666L)  // base + (283,333,333 + 850e6) + share
+    // mass conservation up to floor loss: target 0.15·N·scale + 0.85·Σp
+    // = 3e9; each div floors away < 1 per edge term, node share, and
+    // dangling pool — loss strictly below (#edge-terms + N + 1)
+    val total = got.values.sum
+    assert(total <= 3000000000L && total > 3000000000L - 7L,
+      s"dangling mass leaked: $total")
+  }
+
+  test("directedPagerankRounds without danglers adds no redistribution term") {
+    // 2-cycle: every node has out-mass, d = 0 each round
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Queries.directedPagerankRounds(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric fixpoint: base + (85·p div 100) each round, identical
+    // per node; round 1: 150e6 + 850e6 = 1e9 → stationary
+    assert(got(1L) == 1000000000L && got(2L) == 1000000000L)
+  }
+
+  // --- replica-graph structure preservation (q155/q199/q206/q213 family) -----------
+
+  /** Deterministic small graph: nodes 0..19, canonical x<y edges from a
+    * modular rule, weight 1 + (x mod 3).
+    */
+  private def baseGraph(): DataFrame = {
+    val raw = (0L until 20L).map(i => (i, (i * 7 + 3) % 20))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    raw.map { case (x, y) => (x, y, 1L + (x % 3)) }.toDF("x", "y", "w")
+  }
+
+  private val Off = 1000L
+
+  private def replicated(g: DataFrame): DataFrame =
+    g.unionByName(g.select((col("x") + Off).as("x"), (col("y") + Off).as("y"),
+      col("w")))
+
+  private def assertReplicaEquality(single: DataFrame, union: DataFrame,
+                                    nodeCols: Seq[String], tag: String): Unit = {
+    val r0 = union.filter(col(nodeCols.head) < Off)
+    val r1 = union.filter(col(nodeCols.head) >= Off)
+      .select(union.columns.map(c =>
+        if (nodeCols.contains(c)) (col(c) - Off).as(c) else col(c)): _*)
+    assert(single.count() > 0, s"$tag: empty single-copy result")
+    assert(r0.except(single).count() == 0 && single.except(r0).count() == 0,
+      s"$tag: replica 0 diverged from the single-copy run")
+    assert(r1.except(single).count() == 0 && single.except(r1).count() == 0,
+      s"$tag: replica 1 diverged from the single-copy run (offset)")
+  }
+
+  test("weighted PageRank computes disjoint replicas independently") {
+    val g = baseGraph()
+    // w ≡ 1 degenerates to q155's degree split; real w covers q213
+    val single = Queries.weightedPagerankRounds(
+      g.select(col("x").as("src"), col("y").as("dst"), col("w")), 3)
+    val union = Queries.weightedPagerankRounds(
+      replicated(g).select(col("x").as("src"), col("y").as("dst"), col("w")), 3)
+    assertReplicaEquality(single, union, Seq("item"), "q213-family")
+  }
+
+  test("k-core peel computes disjoint replicas independently") {
+    val g = baseGraph()
+    val single = KCore.kCore(g, "x", "y", k = 2, rounds = 10)
+    val union = KCore.kCore(replicated(g), "x", "y", k = 2, rounds = 10)
+    assertReplicaEquality(single, union, Seq("node"), "q199")
+  }
+
+  test("label propagation computes disjoint replicas independently") {
+    val g = baseGraph()
+    val single = LabelProp.propagate(g, "x", "y", rounds = 4)
+    val union = LabelProp.propagate(replicated(g), "x", "y", rounds = 4)
+    // labels are node ids, so the offset shifts BOTH columns: min-label
+    // tiebreaks order-preserve under a uniform shift
+    assertReplicaEquality(single, union, Seq("node", "label"), "q206")
+  }
+
+  test("directed PageRank computes disjoint replicas independently") {
+    val g = baseGraph().select(col("x").as("src"), col("y").as("dst"), col("w"))
+    val single = Queries.directedPagerankRounds(g, 3)
+    val union = Queries.directedPagerankRounds(
+      g.unionByName(g.select((col("src") + Off).as("src"),
+        (col("dst") + Off).as("dst"), col("w"))), 3)
+    // NOT generally true for the dangling term (the pool is global);
+    // this fixture's replicas have identical dangling pools and node
+    // counts, so the per-replica share coincides — asserting that
+    // documents the boundary: uniform redistribution couples replicas
+    // only through d/N, which is replica-invariant under exact cloning
+    assertReplicaEquality(single, union, Seq("item"), "q216")
+  }
+}
