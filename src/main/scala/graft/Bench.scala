@@ -58,6 +58,19 @@ object Bench {
     // the passes across the suite was tried for burst-noise robustness and
     // rejected: cycling 62 plans between samples evicts code cache and
     // inflates every query ~15% — it measures a different thing.)
+    // Per-query GC/heap self-explanation (VERDICT r12 item 5): the
+    // recurring in-suite ~2x excursions on the heaviest graph rows
+    // (q199/q213-class) adjudicate from the artifact when each row
+    // carries the GC time its timed runs paid and the heap high-water
+    // they touched — an excursion with gc_ms ≈ the excess seconds is
+    // JVM pressure, not a plan change.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def gcNowMs: Long = gcBeans.asScala.map(_.getCollectionTime).sum
     val results = queries.map { case (name, fn) =>
       var failed = false
       // Equal-footing protocol: every query block starts from an empty
@@ -71,11 +84,20 @@ object Bench {
       // adjudication runs, so medians stay comparable to BASELINE.md.
       spark.catalog.clearCache()
       System.gc()
-      val times = (1 to 4).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try { forceEval(fn(spark, sfDir)) } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
-      }.drop(1)
+      }
+      run() // untimed steady-state run at the target SF (JIT depth)
+      // diagnostics cover exactly the three timed runs
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = gcNowMs
+      val times = (1 to 3).map(_ => run())
+      val gcMs = gcNowMs - gc0
+      // sum of per-pool peaks (eden+survivor+old): an upper bound on the
+      // true simultaneous high-water, but self-consistent across rows
+      val heapPeakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576
       // A throwing query must not record its (fast) elapsed time as a
       // valid sample — that reads as a speedup. -1 is the failure sentinel.
       val sec = if (failed) -1.0 else times.sorted.apply(1)
@@ -83,11 +105,16 @@ object Bench {
       // tail capture truncated the single giant summary line in round 6
       // (BENCH_r06.json "parsed": null, 22/80 timings lost), and short
       // per-query lines can't fall off a byte-bounded tail the same way.
-      println(s"""{"query":"$name","sec":$sec}""")
-      name -> sec
+      println(s"""{"query":"$name","sec":$sec,"gc_ms":$gcMs,"heap_peak_mb":$heapPeakMb}""")
+      name -> ((sec, gcMs, heapPeakMb))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
+    // per-query diagnostics, file artifact only (the stdout line is
+    // byte-bounded; the per-query lines above carry them for the tail)
+    val diag = results.map { case (k, v) =>
+      s"""\"$k\":{"gc_ms":${v._2},"heap_peak_mb":${v._3}}"""
+    }.mkString("{", ",", "}")
     // Stdout summary uses SHORT keys (the qNN prefix) and 3-decimal
     // seconds: the driver keeps only a byte-bounded tail of stdout, and
     // round-6/7 artifacts show the full-name summary line (~3KB at 90
@@ -95,17 +122,17 @@ object Bench {
     // survives the capture; the full-name line still lands in the
     // results file below for the human record.
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v._1)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.mkString("{", ",", "}")
     // failed queries are EXCLUDED from total (their -1 sentinel would make
     // it nonsense), so name them explicitly — otherwise a broken query
     // shrinks the total and reads as a fleet-wide speedup round-over-round
-    val failures = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val failures = results.collect { case (k, v) if v._1 < 0 => s"\"$k\"" }
     val fq = failures.mkString("[", ",", "]")
-    val total = if (failures.nonEmpty) -1.0 else results.values.sum
+    val total = if (failures.nonEmpty) -1.0 else results.values.map(_._1).sum
     val fullSummary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$diag,"failures":$fq,"sf":"$sfDir"}"""
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failures":$fq,"sf":"$sfDir"}"""
     // Belt and braces: the full summary also lands in a file next to the
