@@ -219,3 +219,50 @@ object ScaleGen {
 object ScaleGenGraph {
   def main(args: Array[String]): Unit = ScaleGen.graphMain(args)
 }
+
+/** Lineitem-only facts scaler (`runMain graft.ScaleGenLineitem src dest
+  * factor`): lineitem replicated with l_orderkey offset (per-part
+  * chains grow `factor`× DEEPER — the q210 FIFO drill regime, where
+  * per-key cumulative totals cross many bucket widths), every other
+  * table passed through. Much cheaper than scaleMain when only the
+  * lineitem family is under drill (no document/embedding blow-up).
+  * ALWAYS scale from the ORIGINAL fixture dir: offsets are i·IdStride,
+  * so re-scaling an already-scaled dir collides keys.
+  */
+object ScaleGenLineitem {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val srcDir = new java.io.File(src)
+    require(srcDir.isDirectory,
+      s"ScaleGenLineitem src must be a local testdata directory, got $src")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    ScaleGen.scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    srcDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.getName != "lineitem.parquet")
+      .foreach { f =>
+        val out = java.nio.file.Paths.get(dest, f.getName)
+        if (!java.nio.file.Files.exists(out)) {
+          if (f.isDirectory)
+            spark.read.parquet(f.getPath).write.mode("overwrite")
+              .parquet(out.toString)
+          else { java.nio.file.Files.copy(f.toPath, out); () }
+        }
+      }
+    println(s"""{"lineitem_scaled":"$src -> $dest","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -235,6 +235,9 @@ object SparkEntry {
     "q217_bitemporal"         -> (Queries.bitemporal _),
     "q218_stream_cusum"       -> (Queries.cusumStreamed _),
     "q219_stream_topk"        -> (Queries.topKStreamed _),
+    "q220_theilsen_trend"     -> (Queries.theilSenTrend _),
+    "q221_hilbert_manifest"   -> (Queries.hilbertManifest _),
+    "q222_recommendations"    -> (Queries.recommendations _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5544,6 +5547,114 @@ object Queries {
         col("id").as("event_id"), col("v").as("value_cents"))
       .orderBy("event_type", "rank")
   }
+
+  // --- q220: Theil–Sen robust trend ---------------------------------------------------
+  // q195's OLS slope is pulled arbitrarily far by ONE corrupted day
+  // (breakdown point 0); the Theil–Sen estimator — the median of all
+  // pairwise slopes (y_j−y_i)/(x_j−x_i) — survives ~29% contamination,
+  // the robust-statistics twin of q78's median/MAD vs q70's moments.
+  // Cost shape: the pair join runs on the O(days) DAILY frame, never
+  // the fact table, so its O(days²) is a CONSTANT in corpus size (days
+  // don't grow with volume at fixed history) — at sf0.1 ≈ 3M pairs per
+  // flag. Each pairwise slope is one IEEE division of exact int64s
+  // (the q195 kilodollar-quantized y), and the median is Spark's exact
+  // `percentile` ≡ DuckDB quantile_cont (the q68 bit-match precedent).
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .select(col("l_returnflag"),
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("rev_dec").cast("double") / lit(AnomalyUnit))
+          .cast("long").as("y"))
+    theilSenFromDaily(daily)
+  }
+
+  /** Theil–Sen slope over any (l_returnflag, x, y) daily frame —
+    * factored so the spec can drive it with a planted-outlier fixture.
+    */
+  def theilSenFromDaily(daily: DataFrame): DataFrame = {
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    a.join(b, col("a.l_returnflag") === col("b.l_returnflag") &&
+        col("a.x") < col("b.x"))
+      .select(col("a.l_returnflag").as("l_returnflag"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5D)").as("theilsen_slope_ku_per_day"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- q221: Hilbert-curve layout manifest --------------------------------------------
+  // q147's zone-map planner on the HILBERT curve (the locality upgrade
+  // over Morton — see plans/HilbertExprs): same exact-integer
+  // quantization from broadcast global bounds, the xy2d bit walk as a
+  // codegen kernel, one hash-agg to the per-block zone map. The oracle
+  // unrolls the same qBits reflect/transpose rounds as CTEs, so the
+  // kernel's integer walk is reproduced round-for-round in SQL.
+  def hilbertManifest(spark: SparkSession, dir: String): DataFrame =
+    ZOrder.hilbertLayoutManifest(
+      Tables.orders(spark, dir),
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+      ZQBits, ZBlockShift)
+
+  // --- q222: item-based collaborative recommendations --------------------------------
+  // The recommender READ path over q97's item-item cosine: per customer,
+  // score every co-purchase neighbor of an owned item by Σ cosine over
+  // the owned items reaching it, drop already-owned candidates
+  // (left-anti), keep the top 3 by (score DESC, item ASC). Thirteenth
+  // consumer of the memoized co-purchase edge frame; candidate fan-out
+  // is bounded by the owned set × the support-filtered neighbor lists
+  // (never catalog × catalog). The float fold is ORDER-FIXED — per
+  // (customer, candidate) the (via, cosine) list is sorted and folded
+  // sequentially (the q98/q99 recipe) — so the score is bit-stable
+  // under any partitioning and the oracle's list_reduce replays it.
+  val RecTopK = 3
+
+  def recommendations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val owned = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val items = li.select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val freq = items.groupBy("i").agg(count(lit(1)).as("n"))
+    val ef = copurchaseEdges(spark, dir)
+      .filter(col("n_baskets") >= CoMinSupport)
+    val ed = ef.select(col("item_a").as("ia"), col("item_b").as("ib"),
+        col("n_baskets"))
+      .unionByName(ef.select(col("item_b").as("ia"), col("item_a").as("ib"),
+        col("n_baskets")))
+    val sim = ed
+      .join(freq.select(col("i").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(freq.select(col("i").as("ib"), col("n").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        (col("n_baskets").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
+    val cand = owned.join(sim, owned("item") === sim("ia"))
+      .select(col("cust"), col("ib").as("rec"), col("item").as("via"),
+        col("cosine"))
+      .join(owned.select(col("cust"), col("item").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+    val scored = cand.groupBy("cust", "rec")
+      .agg(expr("""aggregate(
+             transform(sort_array(collect_list(struct(via, cosine))),
+                       s -> s.cosine),
+             0.0D, (acc, v) -> acc + v)""").as("score"),
+        count(lit(1)).as("n_paths"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust").orderBy(col("score").desc, col("rec"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= RecTopK)
+      .select(col("cust").as("o_custkey"), col("rank"),
+        col("rec").as("item"), col("score"), col("n_paths"))
+      .orderBy("o_custkey", "rank")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6252,7 +6363,72 @@ object Oracles {
                      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
                                    AS BIGINT) DESC, event_id) AS rn
             FROM events)
-          WHERE rn <= ${Queries.TopKStreamK}""")
+          WHERE rn <= ${Queries.TopKStreamK}""",
+
+    "q220_theilsen_trend" ->
+      // pairwise-slope median on the q195 daily frame; quantile_cont ≡
+      // Spark's exact percentile (the q68 bit-match precedent)
+      s"""WITH daily AS (
+            SELECT l_returnflag,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS x,
+                   CAST(floor(CAST(SUM($discTerm) AS DOUBLE)
+                              / ${Queries.AnomalyUnit}) AS BIGINT) AS y
+            FROM lineitem GROUP BY 1, 2),
+          slopes AS (
+            SELECT a.l_returnflag,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                     AS slope
+            FROM daily a JOIN daily b
+              ON a.l_returnflag = b.l_returnflag AND a.x < b.x)
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 quantile_cont(slope, 0.5) AS theilsen_slope_ku_per_day
+          FROM slopes GROUP BY 1""",
+
+    "q221_hilbert_manifest" -> hilbertManifestSql,
+
+    "q222_recommendations" -> {
+      val (ms, k) = (Queries.CoMinSupport, Queries.RecTopK)
+      // list_sort + list_reduce ≡ the Spark sort_array + aggregate fold
+      // (left fold from 0.0 — +0.0 on the first element is exact)
+      s"""WITH owned AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+                                        l_partkey AS i FROM lineitem),
+          freq AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM items GROUP BY 1),
+          e0 AS (SELECT a.i AS ia, b2.i AS ib, CAST(COUNT(*) AS BIGINT) AS nab
+                 FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+                 GROUP BY 1, 2),
+          ef AS (SELECT ia, ib, nab FROM e0 WHERE nab >= $ms),
+          ed AS (SELECT ia, ib, nab FROM ef
+                 UNION ALL SELECT ib, ia, nab FROM ef),
+          sim AS (SELECT ed.ia, ed.ib,
+                         CAST(nab AS DOUBLE)
+                           / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cosine
+                  FROM ed JOIN freq fa ON fa.i = ed.ia
+                          JOIN freq fb ON fb.i = ed.ib),
+          cand AS (SELECT o.cust, s.ib AS rec, o.item AS via, s.cosine
+                   FROM owned o JOIN sim s ON s.ia = o.item
+                   WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                                     WHERE o2.cust = o.cust
+                                       AND o2.item = s.ib)),
+          scored AS (SELECT cust, rec,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(
+                                list_sort(list(struct_pack(via := via,
+                                                           cosine := cosine))),
+                                r -> r.cosine)),
+                              (a, b) -> a + b) AS score,
+                            CAST(COUNT(*) AS BIGINT) AS n_paths
+                     FROM cand GROUP BY 1, 2)
+          SELECT cust AS o_custkey, CAST(rn AS INT) AS rank, rec AS item,
+                 score, n_paths FROM (
+            SELECT *, row_number() OVER (PARTITION BY cust
+                        ORDER BY score DESC, rec) AS rn
+            FROM scored)
+          WHERE rn <= $k"""
+    })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,
@@ -9549,6 +9725,48 @@ object Oracles {
                MIN(bx) AS min_x, MAX(bx) AS max_x,
                MIN(by) AS min_y, MAX(by) AS max_y
         FROM m4 GROUP BY 1"""
+  }
+
+  /** q221's oracle: the Hilbert xy2d walk unrolled — one CTE per bit
+    * level s = 2^(qBits−1) … 1, each applying the quadrant-digit add
+    * and the reflect/transpose rotation to (x, y, d). The rotation is
+    * computed in an INNER select with fresh aliases (nx/ny) so no
+    * expression can accidentally resolve a lateral alias instead of the
+    * input column.
+    */
+  private lazy val hilbertManifestSql: String = {
+    val q = 1L << Queries.ZQBits
+    val blk = 1L << Queries.ZBlockShift
+    val svals = (Queries.ZQBits - 1 to 0 by -1).map(1L << _)
+    val rounds = svals.zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (SELECT bx, by, nx AS x, ny AS y, d FROM (
+             SELECT bx, by,
+                    CASE WHEN (y & $s) > 0 THEN x
+                         WHEN (x & $s) > 0 THEN $s - 1 - y
+                         ELSE y END AS nx,
+                    CASE WHEN (y & $s) > 0 THEN y
+                         WHEN (x & $s) > 0 THEN $s - 1 - x
+                         ELSE x END AS ny,
+                    d + $s * $s *
+                      xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+             FROM h$i))"""
+    }.mkString(",\n        ")
+    s"""WITH b AS (SELECT o_custkey AS x,
+              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        s AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                     MIN(y) AS miny, MAX(y) AS maxy FROM b),
+        g AS (SELECT ((x - minx) * $q) // (maxx - minx + 1) AS bx,
+                     ((y - miny) * $q) // (maxy - miny + 1) AS by FROM b, s),
+        h0 AS (SELECT bx, by, bx AS x, by AS y, CAST(0 AS BIGINT) AS d FROM g),
+        $rounds
+        SELECT CAST(d // $blk AS BIGINT) AS block,
+               COUNT(*) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y
+        FROM h${svals.length} GROUP BY 1"""
   }
 
   /** BM25 scored-docs SQL shared by q69/q79 — ≡ Queries.bm25Scores (same

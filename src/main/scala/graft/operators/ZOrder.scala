@@ -60,4 +60,29 @@ object ZOrder {
         min("by").as("min_y"), max("by").as("max_y"))
       .orderBy("block")
   }
+
+  /** `layoutManifest` on the HILBERT curve (plans/HilbertExprs): same
+    * quantize → index → block zone map, with the curve that never takes
+    * the Z-curve's diagonal jumps — every block of 2^blockShift
+    * consecutive indices is a spatially compact region, so the
+    * per-block min/max bounds are uniformly tight (the reason layout
+    * engines offer Hilbert next to ZORDER for 100-TB file skipping).
+    */
+  def hilbertLayoutManifest(df: DataFrame, xCol: Column, yCol: Column,
+                            qBits: Int = 8, blockShift: Int = 6): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val bounds = base.agg(min("x").as("minx"), max("x").as("maxx"),
+      min("y").as("miny"), max("y").as("maxy"))
+    base.crossJoin(broadcast(bounds))
+      .select(
+        quantize(col("x"), col("minx"), col("maxx"), qBits).as("bx"),
+        quantize(col("y"), col("miny"), col("maxy"), qBits).as("by"))
+      .withColumn("h", graft.plans.HilbertExprs.hilbert(col("bx"), col("by"), qBits))
+      .groupBy(shiftright(col("h"), blockShift).as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("bx").as("min_x"), max("bx").as("max_x"),
+        min("by").as("min_y"), max("by").as("max_y"))
+      .orderBy("block")
+  }
 }

@@ -80,3 +80,71 @@ case class MortonInterleave16(left: Expression, right: Expression)
       newRight: Expression): MortonInterleave16 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Hilbert-curve index kernel — the locality upgrade over Morton.
+  *
+  * The Z-curve takes a long diagonal jump every time a high bit flips
+  * (cells 0b0111… and 0b1000… are grid-adjacent in index space but far
+  * apart spatially), so some Z-blocks are NOT tight rectangles. The
+  * Hilbert curve visits every cell with unit steps — adjacent index
+  * ranges are always spatially compact — which makes per-block min/max
+  * bounds uniformly tight and is why layout engines offer it next to
+  * ZORDER. The index is the classic xy2d walk (public domain): per bit
+  * level s = n/2 … 1, quadrant digit d += s²·((3·rx) XOR ry), then the
+  * reflect/transpose rotation — a fixed `qBits`-round integer loop, one
+  * static Java call inside whole-stage codegen, reproduced round-for-
+  * round by the DuckDB oracle's unrolled CTEs.
+  */
+object HilbertExprs {
+
+  def hilbert(x: Column, y: Column, qBits: Int): Column =
+    GraftColumnBridge.column(HilbertIndex(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y), qBits))
+
+  /** xy→d on the 2^qBits × 2^qBits grid. Called from interpreted eval
+    * and generated code.
+    */
+  def hilbertJava(qBits: Int, x0: Long, y0: Long): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (qBits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+case class HilbertIndex(left: Expression, right: Expression, qBits: Int)
+    extends BinaryExpression {
+
+  require(qBits >= 1 && qBits <= 31, s"hilbert qBits out of range: $qBits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"HilbertIndex requires (bigint, bigint), got " +
+        s"${left.dataType} and ${right.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HilbertExprs.hilbertJava(qBits, a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HilbertExprs.hilbertJava($qBits, $a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}

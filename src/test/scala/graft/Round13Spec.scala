@@ -133,6 +133,61 @@ class Round13Spec extends AnyFunSuite {
     assertReplicaEquality(single, union, Seq("node", "label"), "q206")
   }
 
+  // --- Theil–Sen robust trend --------------------------------------------------------
+
+  test("theilSenFromDaily shrugs off the outlier that would own the OLS fit") {
+    // y = 2x on days 0..3, then a corrupted day 4 (y = 1000): 6 of the
+    // 10 pairwise slopes are exactly 2, so the median is 2.0 — the
+    // breakdown property that motivates the estimator
+    val daily = Seq(("A", 0L, 0L), ("A", 1L, 2L), ("A", 2L, 4L),
+      ("A", 3L, 6L), ("A", 4L, 1000L)).toDF("l_returnflag", "x", "y")
+    val r = Queries.theilSenFromDaily(daily).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 10L)
+    assert(r.head.getDouble(2) == 2.0)
+  }
+
+  // --- Hilbert curve kernel ----------------------------------------------------------
+
+  test("hilbert kernel matches the order-1 curve and is bijective on the grid") {
+    import graft.plans.HilbertExprs
+    // order-1 (2x2) hand values: the U walk (0,0)→(0,1)→(1,1)→(1,0)
+    assert(HilbertExprs.hilbertJava(1, 0, 0) == 0L)
+    assert(HilbertExprs.hilbertJava(1, 0, 1) == 1L)
+    assert(HilbertExprs.hilbertJava(1, 1, 1) == 2L)
+    assert(HilbertExprs.hilbertJava(1, 1, 0) == 3L)
+    // bijective on the 32×32 grid, THROUGH the Catalyst kernel (codegen
+    // path), and unit-step locality: consecutive indices are grid-adjacent
+    val qb = 5
+    val grid = spark.range(32).select(col("id").as("x"))
+      .crossJoin(spark.range(32).select(col("id").as("y")))
+      .select(HilbertExprs.hilbert(col("x"), col("y"), qb).as("d"),
+        col("x"), col("y"))
+    assert(grid.select("d").distinct().count() == 1024L)
+    assert(grid.agg(min("d"), max("d")).head() ==
+      org.apache.spark.sql.Row(0L, 1023L))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+    val steps = grid
+      .select(col("d"), (abs(col("x") - lag("x", 1).over(w)) +
+        abs(col("y") - lag("y", 1).over(w))).as("step"))
+      .filter(col("step").isNotNull)
+    assert(steps.filter(col("step") =!= 1L).count() == 0L,
+      "Hilbert consecutive indices must be grid-adjacent (unit steps)")
+  }
+
+  test("hilbertLayoutManifest partitions all rows into blocks") {
+    import graft.operators.ZOrder
+    val orders = Tables.orders(spark, sf)
+    val man = ZOrder.hilbertLayoutManifest(orders, col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))))
+    val total = man.agg(sum("n_rows")).head().getLong(0)
+    assert(total == orders.filter(col("o_custkey").isNotNull &&
+      col("o_orderdate").isNotNull).count())
+    // zone-map sanity: per-block rectangles never exceed the grid
+    assert(man.filter(col("min_x") < 0 || col("max_x") > 255 ||
+      col("min_y") < 0 || col("max_y") > 255).count() == 0)
+  }
+
   test("directed PageRank computes disjoint replicas independently") {
     val g = baseGraph().select(col("x").as("src"), col("y").as("dst"), col("w"))
     val single = Queries.directedPagerankRounds(g, 3)
