@@ -238,6 +238,8 @@ object SparkEntry {
     "q220_theilsen_trend"     -> (Queries.theilSenTrend _),
     "q221_hilbert_manifest"   -> (Queries.hilbertManifest _),
     "q222_recommendations"    -> (Queries.recommendations _),
+    "q223_pq_codes"           -> (Queries.pqCodes _),
+    "q224_kn_counts"          -> (Queries.knCounts _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5655,6 +5657,62 @@ object Queries {
         col("rec").as("item"), col("score"), col("n_paths"))
       .orderBy("o_custkey", "rank")
   }
+
+  // --- q223: product-quantization code assignment --------------------------------------
+  // The memory side of billion-scale ANN: a 64-dim float vector becomes
+  // PqSub=4 one-byte codes (PqCodes=16 sub-centroids per subspace) — a
+  // 64× compression the IVF family (q33/q59/q61) pairs with for
+  // in-memory re-ranking. Codebooks here are the q61 deterministic draw
+  // (first train vectors' slices in id order) so the oracle replays
+  // them verbatim; assignment is argmin L2 with lowest-code tiebreak as
+  // one struct-MIN hash agg (no window). dist² is a fixed-order fold of
+  // exact float→double subtractions — bit-stable cross-engine (the
+  // aggregate-from-0.0 vs list_reduce-from-first equivalence: 0.0 + t₁
+  // is exact).
+  val PqSub = 4
+  val PqCodes = 16
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = graft.functions.Lsh.Dim / PqSub
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bounded driver state: PqCodes seed vectors (the q59/q61 pattern)
+    val seeds = emb.filter(col("vec_id") >= AnnQueryMaxId)
+      .orderBy("vec_id").limit(PqCodes)
+      .select("v").collect().map(_.getSeq[Double](0))
+    val cents = for (s <- 0 until PqSub; c <- seeds.indices)
+      yield (s, c, seeds(c).slice(s * subDim, (s + 1) * subDim))
+    import spark.implicits._
+    val cdf = cents.toDF("subspace", "code", "cent")
+    val sub = emb.select(col("vec_id"),
+        explode(array((0 until PqSub).map(s =>
+          struct(lit(s).as("subspace"),
+            slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.subspace").as("subspace"), col("e.sv").as("sv"))
+    sub.join(broadcast(cdf), "subspace")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(sv, cent, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)"))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("subspace"),
+        col("m.code").as("code"), col("m.dist2").as("dist2"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  // --- q224: Kneser–Ney continuation-count table ---------------------------------------
+  // The LM-training count tables (operators/Collocations.kneserNeyCounts):
+  // per word, token count, distinct left contexts N1+(·w), distinct
+  // right continuations N1+(w·), and the continuation probability
+  // N1+(·w)/N1+(··) — the statistic KN smoothing replaces raw unigram
+  // frequency with ("Francisco" is frequent but only ever follows
+  // "San"). Exact integers from two hash-aggs over the distinct
+  // bigram-TYPE table (the q215 bigram walk shared), one division.
+  val KnMinTokens = 5L
+
+  def knCounts(spark: SparkSession, dir: String): DataFrame =
+    Collocations.kneserNeyCounts(Tables.documents(spark, dir), col("text"),
+        KnMinTokens)
+      .orderBy("word")
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6428,7 +6486,70 @@ object Oracles {
                         ORDER BY score DESC, rec) AS rn
             FROM scored)
           WHERE rn <= $k"""
-    })
+    },
+
+    "q223_pq_codes" -> {
+      val subDim = graft.functions.Lsh.Dim / Queries.PqSub
+      val (nSub, nCodes) = (Queries.PqSub, Queries.PqCodes)
+      // list_slice for the computed subspace bounds; dist² fold from the
+      // first element ≡ Spark's aggregate from 0.0
+      s"""WITH emb AS (SELECT vec_id,
+                              list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                             - 1 AS code, v
+                    FROM (SELECT vec_id, v FROM emb
+                          WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                          ORDER BY vec_id LIMIT $nCodes)),
+          sp AS (SELECT CAST(unnest(generate_series(0, ${nSub - 1})) AS INT)
+                   AS subspace),
+          cents AS (SELECT sp.subspace, seeds.code,
+                           list_slice(v, sp.subspace * $subDim + 1,
+                                      (sp.subspace + 1) * $subDim) AS cent
+                    FROM seeds, sp),
+          sub AS (SELECT vec_id, sp.subspace,
+                         list_slice(v, sp.subspace * $subDim + 1,
+                                    (sp.subspace + 1) * $subDim) AS sv
+                  FROM emb, sp),
+          scored AS (SELECT vec_id, sub.subspace, code,
+                            list_reduce(list_transform(
+                              generate_series(1, $subDim),
+                              i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
+                              (a, b) -> a + b) AS dist2
+                     FROM sub JOIN cents ON sub.subspace = cents.subspace)
+          SELECT vec_id, subspace, code, dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                        ORDER BY dist2, code) AS rn
+            FROM scored)
+          WHERE rn = 1"""
+    },
+
+    "q224_kn_counts" ->
+      // distinct bigram TYPES from the zipped-slice walk; continuation
+      // counts are two hash-aggs over that table
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents
+                        WHERE text IS NOT NULL),
+          uni AS (SELECT unnest(ws) AS word FROM toks),
+          uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                 FROM uni GROUP BY 1),
+          bg AS (SELECT DISTINCT unnest(ws[1:len(ws)-1]) AS word_a,
+                                 unnest(ws[2:len(ws)])   AS word_b
+                 FROM toks WHERE len(ws) >= 2),
+          lt AS (SELECT word_b AS word, CAST(COUNT(*) AS BIGINT)
+                   AS n_left_types FROM bg GROUP BY 1),
+          rt AS (SELECT word_a AS word, CAST(COUNT(*) AS BIGINT)
+                   AS n_right_types FROM bg GROUP BY 1),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bg)
+          SELECT uc.word, uc.n_tokens,
+                 COALESCE(lt.n_left_types, 0) AS n_left_types,
+                 COALESCE(rt.n_right_types, 0) AS n_right_types,
+                 CAST(COALESCE(lt.n_left_types, 0) AS DOUBLE)
+                   / CAST(tot.n_bigram_types AS DOUBLE) AS p_continuation
+          FROM uc LEFT JOIN lt ON uc.word = lt.word
+                  LEFT JOIN rt ON uc.word = rt.word
+          CROSS JOIN tot
+          WHERE uc.n_tokens >= ${Queries.KnMinTokens}""")
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

@@ -44,16 +44,24 @@ object Collocations {
     * @param minPair     minimum bigram count (output noise floor)
     * @return (word_a, word_b, n_ab, n_left, n_right, pmi_lift)
     */
-  def bigramPmi(docs: DataFrame, textCol: Column,
-                minMarginal: Long, minPair: Long): DataFrame = {
+  /** The positional adjacent-bigram walk: one map-side slice+zip+explode
+    * per document, (word_a, word_b) per bigram slot. Shared by the PMI
+    * miner and the Kneser–Ney count tables.
+    */
+  def bigrams(docs: DataFrame, textCol: Column): DataFrame = {
     val ws = split(textCol, " ")
-    val pairs = docs
+    docs
       .filter(textCol.isNotNull && size(ws) >= 2)
       .select(explode(arrays_zip(
         slice(ws, lit(1), size(ws) - 1).as("a"),
         slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
-    val c = pairs
-      .groupBy(col("p.a").as("word_a"), col("p.b").as("word_b"))
+      .select(col("p.a").as("word_a"), col("p.b").as("word_b"))
+  }
+
+  def bigramPmi(docs: DataFrame, textCol: Column,
+                minMarginal: Long, minPair: Long): DataFrame = {
+    val c = bigrams(docs, textCol)
+      .groupBy(col("word_a"), col("word_b"))
       .agg(count(lit(1)).as("n_ab"))
     val la = c.groupBy(col("word_a")).agg(sum("n_ab").as("n_left"))
     val rb = c.groupBy(col("word_b")).agg(sum("n_ab").as("n_right"))
@@ -68,5 +76,39 @@ object Collocations {
         ((col("n_ab").cast(d38) * col("n_total").cast(d38)).cast("double") /
           (col("n_left").cast(d38) * col("n_right").cast(d38)).cast("double"))
           .as("pmi_lift"))
+  }
+
+  /** Kneser–Ney continuation-count table — the statistic that makes KN
+    * smoothing work: a word's unigram weight is not how OFTEN it occurs
+    * but in how many distinct CONTEXTS it occurs ("Francisco" is
+    * frequent but only ever follows "San", so its continuation count is
+    * 1). Per word: token count, N1+(·w) distinct left contexts,
+    * N1+(w·) distinct right continuations, and the continuation
+    * probability P_cont(w) = N1+(·w) / N1+(··) — exact integers from
+    * two hash-aggs over the distinct bigram-TYPE table, one division.
+    * This is the LM-training count-table half of a data pipeline
+    * (perplexity filtering's upstream); the bigram walk is shared with
+    * the q215 PMI miner.
+    */
+  def kneserNeyCounts(docs: DataFrame, textCol: Column,
+                      minTokens: Long): DataFrame = {
+    val uni = docs.filter(textCol.isNotNull)
+      .select(explode(split(textCol, " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_tokens"))
+    val bt = bigrams(docs, textCol).distinct()
+    val leftTypes = bt.groupBy(col("word_b").as("word"))
+      .agg(count(lit(1)).as("n_left_types"))
+    val rightTypes = bt.groupBy(col("word_a").as("word"))
+      .agg(count(lit(1)).as("n_right_types"))
+    val total = bt.agg(count(lit(1)).as("n_bigram_types"))
+    uni.join(leftTypes, Seq("word"), "left")
+      .join(rightTypes, Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col("word"), col("n_tokens"),
+        coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
+        coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
+        (coalesce(col("n_left_types"), lit(0L)).cast("double") /
+          col("n_bigram_types").cast("double")).as("p_continuation"))
   }
 }

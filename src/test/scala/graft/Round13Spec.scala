@@ -147,6 +147,43 @@ class Round13Spec extends AnyFunSuite {
     assert(r.head.getDouble(2) == 2.0)
   }
 
+  // --- Kneser–Ney continuation counts --------------------------------------------------
+
+  test("kneserNeyCounts separates frequency from context diversity") {
+    // "francisco" occurs twice but only ever after "san": continuation
+    // count 1 of 3 bigram types — the statistic raw frequency hides
+    val docs = Seq("san francisco", "san francisco", "new york", "york city")
+      .toDF("text")
+    val r = Collocations.kneserNeyCounts(docs, col("text"), minTokens = 1L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r("francisco") == ((2L, 1L, 0L, 1.0 / 3.0)))
+    assert(r("york") == ((2L, 1L, 1L, 1.0 / 3.0)))
+    assert(r("san") == ((2L, 0L, 1L, 0.0)))
+  }
+
+  // --- PQ code assignment --------------------------------------------------------------
+
+  test("pqCodes assigns a seed vector to its own codebook entry at distance zero") {
+    val out = Queries.pqCodes(spark, sf)
+    // codes live in [0, PqCodes)
+    assert(out.filter(col("code") < 0 ||
+      col("code") >= Queries.PqCodes).count() == 0)
+    assert(out.groupBy("vec_id").count()
+      .filter(col("count") =!= Queries.PqSub).count() == 0,
+      "every vector must carry exactly one code per subspace")
+    // the seed vectors ARE centroids: their nearest sub-centroid is
+    // themselves, at exactly 0.0 in every subspace
+    val emb = Tables.embeddings(spark, sf)
+    val seedIds = emb.filter(col("vec_id") >= Queries.AnnQueryMaxId)
+      .orderBy("vec_id").limit(Queries.PqCodes)
+      .select("vec_id").collect().map(_.getLong(0))
+    val seedRows = out.filter(col("vec_id").isin(seedIds: _*))
+    assert(seedRows.count() == Queries.PqCodes.toLong * Queries.PqSub)
+    assert(seedRows.filter(col("dist2") =!= 0.0).count() == 0,
+      "a codebook seed must quantize to itself at distance 0")
+  }
+
   // --- Hilbert curve kernel ----------------------------------------------------------
 
   test("hilbert kernel matches the order-1 curve and is bijective on the grid") {
