@@ -240,6 +240,7 @@ object SparkEntry {
     "q222_recommendations"    -> (Queries.recommendations _),
     "q223_pq_codes"           -> (Queries.pqCodes _),
     "q224_kn_counts"          -> (Queries.knCounts _),
+    "q225_bpe_merges"         -> (Queries.bpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5713,6 +5714,73 @@ object Queries {
     Collocations.kneserNeyCounts(Tables.documents(spark, dir), col("text"),
         KnMinTokens)
       .orderBy("word")
+
+  // --- q225: BPE merge training ---------------------------------------------------------
+  // The TRAINING side of q126's tokenizer: learn the first N byte-pair
+  // merges from the corpus. BPE training is inherently sequential (each
+  // merge changes the next round's pair counts), so the operator is N
+  // rounds of [weighted adjacent-pair count over the WORD-FREQUENCY
+  // table → argmax (count DESC, pair ASC) → apply the merge]. The
+  // distributed shape is right: the corpus is scanned ONCE into the
+  // word-frequency table (vocabulary-sized — the classic BPE trick);
+  // every round then runs on that tiny frame, and only the 1-row argmax
+  // ever reaches the driver (the watermark-store bound). Words are
+  // space-separated symbol strings padded with sentinel spaces; the
+  // merge is a plain substring replace of " a b " with " ab " —
+  // LEFT-TO-RIGHT non-overlapping in BOTH engines (java String.replace
+  // ≡ DuckDB replace), which is the tie-handling the oracle replays.
+  // Pair counts count adjacent POSITIONS (an "a a a" word yields two
+  // (a,a)); both sides count identically, so the gate pins the whole
+  // sequential procedure.
+  val BpeMergeRounds = 5
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(spark, Tables.documents(spark, dir), col("text"),
+      BpeMergeRounds)
+
+  /** The merge loop over any (doc frame, text column) — factored so the
+    * spec can drive it with a hand-computable fixture. Stops early if
+    * the symbol inventory exhausts before `rounds` merges (every word
+    * fully merged) — the gated corpus never does.
+    */
+  def bpeMergesFrom(spark: SparkSession, docs: DataFrame, textCol: Column,
+                    rounds: Int): DataFrame = {
+    val words = docs
+      .filter(textCol.isNotNull)
+      .select(explode(split(textCol, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+        lit(" ")).as("s"), col("n"))
+    var cur = words.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val sy = expr("split(trim(s), ' ')")
+      val best = cur
+        .select(col("n"), explode(arrays_zip(
+          slice(sy, lit(1), size(sy) - 1).as("a"),
+          slice(sy, lit(2), size(sy) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // bounded: at most ONE row per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
+            lit(s" $a $b "), lit(s" $a$b ")).as("s"), col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy("round")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6549,7 +6617,42 @@ object Oracles {
           FROM uc LEFT JOIN lt ON uc.word = lt.word
                   LEFT JOIN rt ON uc.word = rt.word
           CROSS JOIN tot
-          WHERE uc.n_tokens >= ${Queries.KnMinTokens}""")
+          WHERE uc.n_tokens >= ${Queries.KnMinTokens}""",
+
+    "q225_bpe_merges" -> {
+      // the sequential merge procedure unrolled: per round, weighted
+      // adjacent-pair counts (zipped parallel unnests) → 1-row argmax →
+      // left-to-right substring replace (≡ java String.replace)
+      val rounds = (1 to Queries.BpeMergeRounds).map { r =>
+        s"""p$r AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+               SELECT unnest(sy[1:len(sy)-1]) AS a,
+                      unnest(sy[2:len(sy)]) AS b, n
+               FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM s${r - 1})
+               WHERE len(sy) >= 2)
+             GROUP BY 1, 2),
+          b$r AS (SELECT a, b, cnt FROM p$r
+                  ORDER BY cnt DESC, a, b LIMIT 1),
+          s$r AS (SELECT replace(s,
+                    ' ' || (SELECT a FROM b$r) || ' '
+                        || (SELECT b FROM b$r) || ' ',
+                    ' ' || (SELECT a FROM b$r)
+                        || (SELECT b FROM b$r) || ' ') AS s, n
+                  FROM s${r - 1})"""
+      }.mkString(",\n          ")
+      val out = (1 to Queries.BpeMergeRounds).map { r =>
+        s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+            WHERE len(w) > 0 GROUP BY 1),
+          s0 AS (SELECT ' ' || array_to_string(
+                   list_transform(generate_series(1, length(w)), i -> w[i]),
+                   ' ') || ' ' AS s, n
+                 FROM w0),
+          $rounds
+          $out"""
+    })
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

@@ -162,6 +162,20 @@ class Round13Spec extends AnyFunSuite {
     assert(r("san") == ((2L, 0L, 1L, 0.0)))
   }
 
+  // --- BPE merge training --------------------------------------------------------------
+
+  test("bpeMergesFrom learns the hand-computed merge sequence, ties to the lexicographic pair") {
+    // vocab {aaab ×3}: round 1 counts (a,a)=6 > (a,b)=3 → merge (a,a);
+    // round 2 ties (a,b)=3 with (aa,a)=3 → lexicographic pair order
+    // picks (a,b); round 3 merges (aa,ab); round 4 exhausts → early stop
+    val docs = Seq("aaab aaab", "aaab").toDF("text")
+    val got = Queries.bpeMergesFrom(spark, docs, col("text"), 5)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L)))
+  }
+
   // --- PQ code assignment --------------------------------------------------------------
 
   test("pqCodes assigns a seed vector to its own codebook entry at distance zero") {
