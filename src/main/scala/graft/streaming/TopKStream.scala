@@ -39,24 +39,39 @@ object TopKStream {
     val keyEnc = Encoders.STRING
     val stateEnc = Encoders.product[TopState]
 
-    // best-first total order: v DESC, then id ASC (TopKAgg.Ord)
-    def better(v1: Long, i1: Long, v2: Long, i2: Long): Boolean =
-      v1 > v2 || (v1 == v2 && i1 < i2)
+    // best-first total order: v DESC, then id ASC; 0 only on an
+    // identical pair (set semantics) — TopKAgg.Ord's contract
+    val ord = new java.util.Comparator[Array[Long]] with Serializable {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val byV = java.lang.Long.compare(b(0), a(0))
+        if (byV != 0) byV else java.lang.Long.compare(a(1), b(1))
+      }
+    }
 
     events.groupByKey(_.key)(keyEnc)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: String, it: Iterator[TEv], state: GroupState[TopState]) => {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          state.getOption.foreach(s => buf ++= s.vs.zip(s.ids))
+          // bounded insert-evict against the k-floor (O(log k) per event,
+          // like the batch aggregate's buffer — an append-then-truncate
+          // fold would be O(batch²) in the per-key batch size)
+          val buf = new java.util.TreeSet[Array[Long]](ord)
+          state.getOption.foreach(s =>
+            s.vs.indices.foreach(i => buf.add(Array(s.vs(i), s.ids(i)))))
           it.foreach { e =>
-            // set semantics like the batch aggregate: duplicates collapse
-            if (!buf.contains((e.v, e.id))) buf += ((e.v, e.id))
+            val entry = Array(e.v, e.id)
+            if (buf.size < k) { buf.add(entry); () }
+            else if (ord.compare(entry, buf.last()) < 0) {
+              // strictly better than the current k-th: admit, evict worst
+              if (buf.add(entry)) { buf.remove(buf.last()); () }
+            }
           }
-          val kept = buf.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
-            .take(k)
-          state.update(TopState(kept.map(_._1).toArray, kept.map(_._2).toArray))
-          kept.iterator.zipWithIndex.map { case ((v, id), i) =>
-            TopEntry(key, i + 1, v, id)
+          val kept = new Array[Array[Long]](buf.size)
+          val bit = buf.iterator()
+          var i = 0
+          while (bit.hasNext) { kept(i) = bit.next(); i += 1 }
+          state.update(TopState(kept.map(_(0)), kept.map(_(1))))
+          kept.iterator.zipWithIndex.map { case (e, r) =>
+            TopEntry(key, r + 1, e(0), e(1))
           }
         })(stateEnc, outEnc)
   }
