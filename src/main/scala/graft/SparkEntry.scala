@@ -241,6 +241,7 @@ object SparkEntry {
     "q223_pq_codes"           -> (Queries.pqCodes _),
     "q224_kn_counts"          -> (Queries.knCounts _),
     "q225_bpe_merges"         -> (Queries.bpeMerges _),
+    "q226_quantiles_decomposed" -> (Queries.quantilesDecomposed _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5799,6 +5800,29 @@ object Queries {
       .toDF("round", "sym_a", "sym_b", "pair_count")
       .orderBy("round")
   }
+
+  // --- q226: exact quantiles via the distributed decomposition ------------------------
+  // q68's report through `Median.groupedExactQuantiles` instead of the
+  // percentile aggregate — the q197↔q11 twin pattern: same rows, same
+  // oracle, different physical plan. The percentile aggregate
+  // materializes each group's full value set in one buffer (fine at
+  // q68's group sizes, the q220 GC storm at millions of values); the
+  // decomposition's state is per-(group, bucket) counts however large
+  // the groups grow — this gate proves the two plans bit-agree on all
+  // four interpolation fractions, not just the median.
+  def quantilesDecomposed(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Median.groupedExactQuantiles(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("price")),
+      "l_returnflag", "price", SketchQs, bucketScale = 0.01)
+    rows.groupBy("l_returnflag")
+      .agg(min(when(col("q") === 0.25, col("quantile"))).as("p25"),
+        min(when(col("q") === 0.5, col("quantile"))).as("p50"),
+        min(when(col("q") === 0.75, col("quantile"))).as("p75"),
+        min(when(col("q") === 0.99, col("quantile"))).as("p99"))
+      .orderBy("l_returnflag")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -5983,6 +6007,10 @@ object Oracles {
     // q197 = q11 through the heap aggregate: same rows, different
     // physical plan (the q144-146 twin pattern)
     "q197_topk_native_agg" -> sqlBase("q11_top_n_per_group"),
+
+    // q226 = q68 through the distributed quantile decomposition: same
+    // rows, same oracle, bounded per-(group,bucket) state
+    "q226_quantiles_decomposed" -> sqlBase("q68_percentile_report"),
 
     "q198_local_triangles" ->
       // canonical-edge triple join: triangle a<b<c appears exactly once

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * the executors; no group's full set is materialized anywhere.
   *
   * Exactness: the two ranked endpoint VALUES are exact order
-  * statistics, and the final `vl + (vu − vl) · frac` (frac ∈ {0, 0.5},
-  * both binary-exact) is the same double expression `percentile` /
-  * quantile_cont evaluates — bit-identical results (the q220 gate
-  * proves it against DuckDB's quantile_cont).
+  * statistics, and the interpolation is the exact expression shape
+  * `percentile` / quantile_cont evaluate: `vl·(1−frac) + vu·frac` —
+  * NOT the algebraically-equal `vl + (vu−vl)·frac`, which differs in
+  * the last ulp (measured: 81364.255 vs 81364.25499999999 at q = 0.75
+  * on the sf0.001 prices). The q220/q226 gates prove bit-identity
+  * against DuckDB's quantile_cont.
   *
   * Degenerate case: if a single bucket holds a group's whole value
   * set (near-constant values at the chosen `bucketScale`), the final
@@ -82,6 +84,62 @@ object Median {
         min(when(col("r") === col("rl"), col("v"))).as("vl"),
         min(when(col("r") === col("ru"), col("v"))).as("vu"))
       .select(col("g").as(groupCol), col("n_values"),
-        (col("vl") + (col("vu") - col("vl")) * lit(0.5)).as(out))
+        (col("vl") * lit(0.5) + col("vu") * lit(0.5)).as(out))
+  }
+
+  /** The decomposition generalized to ARBITRARY quantiles: one row per
+    * (group, q) with the exact interpolated quantile — Spark's
+    * `percentile(v, array(...))` ≡ quantile_cont semantics (pos =
+    * q·(n−1), linear interpolation between the two neighboring order
+    * statistics), without materializing any group's value set. The
+    * rank/fraction table is groups × quantiles (tiny, broadcast); the
+    * value frame is still executed exactly twice. Subsumes
+    * `groupedExactMedian` (q = 0.5); kept separate because the median
+    * form is gated (q220) and returns counts.
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            quantiles: Seq[Double],
+                            bucketScale: Double = 64.0): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0, 1]: $quantiles")
+    val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val bucketed = base
+      .withColumn("b", floor(col("v") * lit(bucketScale)).cast("long"))
+    val bc = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pos = q·(n−1): the same double product `percentile` computes, so
+    // frac (and with it the interpolation) is bit-identical
+    val ranks = bc.groupBy("g").agg(sum("cnt").as("n"))
+      .crossJoin(broadcast(quantiles.toDF("q")))
+      .withColumn("pos", (col("n") - 1) * col("q"))
+      .select(col("g"), col("q"),
+        (floor(col("pos")) + 1).cast("long").as("rl"),
+        (ceil(col("pos")) + 1).cast("long").as("ru"),
+        (col("pos") - floor(col("pos"))).as("frac"))
+    val wB = Window.partitionBy("g").orderBy("b")
+    val cum = bc
+      .withColumn("cum", sum("cnt").over(wB))
+      .withColumn("before", col("cum") - col("cnt"))
+    // buckets holding ANY needed rank (deduped across quantiles)
+    val tgt = cum.join(ranks, "g")
+      .filter((col("rl") > col("before") && col("rl") <= col("cum")) ||
+        (col("ru") > col("before") && col("ru") <= col("cum")))
+      .select("g", "b", "before").distinct()
+    val wV = Window.partitionBy("g", "b").orderBy("v")
+    val ranked = bucketed.join(broadcast(tgt), Seq("g", "b"))
+      .withColumn("r", row_number().over(wV) + col("before"))
+    ranked.join(broadcast(ranks.withColumnRenamed("g", "g2")),
+        col("g") === col("g2") &&
+          (col("r") === col("rl") || col("r") === col("ru")))
+      .select(col("g"), col("q"), col("frac"), col("r"),
+        col("rl"), col("ru"), col("v"))
+      .groupBy("g", "q", "frac")
+      .agg(min(when(col("r") === col("rl"), col("v"))).as("vl"),
+        min(when(col("r") === col("ru"), col("v"))).as("vu"))
+      .select(col("g").as(groupCol), col("q"),
+        (col("vl") * (lit(1.0) - col("frac")) + col("vu") * col("frac"))
+          .as("quantile"))
   }
 }
