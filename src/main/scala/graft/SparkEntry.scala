@@ -242,6 +242,7 @@ object SparkEntry {
     "q224_kn_counts"          -> (Queries.knCounts _),
     "q225_bpe_merges"         -> (Queries.bpeMerges _),
     "q226_quantiles_decomposed" -> (Queries.quantilesDecomposed _),
+    "q227_hilbert_vs_morton"  -> (Queries.hilbertPruningCompare _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5823,6 +5824,35 @@ object Queries {
         min(when(col("q") === 0.99, col("quantile"))).as("p99"))
       .orderBy("l_returnflag")
   }
+
+  // --- q227: Hilbert vs Morton pruning comparison --------------------------------------
+  // The question q221 exists to answer, measured: for q159's probe set,
+  // how many blocks (files) and rows must a scan touch under each
+  // curve's layout? Hilbert's unit-step locality makes every block a
+  // compact region, so its per-block min/max rectangles are uniformly
+  // tight where some Z-blocks straddle a bit-boundary jump — the
+  // comparison row per probe is the planner-side evidence for choosing
+  // the layout rewrite. Both manifests are O(blocks); probes are a
+  // 6-row broadcast; the oracle rebuilds both curves' manifests in SQL.
+  def hilbertPruningCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = col("o_custkey")
+    val y = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val orders = Tables.orders(spark, dir)
+    val mz = ZOrder.layoutManifest(orders, x, y, ZQBits, ZBlockShift)
+    val mh = ZOrder.hilbertLayoutManifest(orders, x, y, ZQBits, ZBlockShift)
+    val probes = PruneProbes.toDF("probe_id", "xlo", "xhi", "ylo", "yhi")
+    def touched(man: DataFrame, bc: String, rc: String) =
+      probes.join(broadcast(man),
+          col("xlo") <= col("max_x") && col("min_x") <= col("xhi") &&
+            col("ylo") <= col("max_y") && col("min_y") <= col("yhi"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("block")).as(bc),
+          coalesce(sum("n_rows"), lit(0L)).as(rc))
+    touched(mz, "blocks_z", "rows_z")
+      .join(touched(mh, "blocks_h", "rows_h"), Seq("probe_id"))
+      .orderBy("probe_id")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6558,6 +6588,27 @@ object Oracles {
           FROM slopes GROUP BY 1""",
 
     "q221_hilbert_manifest" -> hilbertManifestSql,
+
+    "q227_hilbert_vs_morton" -> {
+      val probes = Queries.PruneProbes
+        .map { case (i, xl, xh, yl, yh) => s"($i, $xl, $xh, $yl, $yh)" }
+        .mkString(",\n              ")
+      def touched(man: String, bc: String, rc: String) =
+        s"""SELECT probe_id, CAST(COUNT(block) AS BIGINT) AS $bc,
+                   CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS $rc
+            FROM probes LEFT JOIN $man
+              ON xlo <= max_x AND min_x <= xhi
+             AND ylo <= max_y AND min_y <= yhi
+            GROUP BY 1"""
+      s"""WITH mz AS ($zorderManifestSql),
+          mh AS ($hilbertManifestSql),
+          probes(probe_id, xlo, xhi, ylo, yhi) AS (VALUES
+              $probes),
+          tz AS (${touched("mz", "blocks_z", "rows_z")}),
+          th AS (${touched("mh", "blocks_h", "rows_h")})
+          SELECT probe_id, blocks_z, rows_z, blocks_h, rows_h
+          FROM tz JOIN th USING (probe_id)"""
+    },
 
     "q222_recommendations" -> {
       val (ms, k) = (Queries.CoMinSupport, Queries.RecTopK)
