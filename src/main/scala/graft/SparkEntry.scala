@@ -243,6 +243,8 @@ object SparkEntry {
     "q225_bpe_merges"         -> (Queries.bpeMerges _),
     "q226_quantiles_decomposed" -> (Queries.quantilesDecomposed _),
     "q227_hilbert_vs_morton"  -> (Queries.hilbertPruningCompare _),
+    "q228_conversion_ci"      -> (Queries.conversionCi _),
+    "q229_belief_revisions"   -> (Queries.beliefRevisions _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5853,6 +5855,93 @@ object Queries {
       .join(touched(mh, "blocks_h", "rows_h"), Seq("probe_id"))
       .orderBy("probe_id")
   }
+
+  // --- q228: cohort conversion rate with Wilson confidence bounds ---------------------
+  // The A/B-dashboard statistic done right: per first-view-day cohort,
+  // the view→purchase conversion rate with the Wilson 95% interval —
+  // the bound that stays inside [0,1] and behaves at small n where the
+  // normal approximation lies. Exactness: k and n are exact integers
+  // from two hash-aggs; the Wilson terms are a FIXED-SHAPE double
+  // expression over them (one sqrt, correctly rounded in any IEEE
+  // engine), so both engines round identically — the q195 recipe
+  // applied to interval estimation.
+  val WilsonZ = 1.96
+
+  def conversionCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("tv"))
+      .filter(col("tv").isNotNull)
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("tp")),
+        Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("tv"))
+      .agg(max(col("tp").isNotNull && col("tp") > col("tv")).as("converted"))
+    val z = lit(WilsonZ)
+    val z2 = z * z
+    perUser
+      .groupBy(expr("tv div 86400000000").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("p",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+      .withColumn("nD", col("n_users").cast("double"))
+      .select(col("cohort_day"), col("n_users"), col("n_converted"),
+        col("p").as("conversion_rate"),
+        ((col("p") + z2 / (lit(2.0) * col("nD")) -
+          z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nD") +
+            z2 / (lit(4.0) * col("nD") * col("nD")))) /
+          (lit(1.0) + z2 / col("nD"))).as("wilson_lo"),
+        ((col("p") + z2 / (lit(2.0) * col("nD")) +
+          z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nD") +
+            z2 / (lit(4.0) * col("nD") * col("nD")))) /
+          (lit(1.0) + z2 / col("nD"))).as("wilson_hi"))
+      .orderBy("cohort_day")
+  }
+
+  // --- q229: bitemporal belief-revision report -----------------------------------------
+  // The correction audit on top of q217: between consecutive KNOWLEDGE
+  // versions, how did our belief about validity at day V change? A
+  // later watermark can ADD users first seen between the watermarks,
+  // REPLACE the covering row (a newly-known event with ts ≤ V becomes
+  // the new last-event-before-V), or REVISE it (same covering event,
+  // effective_to re-closed by a newly-known later event). Per
+  // consecutive version pair: n_added / n_replaced / n_revised /
+  // n_unchanged — the summary a data steward reads before trusting a
+  // backfilled report.
+  // Both belief sets recomputed per watermark literal (the q217
+  // machinery without the snapshot store: the diff is about the TIME
+  // AXES, and the store's fidelity is already gated by q174/q217).
+  def beliefRevisions(spark: SparkSession, dir: String): DataFrame = {
+    def beliefAt(k: String): DataFrame =
+      Scd.asOfSnapshot(
+        Scd.scd2FromChangelog(
+          Tables.events(spark, dir)
+            .filter(col("ts") < utcTs(k))
+            .select("user_id", "event_id", "event_type", "value", "ts"),
+          keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id")),
+        utcTs(BtValidTs))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("effective_to")).as("eto"))
+    TravelTs.sliding(2).zipWithIndex.map { case (Seq(k1, k2), i) =>
+      val b1 = beliefAt(k1).select(col("user_id"), col("event_id").as("e1"),
+        col("eto").as("t1"))
+      val b2 = beliefAt(k2).select(col("user_id"), col("event_id").as("e2"),
+        col("eto").as("t2"))
+      b2.join(b1, Seq("user_id"), "left")
+        .agg(lit(i + 1).cast("int").as("transition"),
+          sum(when(col("e1").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("e1").isNotNull && col("e1") =!= col("e2"), 1L)
+            .otherwise(0L)).as("n_replaced"),
+          sum(when(col("e1") === col("e2") &&
+            !(col("t1") <=> col("t2")), 1L).otherwise(0L)).as("n_revised"),
+          sum(when(col("e1") === col("e2") &&
+            (col("t1") <=> col("t2")), 1L).otherwise(0L)).as("n_unchanged"))
+    }.reduce(_ unionByName _)
+      .orderBy("transition")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6608,6 +6697,78 @@ object Oracles {
           th AS (${touched("mh", "blocks_h", "rows_h")})
           SELECT probe_id, blocks_z, rows_z, blocks_h, rows_h
           FROM tz JOIN th USING (probe_id)"""
+    },
+
+    "q228_conversion_ci" -> {
+      // DuckDB parses bare 1.96 as DECIMAL: z*z would be the EXACT
+      // 3.8416 where Spark's double product is 3.8415999999999997 —
+      // force the double domain so both engines round identically
+      val z = s"CAST(${Queries.WilsonZ} AS DOUBLE)"
+      // fixed-shape Wilson terms over exact integer (k, n); first-view
+      // per user via a conditional min, conversion = any purchase after
+      s"""WITH pu AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                     AS tv
+            FROM events GROUP BY 1),
+          conv AS (
+            SELECT pu.user_id, pu.tv,
+                   MAX(CASE WHEN e.event_type = 'purchase'
+                             AND epoch_us(e.ts) > pu.tv
+                            THEN 1 ELSE 0 END) AS converted
+            FROM pu LEFT JOIN events e ON e.user_id = pu.user_id
+            WHERE pu.tv IS NOT NULL
+            GROUP BY 1, 2),
+          c AS (SELECT tv // 86400000000 AS cohort_day,
+                       CAST(COUNT(*) AS BIGINT) AS n_users,
+                       CAST(SUM(converted) AS BIGINT) AS n_converted
+                FROM conv GROUP BY 1),
+          w AS (SELECT cohort_day, n_users, n_converted,
+                       CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                         AS p,
+                       CAST(n_users AS DOUBLE) AS nd
+                FROM c)
+          SELECT cohort_day, n_users, n_converted, p AS conversion_rate,
+                 (p + $z * $z / (2.0 * nd)
+                    - $z * sqrt(p * (1.0 - p) / nd
+                                + $z * $z / (4.0 * nd * nd)))
+                   / (1.0 + $z * $z / nd) AS wilson_lo,
+                 (p + $z * $z / (2.0 * nd)
+                    + $z * sqrt(p * (1.0 - p) / nd
+                                + $z * $z / (4.0 * nd * nd)))
+                   / (1.0 + $z * $z / nd) AS wilson_hi
+          FROM w"""
+    },
+
+    "q229_belief_revisions" -> {
+      val v = Queries.BtValidTs
+      def belief(k: String, alias: String) =
+        s"""$alias AS (
+            SELECT user_id, event_id, epoch_us(effective_to) AS eto
+            FROM (SELECT user_id, event_id, ts AS effective_from,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS effective_to
+                  FROM events WHERE ts < TIMESTAMP '$k')
+            WHERE effective_from <= TIMESTAMP '$v'
+              AND (effective_to IS NULL OR effective_to > TIMESTAMP '$v'))"""
+      Queries.TravelTs.sliding(2).zipWithIndex.map { case (Seq(k1, k2), i) =>
+        s"""SELECT CAST(${i + 1} AS INT) AS transition,
+                   CAST(SUM(CASE WHEN e1 IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_added,
+                   CAST(SUM(CASE WHEN e1 IS NOT NULL AND e1 <> e2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_replaced,
+                   CAST(SUM(CASE WHEN e1 = e2
+                             AND t1 IS DISTINCT FROM t2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
+                   CAST(SUM(CASE WHEN e1 = e2
+                             AND t1 IS NOT DISTINCT FROM t2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM (WITH ${belief(k1, "b1")},
+                       ${belief(k2, "b2")}
+                  SELECT b2.user_id, b1.event_id AS e1, b1.eto AS t1,
+                         b2.event_id AS e2, b2.eto AS t2
+                  FROM b2 LEFT JOIN b1 USING (user_id))"""
+      }.mkString("\nUNION ALL\n")
     },
 
     "q222_recommendations" -> {

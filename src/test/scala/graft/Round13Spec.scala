@@ -162,6 +162,41 @@ class Round13Spec extends AnyFunSuite {
     assert(r("san") == ((2L, 0L, 1L, 0.0)))
   }
 
+  // --- Wilson interval / belief revisions ----------------------------------------------
+
+  test("conversionCi bounds bracket the rate and stay inside [0,1]") {
+    val out = Queries.conversionCi(spark, sf)
+    assert(out.count() > 0)
+    // 1-ulp tolerance at the extremes: at p = 1 the Wilson hi is
+    // EXACTLY 1 mathematically but the float expression reads 1 + ε
+    // (both engines identically — the gate pins the exact bits; this
+    // property checks the MATH)
+    val eps = 1e-9
+    assert(out.filter(col("wilson_lo") < -eps || col("wilson_hi") > 1.0 + eps ||
+      col("wilson_lo") > col("conversion_rate") + eps ||
+      col("conversion_rate") > col("wilson_hi") + eps).count() == 0,
+      "Wilson bounds must bracket the point estimate inside [0,1]")
+  }
+
+  test("beliefRevisions buckets partition each later belief set") {
+    val out = Queries.beliefRevisions(spark, sf).collect()
+    assert(out.length == Queries.TravelTs.size - 1)
+    // every row of the later belief set lands in exactly one bucket:
+    // the four counts sum to that version's as-of snapshot size
+    Queries.TravelTs.sliding(2).zipWithIndex.foreach { case (Seq(_, k2), i) =>
+      val n2 = graft.operators.Scd.asOfSnapshot(
+        graft.operators.Scd.scd2FromChangelog(
+          Tables.events(spark, sf)
+            .filter(col("ts") < graft.Cols.utcTs(k2))
+            .select("user_id", "event_id", "event_type", "value", "ts"),
+          keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id")),
+        graft.Cols.utcTs(Queries.BtValidTs)).count()
+      val r = out(i)
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n2,
+        s"transition ${i + 1}: buckets must partition the k2 belief set")
+    }
+  }
+
   // --- BPE merge training --------------------------------------------------------------
 
   test("bpeMergesFrom learns the hand-computed merge sequence, ties to the lexicographic pair") {
