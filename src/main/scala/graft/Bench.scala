@@ -108,6 +108,40 @@ object Bench {
       println(s"""{"query":"$name","sec":$sec,"gc_ms":$gcMs,"heap_peak_mb":$heapPeakMb}""")
       name -> ((sec, gcMs, heapPeakMb))
     }
+    // Auto-adjudication (VERDICT r13 process item): every row whose
+    // in-suite median exceeds 2x its BASELINE.md pin is re-run ISOLATED
+    // right here — same harness, same box, clean cache/GC, untimed run +
+    // median-of-3 — and both numbers land in the artifact, so no judge
+    // re-run is ever needed. Runs ONLY on full-suite invocations (a
+    // SPARK_GRAFT_QUERIES restriction is already an isolation run) and
+    // only for rows with a pin (new queries have nothing to exceed).
+    val pins: Map[String, Double] =
+      if (only.isDefined) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+        "\\| (q\\d+\\w*) \\| ([0-9.]+) \\|".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val adjudicated = results.collect {
+      case (name, (sec, _, _))
+          if sec > 0 && pins.get(name).exists(p => sec > 2 * p) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val fn = queries(name)
+        def run1(): Double = {
+          val t0 = System.nanoTime()
+          try forceEval(fn(spark, sfDir)) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        run1() // untimed steady-state run, the suite protocol
+        val iso = (1 to 3).map(_ => run1()).sorted.apply(1)
+        println(s"""{"adjudicate":"$name","insuite_sec":$sec,"isolated_sec":$iso,"pin_sec":${pins(name)}}""")
+        name -> iso
+    }
+    val adjJson = adjudicated.map { case (k, iso) =>
+      s"""\"$k\":{"insuite_sec":${results(k)._1},"isolated_sec":$iso,"pin_sec":${pins(k)}}"""
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     // per-query diagnostics, file artifact only (the stdout line is
@@ -132,7 +166,7 @@ object Bench {
     val fq = failures.mkString("[", ",", "]")
     val total = if (failures.nonEmpty) -1.0 else results.values.map(_._1).sum
     val fullSummary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$diag,"failures":$fq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$diag,"adjudication":$adjJson,"failures":$fq,"sf":"$sfDir"}"""
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failures":$fq,"sf":"$sfDir"}"""
     // Belt and braces: the full summary also lands in a file next to the

@@ -247,7 +247,18 @@ object ScaleGenLineitem {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
-    ScaleGen.scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    // Detect an already-scaled source instead of relying on the scaladoc:
+    // offsets are i·IdStride, so replicating a dir whose keys already
+    // reach the stride would collide replica 1's keys with the source's
+    // replica 1 — silently corrupting per-key chains.
+    val maxKey = li.agg(org.apache.spark.sql.functions.max("l_orderkey"))
+      .collect()(0).getLong(0)
+    require(maxKey < ScaleGen.IdStride,
+      s"$src looks already scaled (max l_orderkey $maxKey >= IdStride " +
+        s"${ScaleGen.IdStride}): replica offsets would collide — always " +
+        "scale from the ORIGINAL fixture dir")
+    ScaleGen.scaleLineitem(li, factor)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
     srcDir.listFiles()

@@ -47,11 +47,19 @@ object Median {
     * produce — counts, ranks, and target buckets all ride the small
     * checkpointed bucket-count frame, and both interpolation endpoints
     * come out of ONE conditional aggregation.
+    *
+    * NULL values are ignored (they carry no rank), matching
+    * `percentile` / quantile_cont. Values must be FINITE doubles with
+    * |v·bucketScale| < 2^63: NaN/±Infinity (and magnitudes past the
+    * long range) would trap the bucket cast under ANSI mode rather
+    * than silently mis-rank — callers feeding unsanitized measures
+    * filter `isnan`/`abs(v) != Infinity` first.
     */
   def groupedExactMedian(df: DataFrame, groupCol: String, valueCol: String,
                          out: String,
                          bucketScale: Double = 64.0): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val bucketed = base
       .withColumn("b", floor(col("v") * lit(bucketScale)).cast("long"))
     // pass 1: per-(group, bucket) counts — O(occupied buckets) rows,
@@ -96,6 +104,9 @@ object Median {
     * value frame is still executed exactly twice. Subsumes
     * `groupedExactMedian` (q = 0.5); kept separate because the median
     * form is gated (q220) and returns counts.
+    *
+    * Same input contract as `groupedExactMedian`: NULLs are ignored,
+    * values must be finite with |v·bucketScale| < 2^63.
     */
   def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                             quantiles: Seq[Double],
@@ -103,6 +114,7 @@ object Median {
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
       s"quantiles must be in [0, 1]: $quantiles")
     val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val bucketed = base
       .withColumn("b", floor(col("v") * lit(bucketScale)).cast("long"))
     val bc = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))

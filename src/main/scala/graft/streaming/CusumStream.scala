@@ -21,9 +21,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * A day CLOSES when a later event's day arrives (the open tail never
   * closes — same contract as the batch twin's exclusion of the last
   * day, and of SessionizeStream's open session). Events are folded in
-  * event-time order within a batch; cross-batch disorder tolerance is
-  * the caller's watermark/arrival contract, as in the other stateful
-  * operators.
+  * event-time order within a batch; cross-batch order is the caller's
+  * watermark/arrival contract and is ENFORCED — a day older than the
+  * open day fails the query fast rather than corrupting the fold.
   *
   * Exactness: everything is int64 (counts, the clipped fold, the
   * argmax with earliest-day tiebreak), so the final state is
@@ -64,6 +64,17 @@ object CusumStream {
           var st = state.getOption.getOrElse(
             CState(Long.MinValue, 0L, 0L, Long.MinValue, Long.MinValue, 0L))
           days.foreach { d =>
+            // Enforce the documented arrival contract instead of folding a
+            // regressed day into corrupted state: an event whose day
+            // precedes the open day would silently close the open day and
+            // re-open the earlier one (wrong n_days/s with no error). The
+            // caller's watermark discipline owns cross-batch order; a
+            // violation here must surface, not produce plausible output.
+            if (st.curDay != Long.MinValue && d < st.curDay)
+              throw new IllegalStateException(
+                s"CusumStream[$key]: out-of-order day $d arrived after open " +
+                  s"day ${st.curDay} — the caller must deliver days " +
+                  "non-decreasing across batches (watermark contract)")
             if (d == st.curDay) st = st.copy(curCount = st.curCount + 1)
             else {
               if (st.curDay != Long.MinValue) {
