@@ -246,6 +246,7 @@ object SparkEntry {
     "q228_conversion_ci"      -> (Queries.conversionCi _),
     "q229_belief_revisions"   -> (Queries.beliefRevisions _),
     "q230_hilbert_layout"     -> (Queries.hilbertLayoutWrite _),
+    "q231_weighted_median_decomposed" -> (Queries.weightedMedianDecomposed _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5944,6 +5945,26 @@ object Queries {
       .orderBy("transition")
   }
 
+  // --- q231: weighted median via the generalized Median operator ----------------------
+  // q196's report through `Median.groupedWeightedMedian` — the
+  // q197↔q11 / q226↔q68 twin pattern: same rows, same oracle,
+  // different physical plan. q196 hand-rolls the value-bucket
+  // decomposition inline; this routes it through the REUSABLE operator
+  // (which also serves unweighted medians/quantiles), proving the
+  // generalization subsumes the inline form bit-for-bit. The
+  // bucketScale 2^-11 reproduces q196's 2048-wide buckets: scaling by
+  // an exact power of two is an exact double operation, so bucket
+  // assignment is identical between the twins.
+  def weightedMedianDecomposed(spark: SparkSession, dir: String): DataFrame =
+    Median.groupedWeightedMedian(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          dec2(col("l_extendedprice")).cast("double").as("price"),
+          col("l_quantity").cast("long").as("qty")),
+      "l_returnflag", "price", "qty", "weighted_median",
+      bucketScale = 1.0 / WmBucketWidth)
+      .orderBy("l_returnflag")
+
   // --- q230: Hilbert-order write path + pruned read-back ------------------------------
   // The layout loop CLOSED (VERDICT r13 item 1): q221 plans the Hilbert
   // layout and q227 proves its manifests prune at least as well as
@@ -6180,6 +6201,10 @@ object Oracles {
     // q226 = q68 through the distributed quantile decomposition: same
     // rows, same oracle, bounded per-(group,bucket) state
     "q226_quantiles_decomposed" -> sqlBase("q68_percentile_report"),
+
+    // q231 = q196 through the generalized Median operator (weighted
+    // lower median): same rows, same oracle, reusable decomposition
+    "q231_weighted_median_decomposed" -> sqlBase("q196_weighted_median"),
 
     "q198_local_triangles" ->
       // canonical-edge triple join: triangle a<b<c appears exactly once

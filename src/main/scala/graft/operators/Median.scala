@@ -95,6 +95,56 @@ object Median {
         (col("vl") * lit(0.5) + col("vu") * lit(0.5)).as(out))
   }
 
+  /** The decomposition generalized to WEIGHTED lower medians — the
+    * q196 value-bucket trick subsumed under this operator (VERDICT r13
+    * item 3): the crossing value v* where the running weight first
+    * satisfies 2·cw ≥ tw, computed without materializing any group's
+    * value set. Pass 1 collapses to per-(group, bucket) WEIGHT sums
+    * (one hash-agg, checkpointed); the cumulative over that small
+    * frame locates the single crossing bucket and the exact weight
+    * carried INTO it; pass 2 ranks only the crossing bucket's
+    * population by value with the entry offset added. Exactness: the
+    * weights are int64 and the crossing test is an integer
+    * cross-multiplication, so the emitted value is an exact order
+    * statistic — no interpolation, bit-identical to the oracle's
+    * window form. Ties among equal values need no tiebreak: the
+    * crossing VALUE is invariant to permutations within an equal-value
+    * run (only which row crosses moves, never the value). Same input
+    * contract as `groupedExactMedian` plus non-null, non-negative
+    * int64 weights.
+    */
+  def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                            weightCol: String, out: String,
+                            bucketScale: Double = 64.0): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+    val bucketed = base
+      .withColumn("b", floor(col("v") * lit(bucketScale)).cast("long"))
+    val bc = bucketed.groupBy("g", "b").agg(sum("w").as("bw"))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy("g").orderBy("b")
+    val cum = bc.withColumn("cb", sum("bw").over(wB))
+    val tot = bc.groupBy("g").agg(sum("bw").as("tw"))
+    // first bucket whose cumulative weight crosses half; min-struct by
+    // bucket carries that bucket's entry weight (cb − bw) along
+    val bstar = cum.join(tot, "g")
+      .filter(lit(2) * col("cb") >= col("tw"))
+      .groupBy("g", "tw")
+      .agg(min(struct(col("b"), (col("cb") - col("bw")).as("below"))).as("m"))
+      .select(col("g"), col("tw"), col("m.b").as("b"),
+        col("m.below").as("below"))
+    val wIn = Window.partitionBy("g", "b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(bstar), Seq("g", "b"))
+      .withColumn("cw", col("below") + sum("w").over(wIn))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy("g", "tw")
+      .agg(min("v").as(out))
+      .select(col("g").as(groupCol), col("tw").as("total_weight"), col(out))
+  }
+
   /** The decomposition generalized to ARBITRARY quantiles: one row per
     * (group, q) with the exact interpolated quantile — Spark's
     * `percentile(v, array(...))` ≡ quantile_cont semantics (pos =
