@@ -247,6 +247,7 @@ object SparkEntry {
     "q229_belief_revisions"   -> (Queries.beliefRevisions _),
     "q230_hilbert_layout"     -> (Queries.hilbertLayoutWrite _),
     "q231_weighted_median_decomposed" -> (Queries.weightedMedianDecomposed _),
+    "q232_scc"                -> (Queries.sccBaskets _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5965,6 +5966,37 @@ object Queries {
       bucketScale = 1.0 / WmBucketWidth)
       .orderBy("l_returnflag")
 
+  // --- q232: strongly-connected components of the directed basket graph ---------------
+  // The directed-family completion (VERDICT r13 item 4): q216's
+  // sequential-basket graph has real one-way structure once sparsified
+  // — on every fifth order's chains the graph is the classic bow-tie
+  // (one giant SCC + a singleton periphery, measured at all three SFs)
+  // — and SCC is the operator that separates the recirculating core
+  // from the feed-in/feed-out tendrils (citation/changelog-graph
+  // analytics; PageRank's convergence structure). operators/Scc:
+  // forward min-label coloring + backward root-reach marking, peeled
+  // per outer round; caps are REQUIRED non-binding so a partial
+  // fixpoint can never ship as plausible labels. Oracle: DuckDB
+  // recursive-CTE mutual-reachability closure — a completely different
+  // algorithm (closure vs coloring) agreeing on every label.
+  val SccOrderMod = 5
+
+  def sccBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(SccOrderMod.toLong)) === 0)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val a = li.alias("a")
+    val b = li.alias("b")
+    val ed = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val comp = Scc.components(ed)
+    val sizes = comp.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    comp.join(sizes, "scc_id")
+      .select(col("node").as("item"), col("scc_id"), col("scc_size"))
+      .orderBy("item")
+  }
+
   // --- q230: Hilbert-order write path + pruned read-back ------------------------------
   // The layout loop CLOSED (VERDICT r13 item 1): q221 plans the Hilbert
   // layout and q227 proves its manifests prune at least as well as
@@ -6986,6 +7018,30 @@ object Oracles {
           $rounds
           $out"""
     },
+
+    "q232_scc" ->
+      // mutual-reachability closure: node u and v share an SCC iff each
+      // reaches the other; scc_id = MIN over the mutual set (includes
+      // self) — a different algorithm than the operator's coloring,
+      // agreeing label-for-label
+      s"""WITH RECURSIVE
+            li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                          l_partkey AS pk
+                   FROM lineitem
+                   WHERE l_orderkey % ${Queries.SccOrderMod} = 0),
+            e AS (SELECT DISTINCT a.pk AS s, b.pk AS d
+                  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1),
+            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+            reach(s, d) AS (
+              SELECT v, v FROM n
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+            scc AS (SELECT a.s AS node, MIN(a.d) AS scc_id
+                    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+                    GROUP BY 1),
+            sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY 1)
+          SELECT scc.node AS item, scc.scc_id, sz.scc_size
+          FROM scc JOIN sz USING (scc_id)""",
 
     "q230_hilbert_layout" ->
       // the pruned read-back vs the UNPARTITIONED table: the block list
