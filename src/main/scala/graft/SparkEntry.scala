@@ -248,6 +248,7 @@ object SparkEntry {
     "q230_hilbert_layout"     -> (Queries.hilbertLayoutWrite _),
     "q231_weighted_median_decomposed" -> (Queries.weightedMedianDecomposed _),
     "q232_scc"                -> (Queries.sccBaskets _),
+    "q233_colloc_spans"       -> (Queries.collocationSpanMining _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5966,6 +5967,23 @@ object Queries {
       bucketScale = 1.0 / WmBucketWidth)
       .orderBy("l_returnflag")
 
+  // --- q233: multi-word collocation spans ----------------------------------------------
+  // q225's merge machinery iterated over q215's bigram LIFTS (VERDICT
+  // r13 item 6): per round, the adjacent pair with the highest PMI
+  // lift over the CURRENT symbol sequences merges into one unit, so
+  // n-ary spans ("new york city") surface where the flat bigram table
+  // only ever shows their binary prefixes. Selection rides the
+  // quantized exact-integer lift key (DECIMAL(38,0) products, floor
+  // div by 2^-20 — deterministic total order, ties (a, b) lexic);
+  // the oracle unrolls the same rounds with HUGEINT arithmetic and
+  // DuckDB `replace` ≡ java String.replace left-to-right merging (the
+  // q225 contract).
+  val SpanRounds = 4
+
+  def collocationSpanMining(spark: SparkSession, dir: String): DataFrame =
+    Collocations.collocationSpans(spark, Tables.documents(spark, dir),
+      col("text"), SpanRounds, PmiMinMarginal, PmiMinPair)
+
   // --- q232: strongly-connected components of the directed basket graph ---------------
   // The directed-family completion (VERDICT r13 item 4): q216's
   // sequential-basket graph has real one-way structure once sparsified
@@ -6997,7 +7015,7 @@ object Oracles {
              GROUP BY 1, 2),
           b$r AS (SELECT a, b, cnt FROM p$r
                   ORDER BY cnt DESC, a, b LIMIT 1),
-          s$r AS (SELECT replace(s,
+          s$r AS MATERIALIZED (SELECT replace(s,
                     ' ' || (SELECT a FROM b$r) || ' '
                         || (SELECT b FROM b$r) || ' ',
                     ' ' || (SELECT a FROM b$r)
@@ -7015,6 +7033,50 @@ object Oracles {
                    list_transform(generate_series(1, length(w)), i -> w[i]),
                    ' ') || ' ' AS s, n
                  FROM w0),
+          $rounds
+          $out"""
+    },
+
+    "q233_colloc_spans" -> {
+      val (m, p) = (Queries.PmiMinMarginal, Queries.PmiMinPair)
+      // the lift-driven merge procedure unrolled (q225's shape with
+      // q215's statistics): per round, adjacent-pair lift over the
+      // current symbol strings → 1-row argmax on the quantized integer
+      // key → left-to-right replace; HUGEINT ≡ DECIMAL(38,0)
+      val rounds = (1 to Queries.SpanRounds).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM (
+               SELECT unnest(sy[1:len(sy)-1]) AS a,
+                      unnest(sy[2:len(sy)]) AS b
+               FROM (SELECT string_split(trim(s), ' ') AS sy FROM s${r - 1})
+               WHERE len(sy) >= 2)
+             GROUP BY 1, 2),
+          l$r AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS nl FROM p$r GROUP BY 1),
+          r$r AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS nr FROM p$r GROUP BY 1),
+          t$r AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS nt FROM p$r),
+          b$r AS MATERIALIZED (SELECT a, b, n_ab,
+                         CAST(CAST(n_ab AS HUGEINT) * nt AS DOUBLE)
+                           / CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE) AS lift
+                  FROM p$r JOIN l$r USING (a) JOIN r$r USING (b)
+                  CROSS JOIN t$r
+                  WHERE n_ab >= $p AND nl >= $m AND nr >= $m
+                  ORDER BY (CAST(n_ab AS HUGEINT) * nt * 1048576)
+                             // (CAST(nl AS HUGEINT) * nr) DESC, a, b
+                  LIMIT 1),
+          s$r AS MATERIALIZED (SELECT replace(s,
+                    ' ' || (SELECT a FROM b$r) || ' '
+                        || (SELECT b FROM b$r) || ' ',
+                    ' ' || (SELECT a FROM b$r) || chr(1)
+                        || (SELECT b FROM b$r) || ' ') AS s
+                  FROM s${r - 1})"""
+      }.mkString(",\n          ")
+      val out = (1 to Queries.SpanRounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS round,
+                   replace(a, chr(1), ' ') AS span_a,
+                   replace(b, chr(1), ' ') AS span_b, n_ab, lift FROM b$r"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH s0 AS MATERIALIZED (SELECT ' ' || text || ' ' AS s
+                      FROM documents
+                      WHERE text IS NOT NULL),
           $rounds
           $out"""
     },

@@ -78,6 +78,91 @@ object Collocations {
           .as("pmi_lift"))
   }
 
+  /** Multi-word collocation SPAN mining — the q225 merge machinery
+    * driven by PMI lift instead of raw pair counts (VERDICT r13 item
+    * 6): each round finds the adjacent word pair with the highest lift
+    * n_ab·N/(n_a·n_b) over the CURRENT symbol sequences and merges its
+    * occurrences into one unit, so n-ary spans ("new york city")
+    * surface round over round instead of being invisible behind their
+    * binary prefixes.
+    *
+    * Shape: the corpus folds ONCE into sentinel-wrapped symbol strings
+    * (one per doc); each round is two hash-aggs over the adjacent-slot
+    * table (bounded by the observed symbol-pair vocabulary) and a
+    * 1-row argmax collect (the q225 driver bound); the merge is one
+    * map-side `replace` — left-to-right non-overlapping in BOTH
+    * engines (java String.replace ≡ DuckDB replace, the q225
+    * contract). Merged units glue with U+0001 internally (words can't
+    * contain it) and render with spaces in the output.
+    *
+    * Selection order must be exact and engine-portable, and lifts are
+    * ratios — so the argmax key is the QUANTIZED lift
+    * floor(n_ab·N·2^20 / (n_left·n_right)), computed in DECIMAL(38,0)
+    * products (the q211/q215 overflow posture: counts at 100-TB scale
+    * reach ~1e14 and the three-way product ~1e34) with `div`; ties
+    * break (key DESC, a ASC, b ASC). The reported `lift` is the exact
+    * double division of the two exact integer products, q215's form.
+    */
+  def collocationSpans(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, textCol: Column, rounds: Int,
+                       minMarginal: Long, minPair: Long): DataFrame = {
+    require(rounds >= 1, "span mining needs at least one round")
+    val d38 = DecimalType(38, 0)
+    var cur = docs.filter(textCol.isNotNull)
+      .select(concat(lit(" "), textCol, lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val found = Seq.newBuilder[(Int, String, String, Long, Double)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val sy = expr("split(trim(s), ' ')")
+      val c = cur
+        .filter(size(sy) >= 2)
+        .select(explode(arrays_zip(
+          slice(sy, lit(1), size(sy) - 1).as("a"),
+          slice(sy, lit(2), size(sy) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val la = c.groupBy("a").agg(sum("n_ab").as("nl"))
+      val rb = c.groupBy("b").agg(sum("n_ab").as("nr"))
+      val nt = c.agg(sum("n_ab").as("nt"))
+      val best = c.join(la, "a").join(rb, "b")
+        .crossJoin(broadcast(nt))
+        .filter(col("n_ab") >= minPair &&
+          col("nl") >= minMarginal && col("nr") >= minMarginal)
+        .withColumn("lift_key", expr(
+          """(cast(n_ab as decimal(38,0)) * cast(nt as decimal(38,0))
+             * 1048576) div
+             (cast(nl as decimal(38,0)) * cast(nr as decimal(38,0)))"""))
+        .withColumn("lift",
+          (col("n_ab").cast(d38) * col("nt").cast(d38)).cast("double") /
+            (col("nl").cast(d38) * col("nr").cast(d38)).cast("double"))
+        .orderBy(col("lift_key").desc, col("a"), col("b"))
+        .limit(1)
+        .select("a", "b", "n_ab", "lift")
+        .collect() // bounded: at most ONE row per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, nab, lift) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getDouble(3))
+        found += ((r, a.replace(Glue, " "), b.replace(Glue, " "), nab, lift))
+        cur = cur.select(
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s" $a $b "), lit(s" $a$Glue$b ")).as("s"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    found.result()
+      .toDF("round", "span_a", "span_b", "n_ab", "lift")
+      .orderBy("round")
+  }
+
+  /** Internal glue for merged spans: a control char (U+0001) no
+    * whitespace-tokenized word can contain; merged symbols carry it in
+    * the working strings and render back to spaces in the output.
+    */
+  val Glue = "\u0001"
+
   /** Kneser–Ney continuation-count table — the statistic that makes KN
     * smoothing work: a word's unigram weight is not how OFTEN it occurs
     * but in how many distinct CONTEXTS it occurs ("Francisco" is

@@ -71,6 +71,30 @@ class Round14Spec extends AnyFunSuite {
       Seq(("a", 4L, 2.0), ("b", 1L, 10.0)))
   }
 
+  // --- q233: collocation spans -------------------------------------------------------
+
+  test("collocationSpans surfaces the planted trigram across rounds (hand-computed lifts)") {
+    import spark.implicits._
+    val docs = Seq(
+      "a new york city b",
+      "c new york city d",
+      "e new york city f").toDF("text")
+    val got = graft.operators.Collocations
+      .collocationSpans(spark, docs, col("text"), rounds = 2,
+        minMarginal = 1L, minPair = 2L)
+      .collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    // 12 slots; (new,york) and (york,city) both lift 3·12/(3·3) = 4 —
+    // the quantized keys tie, (a,b) lexicographic picks (new,york)
+    assert((r1.getInt(0), r1.getString(1), r1.getString(2), r1.getLong(3),
+      r1.getDouble(4)) == ((1, "new", "york", 3L, 4.0)))
+    val r2 = got(1)
+    // after the merge: 9 slots, ("new york", city) count 3, lift 3·9/9
+    assert((r2.getInt(0), r2.getString(1), r2.getString(2), r2.getLong(3),
+      r2.getDouble(4)) == ((2, "new york", "city", 3L, 3.0)))
+  }
+
   // --- q232: SCC -------------------------------------------------------------------
 
   test("Scc.components solves a hand-computed bow-tie exactly") {
