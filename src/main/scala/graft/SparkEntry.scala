@@ -249,6 +249,7 @@ object SparkEntry {
     "q231_weighted_median_decomposed" -> (Queries.weightedMedianDecomposed _),
     "q232_scc"                -> (Queries.sccBaskets _),
     "q233_colloc_spans"       -> (Queries.collocationSpanMining _),
+    "q234_stream_pq_assign"   -> (Queries.streamedPqAssign _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5967,6 +5968,51 @@ object Queries {
       bucketScale = 1.0 / WmBucketWidth)
       .orderBy("l_returnflag")
 
+  // --- q234: streaming PQ code assignment (stream-static enrich) ----------------------
+  // The ONLINE half of the ANN story (VERDICT r13 item 7): q223's
+  // product-quantization argmin as a REAL stream — new vectors arrive
+  // on a file stream and leave with their 4 sub-codes, the ingest-time
+  // encode step of a billion-scale vector store. Spark shape: the
+  // codebook is folded into a PqSub-row static frame whose 16
+  // candidates sit in ONE array column, broadcast into a stream-static
+  // inner join (q161's class: append mode, no state store, no
+  // watermark), and the argmin is a pure map-side projection —
+  // `array_min` over struct(dist2, code) ≡ q223's struct-MIN hash agg,
+  // so the emission set is exactly the batch assignment and the gate
+  // shares q223's oracle verbatim (the q144↔q40 twin discipline
+  // extended to streams).
+  def streamedPqAssign(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = graft.functions.Lsh.Dim / PqSub
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bounded driver state: PqCodes seed vectors (the q59/q61/q223 draw)
+    val seeds = emb.filter(col("vec_id") >= AnnQueryMaxId)
+      .orderBy("vec_id").limit(PqCodes)
+      .select("v").collect().map(_.getSeq[Double](0))
+    import spark.implicits._
+    val cands = (0 until PqSub).map { s =>
+      (s, (0 until PqCodes).map(c =>
+        (c, seeds(c).slice(s * subDim, (s + 1) * subDim))))
+    }.toDF("subspace", "cands")
+    val stream = Tables.embeddingsStream(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), explode(array((0 until PqSub).map(s =>
+        struct(lit(s).as("subspace"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.subspace").as("subspace"),
+        col("e.sv").as("sv"))
+    val assigned = stream.join(broadcast(cands), "subspace")
+      .withColumn("m", expr(
+        """array_min(transform(cands, c -> struct(
+             aggregate(zip_with(sv, c._2, (x, cc) -> (x - cc) * (x - cc)),
+                       0.0D, (a, b) -> a + b) AS dist2,
+             c._1 AS code)))"""))
+      .select(col("vec_id"), col("subspace"),
+        col("m.code").as("code"), col("m.dist2").as("dist2"))
+    val name = runToTable(assigned.writeStream, "graft_q234_")
+    spark.table(name).orderBy("vec_id", "subspace")
+  }
+
   // --- q233: multi-word collocation spans ----------------------------------------------
   // q225's merge machinery iterated over q215's bigram LIFTS (VERDICT
   // r13 item 6): per round, the adjacent pair with the highest PMI
@@ -6225,6 +6271,46 @@ object Oracles {
   }
   private val discTerm   =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
+
+  /** q223's PQ assignment oracle — shared by the batch gate and the
+    * q234 stream-static twin (same rows, stream emission ≡ batch).
+    */
+  private lazy val pqCodesSql: String = {
+      val subDim = graft.functions.Lsh.Dim / Queries.PqSub
+      val (nSub, nCodes) = (Queries.PqSub, Queries.PqCodes)
+      // list_slice for the computed subspace bounds; dist² fold from the
+      // first element ≡ Spark's aggregate from 0.0
+      s"""WITH emb AS (SELECT vec_id,
+                              list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                             - 1 AS code, v
+                    FROM (SELECT vec_id, v FROM emb
+                          WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                          ORDER BY vec_id LIMIT $nCodes)),
+          sp AS (SELECT CAST(unnest(generate_series(0, ${nSub - 1})) AS INT)
+                   AS subspace),
+          cents AS (SELECT sp.subspace, seeds.code,
+                           list_slice(v, sp.subspace * $subDim + 1,
+                                      (sp.subspace + 1) * $subDim) AS cent
+                    FROM seeds, sp),
+          sub AS (SELECT vec_id, sp.subspace,
+                         list_slice(v, sp.subspace * $subDim + 1,
+                                    (sp.subspace + 1) * $subDim) AS sv
+                  FROM emb, sp),
+          scored AS (SELECT vec_id, sub.subspace, code,
+                            list_reduce(list_transform(
+                              generate_series(1, $subDim),
+                              i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
+                              (a, b) -> a + b) AS dist2
+                     FROM sub JOIN cents ON sub.subspace = cents.subspace)
+          SELECT vec_id, subspace, code, dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                        ORDER BY dist2, code) AS rn
+            FROM scored)
+          WHERE rn = 1"""
+  }
 
   val sql: Map[String, String] = sqlBase ++ Map(
     // the native-exec as-of twins (q144-q146) must match the SAME oracle
@@ -6939,42 +7025,12 @@ object Oracles {
           WHERE rn <= $k"""
     },
 
-    "q223_pq_codes" -> {
-      val subDim = graft.functions.Lsh.Dim / Queries.PqSub
-      val (nSub, nCodes) = (Queries.PqSub, Queries.PqCodes)
-      // list_slice for the computed subspace bounds; dist² fold from the
-      // first element ≡ Spark's aggregate from 0.0
-      s"""WITH emb AS (SELECT vec_id,
-                              list_transform(embedding,
-                                x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-          seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
-                             - 1 AS code, v
-                    FROM (SELECT vec_id, v FROM emb
-                          WHERE vec_id >= ${Queries.AnnQueryMaxId}
-                          ORDER BY vec_id LIMIT $nCodes)),
-          sp AS (SELECT CAST(unnest(generate_series(0, ${nSub - 1})) AS INT)
-                   AS subspace),
-          cents AS (SELECT sp.subspace, seeds.code,
-                           list_slice(v, sp.subspace * $subDim + 1,
-                                      (sp.subspace + 1) * $subDim) AS cent
-                    FROM seeds, sp),
-          sub AS (SELECT vec_id, sp.subspace,
-                         list_slice(v, sp.subspace * $subDim + 1,
-                                    (sp.subspace + 1) * $subDim) AS sv
-                  FROM emb, sp),
-          scored AS (SELECT vec_id, sub.subspace, code,
-                            list_reduce(list_transform(
-                              generate_series(1, $subDim),
-                              i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
-                              (a, b) -> a + b) AS dist2
-                     FROM sub JOIN cents ON sub.subspace = cents.subspace)
-          SELECT vec_id, subspace, code, dist2 FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-                        ORDER BY dist2, code) AS rn
-            FROM scored)
-          WHERE rn = 1"""
-    },
+    "q223_pq_codes" -> pqCodesSql,
+
+    // q234 = q223 as a stream-static enrich: append-mode emission set
+    // IS the batch assignment, so the oracle is shared verbatim
+    "q234_stream_pq_assign" -> pqCodesSql,
+
 
     "q224_kn_counts" ->
       // distinct bigram TYPES from the zipped-slice walk; continuation

@@ -151,6 +151,19 @@ object Tables {
     }
   }
 
+  /** Streaming twin of `embeddings` (the q234 online-assignment gate):
+    * the fixture file as an unbounded file-source stream, the same
+    * brace-glob single-file addressing as `eventsStream`.
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EmbeddingsSchema).option("basePath", dir)
+      .parquet(s"$dir/{embeddings.parquet}")
+
+  private val EmbeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
