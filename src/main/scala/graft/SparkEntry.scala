@@ -5872,6 +5872,20 @@ object Queries {
   // applied to interval estimation.
   val WilsonZ = 1.96
 
+  /** Wilson score interval bounds — the FIXED-SHAPE double expression
+    * q228 gates (one sqrt, every step correctly rounded identically in
+    * any IEEE engine). Factored as Columns so the randomized spec can
+    * drive the k = 0 / k = n / n = 1 corners directly against a
+    * driver-side replication of the same shape.
+    */
+  def wilsonBounds(p: Column, nD: Column, z: Column): (Column, Column) = {
+    val z2 = z * z
+    val rad = z * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+    val lo = (p + z2 / (lit(2.0) * nD) - rad) / (lit(1.0) + z2 / nD)
+    val hi = (p + z2 / (lit(2.0) * nD) + rad) / (lit(1.0) + z2 / nD)
+    (lo, hi)
+  }
+
   def conversionCi(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
@@ -5884,8 +5898,7 @@ object Queries {
         Seq("user_id"), "left")
       .groupBy(col("user_id"), col("tv"))
       .agg(max(col("tp").isNotNull && col("tp") > col("tv")).as("converted"))
-    val z = lit(WilsonZ)
-    val z2 = z * z
+    val (lo, hi) = wilsonBounds(col("p"), col("nD"), lit(WilsonZ))
     perUser
       .groupBy(expr("tv div 86400000000").as("cohort_day"))
       .agg(count(lit(1)).as("n_users"),
@@ -5895,14 +5908,7 @@ object Queries {
       .withColumn("nD", col("n_users").cast("double"))
       .select(col("cohort_day"), col("n_users"), col("n_converted"),
         col("p").as("conversion_rate"),
-        ((col("p") + z2 / (lit(2.0) * col("nD")) -
-          z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nD") +
-            z2 / (lit(4.0) * col("nD") * col("nD")))) /
-          (lit(1.0) + z2 / col("nD"))).as("wilson_lo"),
-        ((col("p") + z2 / (lit(2.0) * col("nD")) +
-          z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nD") +
-            z2 / (lit(4.0) * col("nD") * col("nD")))) /
-          (lit(1.0) + z2 / col("nD"))).as("wilson_hi"))
+        lo.as("wilson_lo"), hi.as("wilson_hi"))
       .orderBy("cohort_day")
   }
 

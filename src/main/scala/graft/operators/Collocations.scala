@@ -193,7 +193,10 @@ object Collocations {
       .select(col("word"), col("n_tokens"),
         coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
         coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
-        (coalesce(col("n_left_types"), lit(0L)).cast("double") /
-          col("n_bigram_types").cast("double")).as("p_continuation"))
+        // an all-singleton corpus has zero bigram types: there are no
+        // contexts at all, so continuation mass is 0, never 0/0 = NaN
+        when(col("n_bigram_types") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_left_types"), lit(0L)).cast("double") /
+            col("n_bigram_types").cast("double")).as("p_continuation"))
   }
 }
