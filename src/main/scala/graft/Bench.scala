@@ -129,13 +129,19 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val fn = queries(name)
+        // Track failure like the suite loop: a query that THROWS during
+        // its isolated re-run must not record a fast, plausible elapsed
+        // time as isolated_sec — -1 is the same failure sentinel run()
+        // uses, so a failed adjudication is visibly failed in the map.
+        var isoFailed = false
         def run1(): Double = {
           val t0 = System.nanoTime()
-          try forceEval(fn(spark, sfDir)) catch { case _: Throwable => () }
+          try forceEval(fn(spark, sfDir)) catch { case _: Throwable => isoFailed = true }
           (System.nanoTime() - t0) / 1e9
         }
         run1() // untimed steady-state run, the suite protocol
-        val iso = (1 to 3).map(_ => run1()).sorted.apply(1)
+        val isoTimes = (1 to 3).map(_ => run1())
+        val iso = if (isoFailed) -1.0 else isoTimes.sorted.apply(1)
         println(s"""{"adjudicate":"$name","insuite_sec":$sec,"isolated_sec":$iso,"pin_sec":${pins(name)}}""")
         name -> iso
     }

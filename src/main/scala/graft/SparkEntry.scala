@@ -5996,8 +5996,12 @@ object Queries {
       .orderBy("vec_id").limit(PqCodes)
       .select("v").collect().map(_.getSeq[Double](0))
     import spark.implicits._
+    // seeds.indices, not 0 until PqCodes: the batch twin q223 iterates
+    // the ACTUAL seed count, so a short/filtered corpus (< PqCodes
+    // trainable vectors) degrades both twins identically instead of
+    // throwing IndexOutOfBounds on the stream side only.
     val cands = (0 until PqSub).map { s =>
-      (s, (0 until PqCodes).map(c =>
+      (s, seeds.indices.map(c =>
         (c, seeds(c).slice(s * subDim, (s + 1) * subDim))))
     }.toDF("subspace", "cands")
     val stream = Tables.embeddingsStream(spark, dir)

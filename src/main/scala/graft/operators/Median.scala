@@ -111,7 +111,11 @@ object Median {
     * crossing VALUE is invariant to permutations within an equal-value
     * run (only which row crosses moves, never the value). Same input
     * contract as `groupedExactMedian` plus non-null, non-negative
-    * int64 weights.
+    * int64 weights. A group whose TOTAL weight is zero (all-zero
+    * weights — allowed by the non-negativity contract) has no defined
+    * median; such groups are EXCLUDED from the output (the `tw > 0`
+    * filter below) rather than silently reporting the group's minimum
+    * value, which is what the vacuously-true crossing test would emit.
     */
   def groupedWeightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                             weightCol: String, out: String,
@@ -130,7 +134,7 @@ object Median {
     // first bucket whose cumulative weight crosses half; min-struct by
     // bucket carries that bucket's entry weight (cb − bw) along
     val bstar = cum.join(tot, "g")
-      .filter(lit(2) * col("cb") >= col("tw"))
+      .filter(col("tw") > 0 && lit(2) * col("cb") >= col("tw"))
       .groupBy("g", "tw")
       .agg(min(struct(col("b"), (col("cb") - col("bw")).as("below"))).as("m"))
       .select(col("g"), col("tw"), col("m.b").as("b"),

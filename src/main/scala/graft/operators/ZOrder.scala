@@ -84,36 +84,45 @@ object ZOrder {
     * — static partition pruning at the source, the file-skipping loop
     * q178 proves for 1-D hive layout closed for the 2-D curve.
     *
-    * Scale shape: bounds are one scalar aggregate (broadcast back);
-    * the index is map-side codegen; the range shuffle is the one
-    * exchange a clustering write always pays. The manifest aggregation
-    * is a second pass over the same lineage (O(blocks) output) — at a
-    * real 100-TB write you'd fold it into the writer's task stats; as
-    * a separate hash-agg it is still one cheap scan, never a collect.
-    * Rows with a NULL layout dimension are excluded (a production
-    * writer would route them to a dedicated overflow partition).
+    * Scale shape: bounds are one scalar aggregate collected to the
+    * driver (one row of four longs); the index is map-side codegen;
+    * the range shuffle is the one exchange a clustering write always
+    * pays. The manifest is aggregated FROM THE WRITTEN FILES — a
+    * column-pruned read-back of (hblock, bx, by) over what the data
+    * write just committed — so the zone map describes exactly the
+    * bytes on disk: a non-deterministic or mutated input source can
+    * skew WHAT was written, but never make the manifest disagree with
+    * it (the pruning contract is manifest ⊇ file contents, and a
+    * single evaluation underlies both artifacts). Rows with a NULL
+    * layout dimension are excluded (a production writer would route
+    * them to a dedicated overflow partition).
     */
   def writeHilbertLayout(df: DataFrame, xCol: Column, yCol: Column,
                          path: String, qBits: Int = 8,
                          blockShift: Int = 6): Unit = {
-    val bounds = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+    val b = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-      .agg(min("__x").as("minx"), max("__x").as("maxx"),
-        min("__y").as("miny"), max("__y").as("maxy"))
+      .agg(min("__x"), max("__x"), min("__y"), max("__y")).head()
+    val (minx, maxx, miny, maxy) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val coded = df
       .filter(xCol.isNotNull && yCol.isNotNull)
-      .crossJoin(broadcast(bounds))
-      .withColumn("bx", quantize(xCol.cast("long"), col("minx"), col("maxx"), qBits))
-      .withColumn("by", quantize(yCol.cast("long"), col("miny"), col("maxy"), qBits))
+      .withColumn("bx", quantize(xCol.cast("long"), lit(minx), lit(maxx), qBits))
+      .withColumn("by", quantize(yCol.cast("long"), lit(miny), lit(maxy), qBits))
       .withColumn("h", graft.plans.HilbertExprs.hilbert(col("bx"), col("by"), qBits))
       .withColumn("hblock", shiftright(col("h"), blockShift))
-    coded.drop("minx", "maxx", "miny", "maxy")
+    coded
       .repartitionByRange(col("h"))
       .write.mode("overwrite").partitionBy("hblock").parquet(path)
-    coded.groupBy("hblock", "minx", "maxx", "miny", "maxy")
+    // one evaluation: the zone map comes from the files just written
+    // (partition-dir inference reads hblock back as int — re-widen)
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("hblock").cast("long").as("hblock"))
       .agg(count(lit(1)).as("n_rows"),
         min("bx").as("min_x"), max("bx").as("max_x"),
         min("by").as("min_y"), max("by").as("max_y"))
+      .withColumn("minx", lit(minx)).withColumn("maxx", lit(maxx))
+      .withColumn("miny", lit(miny)).withColumn("maxy", lit(maxy))
       .coalesce(1)
       .write.mode("overwrite").parquet(path + "_manifest")
   }
