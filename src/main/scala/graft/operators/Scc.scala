@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LeanCheckpoint
 
 /** Strongly-connected components of a directed graph by forward
   * min-label coloring + backward root-reach marking (Orzan's coloring
@@ -15,8 +16,10 @@ import org.apache.spark.sql.functions._
   *     then has a ROOT r with color(r) = r (if some smaller a reached
   *     r, a also reaches everything r colored — contradiction), and an
   *     SCC never straddles classes (its members share ancestor sets).
-  *  2. Backward fixpoint WITHIN each class: mark nodes that can reach
-  *     their root through same-color edges. Marked ≡ SCC(root): such a
+  *  2. Backward fixpoint WITHIN each class: m(v) = min id over {v} ∪
+  *     descendants of v along same-color edges. The root r is its
+  *     class's minimum id (every member's color is r, and color ≤ own
+  *     id), so m(v) = color(v) ⟺ v reaches r ⟺ v ∈ SCC(r): such a
   *     node reaches r and is reached by r (that is what its color
   *     says); conversely any path r→…→v→…→r stays inside the class
   *     (a smaller ancestor of any path node would be a smaller
@@ -26,13 +29,38 @@ import org.apache.spark.sql.functions._
   *     round, so the loop terminates in ≤ condensation-depth rounds —
   *     measured 4–5 on the gated basket subgraph at every SF).
   *
+  * BOTH fixpoints are min-label propagations with POINTER JUMPING (the
+  * Components.scala path halving): label values are node ids, so
+  * label(label(v)) is one equi-join of the label table with itself;
+  * each round takes the min of the edge-propagated label and the
+  * jumped label. Plain edge-min needs O(longest path) rounds — a
+  * 100-hop chain takes 100; the jump halves every label path per
+  * round, giving O(log diameter). Correctness invariant (both
+  * phases): a label is always the id of a node in the set it
+  * summarizes ({v} ∪ ancestors, resp. {v} ∪ same-color descendants),
+  * and those sets are closed under following labels — so jumped
+  * labels never undershoot the true min, and a round that changes
+  * nothing is an edge-propagation fixpoint too (labels only decrease;
+  * round-end equality forces the edge step to have been a no-op).
+  * The backward phase reuses the same fixpoint on REVERSED same-color
+  * edges; marked ⟺ m(v) = color(v), since the class root is the
+  * class minimum.
+  *
+  * Round materialization uses `LeanCheckpoint` (a bare LogicalRDD
+  * leaf), NOT `Dataset.localCheckpoint`: the builtin carries origin
+  * stats/constraints into each leaf and iterated self-joins compound
+  * that metadata — measured ~2.5× DRIVER time growth per round at
+  * constant stage/task/record counts (restricted sf0.01 verify 53 s →
+  * 695 s) until the loop crawls. See LeanCheckpoint's scaladoc.
+  *
   * Scale shape: every step is an equi-join or hash-agg on vertex keys
-  * over frames that only shrink; `localCheckpoint(true)` per round
-  * keeps plans O(1) in rounds (the PageRank discipline); the only
-  * driver values are the per-round convergence counts (one long
-  * each — the q199 peel pattern). Rounds are CAPPED and the caps are
-  * REQUIRED non-binding: a partial fixpoint would silently merge or
-  * split components, so the operator fails fast instead of returning
+  * over frames that only shrink; one lean checkpoint per round keeps
+  * plans O(1) in rounds (the PageRank discipline); the only driver
+  * values are per-round 1-row label sums (the Components monotone
+  * convergence witness — labels only decrease, so an unchanged sum IS
+  * elementwise fixpoint). Rounds are CAPPED and the caps are REQUIRED
+  * non-binding: a partial fixpoint would silently merge or split
+  * components, so the operator fails fast instead of returning
   * plausible wrong labels.
   *
   * Determinism: min-label over int64 ids — no RNG, no tiebreak
@@ -40,6 +68,46 @@ import org.apache.spark.sql.functions._
   * canonical label the oracle's mutual-reachability closure computes.
   */
 object Scc {
+
+  private def ckpt(df: DataFrame): DataFrame =
+    LeanCheckpoint.localCheckpoint(df)
+
+  /** Jumped min-label fixpoint: starting from label(v) = v, repeatedly
+    * set label(v) = min(label(v), min over in-edge labels (flowing
+    * src → dst), label(label(v))) until the label sum is unchanged.
+    * Returns (n, c) at fixpoint. Fails fast if `maxRounds` binds.
+    */
+  private def minLabelFixpoint(nodes: DataFrame, edges: DataFrame,
+                               maxRounds: Int, what: String): DataFrame = {
+    var lab = ckpt(nodes.select(col("n"), col("n").as("c")))
+    var prevSum = BigDecimal(
+      lab.agg(coalesce(sum("c"), lit(0L))).head().getLong(0))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val upd = edges.join(lab, edges("src") === lab("n"))
+        .groupBy(edges("dst").as("n2")).agg(min("c").as("cin"))
+      val stepped = lab.join(upd, lab("n") === upd("n2"), "left")
+        .select(lab("n"),
+          least(col("c"), coalesce(col("cin"), col("c"))).as("step"))
+      // pointer jump (path halving): follow the stepped label to ITS
+      // label — one self-join, since every label value is a node id
+      val parents = lab.select(col("n").as("p_id"), col("c").as("p_c"))
+      val next = ckpt(
+        stepped.join(parents, stepped("step") === parents("p_id"), "left")
+          .select(stepped("n"),
+            least(col("step"), coalesce(col("p_c"), col("step"))).as("c")))
+      val s = BigDecimal(
+        next.agg(coalesce(sum("c"), lit(0L))).head().getLong(0))
+      lab = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    require(converged,
+      s"SCC $what did not fixpoint within $maxRounds rounds")
+    lab
+  }
 
   /** (node, scc_id) for every vertex of `edges` (cols `src`, `dst`;
     * self-loops and duplicates tolerated). scc_id = min node id in the
@@ -50,67 +118,43 @@ object Scc {
                  maxPropRounds: Int = 40): DataFrame = {
     require(maxOuterRounds >= 1 && maxPropRounds >= 1,
       "SCC round caps must be positive")
-    var remE = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    var remN = remE.select(col("src").as("n"))
-      .unionByName(remE.select(col("dst").as("n"))).distinct()
-      .localCheckpoint(true)
+    var remE = ckpt(edges.select(col("src"), col("dst")).distinct())
+    var remN = ckpt(remE.select(col("src").as("n"))
+      .unionByName(remE.select(col("dst").as("n"))).distinct())
     var out: DataFrame = null
     var outer = 0
     var remaining = remN.count()
     while (remaining > 0 && outer < maxOuterRounds) {
       outer += 1
       // 1. forward min-label fixpoint over the remaining subgraph
-      var color = remN.select(col("n"), col("n").as("c"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var prop = 0
-      while (changed > 0 && prop < maxPropRounds) {
-        prop += 1
-        val upd = remE.join(color, remE("src") === color("n"))
-          .groupBy(remE("dst").as("n2")).agg(min("c").as("cin"))
-        val next = color.join(upd, color("n") === upd("n2"), "left")
-          .select(color("n"), col("c").as("c_old"),
-            least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
-          .localCheckpoint(true)
-        changed = next.filter(col("c") < col("c_old")).count()
-        color = next.select("n", "c")
-      }
-      require(changed == 0,
-        s"SCC forward coloring did not fixpoint within $maxPropRounds rounds")
-      // 2. backward root-reach fixpoint restricted to same-color edges
+      val color = minLabelFixpoint(remN, remE, maxPropRounds,
+        s"forward coloring (outer round $outer)")
+      // 2. backward min-reach fixpoint restricted to same-color edges:
+      //    the same jumped min-label propagation on REVERSED edges —
+      //    m(v) = min over {v} ∪ same-color descendants(v)
       val cs = color.select(col("n").as("src"), col("c").as("cs"))
       val cd = color.select(col("n").as("dst"), col("c").as("cd"))
-      val ec = remE.join(cs, "src").join(cd, "dst")
+      val ecRev = ckpt(remE.join(cs, "src").join(cd, "dst")
         .filter(col("cs") === col("cd"))
-        .select("src", "dst")
-        .localCheckpoint(true)
-      var marked = color.filter(col("n") === col("c")).select("n")
-        .localCheckpoint(true)
-      var added = 1L
-      var back = 0
-      while (added > 0 && back < maxPropRounds) {
-        back += 1
-        val newM = ec.join(marked.select(col("n").as("dst")), "dst")
-          .select(col("src").as("n")).distinct()
-          .join(marked, Seq("n"), "left_anti")
-          .localCheckpoint(true)
-        added = newM.count()
-        if (added > 0) marked = marked.unionByName(newM).localCheckpoint(true)
-      }
-      require(added == 0,
-        s"SCC backward marking did not fixpoint within $maxPropRounds rounds")
+        .select(col("dst").as("src"), col("src").as("dst")))
+      val reach = minLabelFixpoint(remN, ecRev, maxPropRounds,
+        s"backward marking (outer round $outer)")
+      // marked ⟺ m(v) = color(v): the class root is the class MIN id,
+      // so reaching it is the only way m can hit the color value
+      val marked = ckpt(reach.select(col("n"), col("c").as("m"))
+        .join(color, "n")
+        .filter(col("m") === col("c"))
+        .select(col("n"), col("c")))
       // 3. emit the found components, peel, recurse on the remainder
-      val found = color.join(marked, Seq("n"), "left_semi")
-        .select(col("n").as("node"), col("c").as("scc_id"))
-        .localCheckpoint(true)
+      // (no checkpoint on `found`: marked is a leaf, the plan is flat)
+      val found = marked.select(col("n").as("node"), col("c").as("scc_id"))
       out = if (out == null) found else out.unionByName(found)
-      remN = remN.join(marked, Seq("n"), "left_anti").localCheckpoint(true)
-      remE = remE
-        .join(marked.select(col("n").as("src")), Seq("src"), "left_anti")
-        .join(marked.select(col("n").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst")
-        .localCheckpoint(true)
+      val mN = marked.select("n")
+      remN = ckpt(remN.join(mN, Seq("n"), "left_anti"))
+      remE = ckpt(remE
+        .join(mN.select(col("n").as("src")), Seq("src"), "left_anti")
+        .join(mN.select(col("n").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst"))
       remaining = remN.count()
     }
     require(remaining == 0,

@@ -1,0 +1,46 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic
+
+/** Eager local checkpoint WITHOUT the plan metadata that
+  * `Dataset.localCheckpoint` folds into the resulting `LogicalRDD`
+  * leaf (origin statistics + the rewritten constraint ExpressionSet —
+  * see `LogicalRDD.fromDataset` in the Spark source).
+  *
+  * Iterated self-join loops (label propagation, BFS marking,
+  * min-label fixpoints) compound that carried metadata round over
+  * round: each round's leaf re-derives stats/constraints from a plan
+  * whose leaves already carry rewritten metadata of every earlier
+  * round. Measured on the q232 basket graph: per-round DRIVER time
+  * grew ~2.5× per round at CONSTANT stage/task/record counts
+  * (restricted sf0.01 verify 53 s → 695 s from this alone; AQE on/off
+  * and `spark.sql.constraintPropagation.enabled=false` made no
+  * difference because `fromDataset` captures regardless). With the
+  * lean leaf the same loop is flat at ~0.3 s/round.
+  *
+  * Zero extra serde: rows stay InternalRow end to end, exactly like
+  * `Dataset.localCheckpoint` (the `.copy()` mirrors Dataset.checkpoint
+  * — operators reuse row buffers, so stored rows must be defensive
+  * copies). The only thing lost vs the builtin is the preserved
+  * output partitioning/ordering metadata — irrelevant to fixpoint
+  * loops, whose every round re-shuffles on different keys anyway.
+  *
+  * Lives under `org.apache.spark.sql` to reach the `private[sql]`
+  * `internalCreateDataFrame`; written from public Spark source
+  * knowledge only.
+  */
+object LeanCheckpoint {
+
+  /** Materialize `df` into executor storage and return a DataFrame
+    * whose logical plan is a bare `LogicalRDD` leaf over the stored
+    * rows — no origin stats, no origin constraints.
+    */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager materialization (the localCheckpoint contract)
+    cds.sparkSession.internalCreateDataFrame(rdd, cds.schema)
+  }
+}
