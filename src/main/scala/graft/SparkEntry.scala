@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Cols._
 import graft.operators._
 import graft.functions.TextAnalysis
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** Driver contract — the complete operator surface (SURVEY.md §2), one
   * query per operator plus a DuckDB oracle where ANSI SQL can express it.
@@ -250,6 +251,9 @@ object SparkEntry {
     "q232_scc"                -> (Queries.sccBaskets _),
     "q233_colloc_spans"       -> (Queries.collocationSpanMining _),
     "q234_stream_pq_assign"   -> (Queries.streamedPqAssign _),
+    "q235_weighted_quantiles" -> (Queries.weightedQuantiles _),
+    "q236_scc_condensation"   -> (Queries.sccCondensation _),
+    "q237_pq_adc_topk"        -> (Queries.pqAdcTopK _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3690,7 +3694,7 @@ object Queries {
     // memo was built, and reads from its cache when warm
     val e0 = copurchaseEdges(spark, dir)
       .select(col("item_a").as("src"), col("item_b").as("dst"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
@@ -3706,7 +3710,7 @@ object Queries {
         .select(col("dst"), expr("(85 * p) div (100 * d)").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     withDeg.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -5031,10 +5035,10 @@ object Queries {
         .as("cell"))
       .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
       .agg(sum(col("cell.p")).as("g"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     var v = gram.select(col("i").as("pos")).distinct()
       .withColumn("vq", lit(PcScale))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     for (_ <- 1 to PcRounds) {
       val w = gram.join(v.withColumnRenamed("pos", "j"), Seq("j"))
         .groupBy(col("i").as("pos"))
@@ -5046,7 +5050,7 @@ object Queries {
         .select(col("pos"),
           expr(s"(w * $PcScale - ((w * $PcScale) % __m + __m) % __m) div __m")
             .as("vq"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     val num = gram
       .join(v.select(col("pos").as("i"), col("vq").as("vi")), Seq("i"))
@@ -5311,7 +5315,7 @@ object Queries {
     */
   def weightedPagerankRounds(edgeFrame: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "pagerank needs at least one round")
-    val e0 = edgeFrame.localCheckpoint(true)
+    val e0 = edgeFrame.leanCheckpoint()
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
@@ -5324,7 +5328,7 @@ object Queries {
         .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -5416,10 +5420,10 @@ object Queries {
     */
   def directedPagerankRounds(edgeFrame: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "pagerank needs at least one round")
-    val ed = edgeFrame.localCheckpoint(true)
+    val ed = edgeFrame.leanCheckpoint()
     val nodes = ed.select(col("src").as("i"))
       .unionByName(ed.select(col("dst").as("i"))).distinct()
-      .localCheckpoint(true)
+      .leanCheckpoint()
     val outw = ed.groupBy("src").agg(sum(col("w")).as("tw"))
     val withW = ed.join(outw, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -5441,7 +5445,7 @@ object Queries {
         .select(col("i"),
           (base + coalesce(col("cs"), lit(0L)) +
             expr("(85 * d) div (100 * nn)")).as("p"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -5780,7 +5784,7 @@ object Queries {
       .select(concat(lit(" "),
         expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
         lit(" ")).as("s"), col("n"))
-    var cur = words.localCheckpoint(true)
+    var cur = words.leanCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -5800,7 +5804,7 @@ object Queries {
         merges += ((r, a, b, cnt))
         cur = cur.select(org.apache.spark.sql.functions.replace(col("s"),
             lit(s" $a $b "), lit(s" $a$b ")).as("s"), col("n"))
-          .localCheckpoint(true)
+          .leanCheckpoint()
       }
     }
     import spark.implicits._
@@ -6055,20 +6059,184 @@ object Queries {
   // algorithm (closure vs coloring) agreeing on every label.
   val SccOrderMod = 5
 
-  def sccBaskets(spark: SparkSession, dir: String): DataFrame = {
+  /** The q232/q236 directed basket graph: consecutive line items of
+    * every SccOrderMod-th order, as (src, dst) part keys.
+    */
+  private def basketEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(pmod(col("l_orderkey"), lit(SccOrderMod.toLong)) === 0)
       .select("l_orderkey", "l_linenumber", "l_partkey")
     val a = li.alias("a")
     val b = li.alias("b")
-    val ed = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
         col("b.l_linenumber") === col("a.l_linenumber") + 1)
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-    val comp = Scc.components(ed)
+  }
+
+  def sccBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Scc.components(basketEdges(spark, dir))
     val sizes = comp.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
     comp.join(sizes, "scc_id")
       .select(col("node").as("item"), col("scc_id"), col("scc_size"))
       .orderBy("item")
+  }
+
+  // --- q236: condensation DAG of the basket SCCs — topological depth -------------------
+  // What SCC exists to ENABLE (VERDICT r14 item 5): contract the basket
+  // graph by scc_id and analyze the resulting DAG — here the
+  // longest-path layer (topological depth) of every SCC: dep(C) = max
+  // edges on any condensation path ending at C. This is the
+  // citation/changelog-graph analysis (how deep does recirculating
+  // structure feed into this component). Spark shape: one distinct
+  // hash-agg builds the condensation edges; depth is a max-plus label
+  // propagation over the SMALL condensation frame (rounds = DAG depth,
+  // sum-of-depths is a monotone INCREASING witness, cap REQUIRED
+  // non-binding — a cycle, impossible in a correct condensation, would
+  // bind the cap and fail fast instead of shipping depths). Oracle:
+  // DuckDB recursive walk over the closure-derived condensation —
+  // UNION-deduped (c, dep) pairs are finite exactly because the
+  // condensation is a DAG.
+  val CondMaxRounds = 30
+
+  def sccCondensation(spark: SparkSession, dir: String): DataFrame =
+    condensationDepths(basketEdges(spark, dir))
+      .orderBy("scc_id")
+
+  /** The SCC + condensation-depth pipeline over any (src, dst) edge
+    * frame — factored out so the spec can drive it with a planted
+    * hand-computable DAG (the weightedPagerankRounds pattern).
+    */
+  private[graft] def condensationDepths(edgeFrame: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.LeanCheckpoint.Ops
+    val ed = edgeFrame.leanCheckpoint()
+    val comp = Scc.components(ed)
+    val cS = comp.select(col("node").as("src"), col("scc_id").as("cs"))
+    val cD = comp.select(col("node").as("dst"), col("scc_id").as("cd"))
+    val ce = ed.join(cS, "src").join(cD, "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("s"), col("cd").as("d")).distinct()
+      .leanCheckpoint()
+    var depth = comp.select(col("scc_id").as("c")).distinct()
+      .withColumn("dep", lit(0L)).leanCheckpoint()
+    var prevSum = BigDecimal(
+      depth.agg(coalesce(sum("dep"), lit(0L))).head().getLong(0))
+    var converged = false
+    var round = 0
+    while (!converged && round < CondMaxRounds) {
+      round += 1
+      val upd = ce.join(depth, ce("s") === depth("c"))
+        .groupBy(ce("d").as("c2")).agg(max(col("dep") + 1).as("din"))
+      val next = depth.join(upd, depth("c") === upd("c2"), "left")
+        .select(depth("c"),
+          greatest(col("dep"), coalesce(col("din"), col("dep"))).as("dep"))
+        .leanCheckpoint()
+      val sNow = BigDecimal(
+        next.agg(coalesce(sum("dep"), lit(0L))).head().getLong(0))
+      depth = next
+      converged = sNow == prevSum
+      prevSum = sNow
+    }
+    require(converged,
+      s"condensation depth did not fixpoint within $CondMaxRounds rounds " +
+        "(a cycle would mean the SCC contraction is wrong)")
+    val sizes = comp.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    depth.join(sizes, depth("c") === sizes("scc_id"))
+      .select(col("scc_id"), col("scc_size"), col("dep").as("depth"))
+  }
+
+  // --- q235: weighted interpolated quantiles (the q226 ↔ q231 merge) -------------------
+  // `Median.groupedWeightedQuantiles`: quantile_cont semantics over the
+  // weight-EXPANDED multiset, computed without materializing the
+  // expansion (per-(group,bucket) weight sums + covering-rank
+  // extraction). The oracle literally expands the weights
+  // (unnest(generate_series(1, w))) and runs quantile_cont — the
+  // decomposition must match that bit-for-bit.
+  val WqQuantiles = Seq(0.25, 0.5, 0.75, 0.9)
+
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Median.groupedWeightedQuantiles(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          dec2(col("l_extendedprice")).cast("double").as("price"),
+          col("l_quantity").cast("long").as("qty")),
+      "l_returnflag", "price", "qty", WqQuantiles,
+      bucketScale = 1.0 / WmBucketWidth)
+      .orderBy("l_returnflag", "q")
+
+  // --- q237: PQ asymmetric-distance top-k (the ADC read path) --------------------------
+  // q223/q234 ENCODE vectors; this SEARCHES with the codes (VERDICT r14
+  // item 6) — the billion-scale read path: a query vector never touches
+  // the corpus vectors, only their 4 one-byte codes. Per query the
+  // 4×16 lookup table of subspace distances is built ON THE DRIVER
+  // (bounded: AnnQueryMaxId queries × PqSub × PqCodes doubles) and
+  // broadcast; the scan is then 4 array lookups + 3 additions per
+  // corpus row (map-side, codegen) — no per-row vector arithmetic at
+  // all. Exactness: LUT entries are fixed-order folds from 0.0 (≡ the
+  // oracle's list_reduce); the 4-term ADC sum is one fixed
+  // left-associated expression; ties break on vec_id. The wide code
+  // row (one row per vector, 4 code columns) is the in-memory layout a
+  // real PQ index ships.
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = adcScores(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_dist2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Every (query, corpus-vector) ADC distance — factored so the spec
+    * can check the seed-exactness property (a corpus vector that IS a
+    * codebook seed has ADC distance ≡ the per-subspace-fold exact
+    * squared L2 to the query) over the full score table, not only the
+    * surviving top-k.
+    */
+  private[graft] def adcScores(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = graft.functions.Lsh.Dim / PqSub
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = emb.filter(col("vec_id") >= AnnQueryMaxId)
+      .orderBy("vec_id").limit(PqCodes)
+      .select("v").collect().map(_.getSeq[Double](0))
+    val qvs = emb.filter(col("vec_id") < AnnQueryMaxId)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // per-query LUT: lut(s)(c) = ‖q_s − cent_{s,c}‖², folded from 0.0
+    // in index order — the exact shape the oracle's list_reduce yields
+    val luts = qvs.map { case (qid, qv) =>
+      val tabs = (0 until PqSub).map { sp =>
+        seeds.indices.map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val dlt = qv(sp * subDim + i) - seeds(c)(sp * subDim + i)
+            acc += dlt * dlt
+            i += 1
+          }
+          acc
+        }
+      }
+      (qid, tabs(0), tabs(1), tabs(2), tabs(3))
+    }.toSeq
+    import spark.implicits._
+    val lutDf = luts.toDF("query_id", "t0", "t1", "t2", "t3")
+    // wide code rows for the corpus (one row, PqSub code columns)
+    val wide = pqCodes(spark, dir)
+      .filter(col("vec_id") >= AnnQueryMaxId)
+      .groupBy("vec_id")
+      .agg(
+        min(when(col("subspace") === 0, col("code"))).as("c0"),
+        min(when(col("subspace") === 1, col("code"))).as("c1"),
+        min(when(col("subspace") === 2, col("code"))).as("c2"),
+        min(when(col("subspace") === 3, col("code"))).as("c3"))
+    wide.crossJoin(broadcast(lutDf))
+      .select(col("query_id"), col("vec_id"),
+        (element_at(col("t0"), col("c0").cast("int") + 1) +
+          element_at(col("t1"), col("c1").cast("int") + 1) +
+          element_at(col("t2"), col("c2").cast("int") + 1) +
+          element_at(col("t3"), col("c3").cast("int") + 1)).as("adc_dist2"))
   }
 
   // --- q230: Hilbert-order write path + pruned read-back ------------------------------
@@ -6285,12 +6453,39 @@ object Oracles {
   /** q223's PQ assignment oracle — shared by the batch gate and the
     * q234 stream-static twin (same rows, stream emission ≡ batch).
     */
-  private lazy val pqCodesSql: String = {
+  private lazy val pqCodesSql: String =
+    s"""WITH $pqCtes
+        SELECT vec_id, subspace, code, dist2 FROM codes"""
+
+  /** The q232/q236 shared closure CTE chain: basket edges → full
+    * reachability closure → mutual-reachability SCCs → sizes.
+    */
+  private lazy val sccClosureCtes: String =
+    s"""li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                          l_partkey AS pk
+                   FROM lineitem
+                   WHERE l_orderkey % ${Queries.SccOrderMod} = 0),
+            e AS (SELECT DISTINCT a.pk AS s, b.pk AS d
+                  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1),
+            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+            reach(s, d) AS (
+              SELECT v, v FROM n
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+            scc AS (SELECT a.s AS node, MIN(a.d) AS scc_id
+                    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+                    GROUP BY 1),
+            sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY 1)"""
+
+  /** The shared PQ CTE chain (emb → seeds → cents → sub → scored →
+    * codes), used by q223/q234 (assignment) and q237 (ADC search).
+    */
+  private lazy val pqCtes: String = {
       val subDim = graft.functions.Lsh.Dim / Queries.PqSub
       val (nSub, nCodes) = (Queries.PqSub, Queries.PqCodes)
       // list_slice for the computed subspace bounds; dist² fold from the
       // first element ≡ Spark's aggregate from 0.0
-      s"""WITH emb AS (SELECT vec_id,
+      s"""emb AS (SELECT vec_id,
                               list_transform(embedding,
                                 x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings),
@@ -6314,12 +6509,12 @@ object Oracles {
                               generate_series(1, $subDim),
                               i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
                               (a, b) -> a + b) AS dist2
-                     FROM sub JOIN cents ON sub.subspace = cents.subspace)
-          SELECT vec_id, subspace, code, dist2 FROM (
+                     FROM sub JOIN cents ON sub.subspace = cents.subspace),
+          codes AS (SELECT vec_id, subspace, code, dist2 FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
                         ORDER BY dist2, code) AS rn
             FROM scored)
-          WHERE rn = 1"""
+          WHERE rn = 1)"""
   }
 
   val sql: Map[String, String] = sqlBase ++ Map(
@@ -7041,6 +7236,65 @@ object Oracles {
     // IS the batch assignment, so the oracle is shared verbatim
     "q234_stream_pq_assign" -> pqCodesSql,
 
+    // q235 — the decomposition must equal quantile_cont over the
+    // LITERALLY weight-expanded multiset (unnest(generate_series)).
+    // quantile params are forced DOUBLE so pos = q·(n−1) is the same
+    // double product the Spark side computes.
+    "q235_weighted_quantiles" -> {
+      val qs = Queries.WqQuantiles.map(q =>
+        s"SELECT g, CAST($q AS DOUBLE) AS q, " +
+          s"quantile_cont(v, CAST($q AS DOUBLE)) AS quantile FROM ex GROUP BY g")
+        .mkString(" UNION ALL ")
+      s"""WITH x AS (SELECT l_returnflag AS g,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem WHERE l_quantity > 0),
+          ex AS (SELECT g, v FROM
+                   (SELECT g, v, unnest(generate_series(1, w)) FROM x)),
+          tw AS (SELECT g, CAST(SUM(w) AS BIGINT) AS total_weight
+                 FROM x GROUP BY 1),
+          qs AS ($qs)
+          SELECT qs.g AS l_returnflag, qs.q, tw.total_weight, qs.quantile
+          FROM qs JOIN tw USING (g)"""
+    },
+
+    // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of
+    // subspace distances (list_reduce fold ≡ the driver's fold from
+    // 0.0), the 4-term sum pivoted per subspace so the addition order
+    // is FIXED (a hash-agg SUM over subspaces would be order-unstable
+    // in the last ulp), row_number tiebreak on vec_id.
+    "q237_pq_adc_topk" -> {
+      val subDim = graft.functions.Lsh.Dim / Queries.PqSub
+      val adcSum = (0 until Queries.PqSub).map(i =>
+        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
+      s"""WITH $pqCtes,
+          qq AS (SELECT vec_id AS query_id, v FROM emb
+                 WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          qsub AS (SELECT query_id, sp.subspace,
+                          list_slice(v, sp.subspace * $subDim + 1,
+                                     (sp.subspace + 1) * $subDim) AS qsv
+                   FROM qq, sp),
+          lut AS (SELECT query_id, qsub.subspace, code,
+                         list_reduce(list_transform(
+                           generate_series(1, $subDim),
+                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
+                           (a, b) -> a + b) AS d2
+                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
+          corp AS (SELECT vec_id, subspace, code FROM codes
+                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          j AS (SELECT query_id, vec_id, corp.subspace, d2
+                FROM corp JOIN lut ON corp.subspace = lut.subspace
+                                  AND corp.code = lut.code),
+          sq AS (SELECT query_id, vec_id,
+                        $adcSum AS adc_dist2
+                 FROM j GROUP BY 1, 2)
+          SELECT query_id, rank, vec_id, adc_dist2 FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+            FROM sq)
+          WHERE rank <= ${Queries.AnnK}"""
+    },
+
 
     "q224_kn_counts" ->
       // distinct bigram TYPES from the zipped-slice walk; continuation
@@ -7152,24 +7406,26 @@ object Oracles {
       // reaches the other; scc_id = MIN over the mutual set (includes
       // self) — a different algorithm than the operator's coloring,
       // agreeing label-for-label
-      s"""WITH RECURSIVE
-            li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
-                          l_partkey AS pk
-                   FROM lineitem
-                   WHERE l_orderkey % ${Queries.SccOrderMod} = 0),
-            e AS (SELECT DISTINCT a.pk AS s, b.pk AS d
-                  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1),
-            n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-            reach(s, d) AS (
-              SELECT v, v FROM n
-              UNION
-              SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
-            scc AS (SELECT a.s AS node, MIN(a.d) AS scc_id
-                    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
-                    GROUP BY 1),
-            sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY 1)
+      s"""WITH RECURSIVE $sccClosureCtes
           SELECT scc.node AS item, scc.scc_id, sz.scc_size
           FROM scc JOIN sz USING (scc_id)""",
+
+    "q236_scc_condensation" ->
+      // condensation edges off the same closure; depth = longest path
+      // in the contracted DAG via a UNION-deduped recursive walk —
+      // finite exactly because the condensation is acyclic
+      s"""WITH RECURSIVE $sccClosureCtes,
+            ce AS (SELECT DISTINCT s1.scc_id AS s, s2.scc_id AS d
+                   FROM e JOIN scc s1 ON e.s = s1.node
+                          JOIN scc s2 ON e.d = s2.node
+                   WHERE s1.scc_id <> s2.scc_id),
+            walk(c, dep) AS (
+              SELECT scc_id, CAST(0 AS BIGINT) FROM sz
+              UNION
+              SELECT ce.d, walk.dep + 1 FROM walk JOIN ce ON ce.s = walk.c),
+            dp AS (SELECT c AS scc_id, MAX(dep) AS depth FROM walk GROUP BY 1)
+          SELECT dp.scc_id, sz.scc_size, dp.depth
+          FROM dp JOIN sz USING (scc_id)""",
 
     "q230_hilbert_layout" ->
       // the pruned read-back vs the UNPARTITIONED table: the block list

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** Bounded-depth breadth-first search (single-source shortest hops) as
   * synchronous frontier expansion — the Pregel/Bulk-Synchronous-Parallel
@@ -37,10 +38,10 @@ object Bfs {
     val undirected = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     var dist = sources.select(col("n"), lit(0).as("hop"))
       .groupBy("n").agg(min("hop").as("hop"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     for (r <- 1 to maxHops) {
       // expand ONLY from the newest frontier: a vertex first reached at
       // round r-1 is the only one that can reveal a new vertex at r
@@ -49,7 +50,7 @@ object Bfs {
         .select(col("v").as("n"), lit(r).as("hop"))
       dist = dist.unionByName(reached)
         .groupBy("n").agg(min("hop").as("hop"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     dist.select(col("n").as("node"), col("hop").cast("long").as("hop"))
   }

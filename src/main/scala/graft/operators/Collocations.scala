@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** PMI collocation mining (Church & Hanks): which adjacent word pairs
   * occur together far more often than their marginal frequencies
@@ -110,7 +111,7 @@ object Collocations {
     val d38 = DecimalType(38, 0)
     var cur = docs.filter(textCol.isNotNull)
       .select(concat(lit(" "), textCol, lit(" ")).as("s"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     val found = Seq.newBuilder[(Int, String, String, Long, Double)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -148,7 +149,7 @@ object Collocations {
         cur = cur.select(
           org.apache.spark.sql.functions.replace(col("s"),
             lit(s" $a $b "), lit(s" $a$Glue$b ")).as("s"))
-          .localCheckpoint(true)
+          .leanCheckpoint()
       }
     }
     import spark.implicits._

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** Connected components by min-label propagation WITH pointer jumping —
   * the step that turns near-duplicate PAIRS into dedup decisions: each
@@ -58,7 +59,7 @@ object Components {
     // localCheckpoint truncates it to a leaf each round, keeping plan
     // size O(1) regardless of graph diameter.
     var labels = touched.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     var prevSum = BigDecimal(
       labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
     var converged = false
@@ -76,7 +77,7 @@ object Components {
       val next = stepped.join(parents, stepped("step") === parents("p_id"), "left")
         .select(stepped("id"),
           least(col("step"), coalesce(col("p_label"), col("step"))).as("label"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
       val s = BigDecimal(
         next.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
       labels = next
@@ -95,7 +96,7 @@ object Components {
     val isolated = nodes.select(col("id"))
       .join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     // `labels` and `isolated` are now both checkpointed leaves — the
     // returned frame no longer references any of the cached inputs.
     val all = labels.unionByName(isolated)

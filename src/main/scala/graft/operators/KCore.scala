@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** k-core extraction by iterative peeling (Seidman's cores; the standard
   * distributed formulation — Montresor et al.'s message-passing peel):
@@ -40,7 +41,7 @@ object KCore {
     require(rounds >= 1, "k-core needs at least one peel round")
     var e = edges.select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     for (_ <- 1 to rounds) {
       val deg = e.select(col("x").as("n"))
         .unionByName(e.select(col("y").as("n")))
@@ -49,7 +50,7 @@ object KCore {
       e = e.join(keep.select(col("n").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("n").as("y")), Seq("y"), "left_semi")
         .select("x", "y")
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))

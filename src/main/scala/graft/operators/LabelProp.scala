@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LeanCheckpoint.Ops
 
 /** Community detection by SYNCHRONOUS label propagation (Raghavan et
   * al. 2007, "Near linear time algorithm to detect community structures
@@ -33,11 +34,11 @@ object LabelProp {
     val undirected = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     var labels = undirected.select(col("u").as("n"))
       .distinct()
       .withColumn("lbl", col("n"))
-      .localCheckpoint(true)
+      .leanCheckpoint()
     for (_ <- 1 to rounds) {
       labels = undirected
         .join(labels.withColumnRenamed("n", "v"), Seq("v"))
@@ -48,7 +49,7 @@ object LabelProp {
         .groupBy("n")
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("n"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint(true)
+        .leanCheckpoint()
     }
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }

@@ -149,6 +149,81 @@ object Median {
       .select(col("g").as(groupCol), col("tw").as("total_weight"), col(out))
   }
 
+  /** The decomposition generalized to WEIGHTED interpolated quantiles —
+    * the q226 ↔ q231 merge: semantics are EXACTLY `quantile_cont` over
+    * the weight-EXPANDED multiset (each row counted `w` times), so unit
+    * weights reduce to `groupedExactQuantiles` bit-for-bit (spec-pinned)
+    * and the oracle can replay it by literally expanding the weights.
+    * pos = q·(tw−1) on the expanded size tw (the same double product
+    * `percentile` computes); the two endpoint EXPANDED ranks rl/ru map
+    * back to original rows through cumulative weights (a value v with
+    * entry weight c covers expanded ranks (c, c+w]); interpolation is
+    * the evaluated expression shape vl·(1−frac) + vu·frac.
+    *
+    * Never materializes the expansion: pass 1 is per-(group, bucket)
+    * WEIGHT sums; the rank table is groups × quantiles (broadcast);
+    * pass 2 ranks only the covering buckets' populations by cumulative
+    * weight. Ties among equal values need no tiebreak — the ranks
+    * covered by an equal-value run map to that value regardless of
+    * intra-run order. Same input contract as `groupedWeightedMedian`;
+    * zero-weight rows carry no expanded copies and are dropped, and a
+    * group whose total weight is zero has no defined quantile and is
+    * excluded.
+    */
+  def groupedWeightedQuantiles(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               quantiles: Seq[Double],
+                               bucketScale: Double = 64.0): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0, 1]: $quantiles")
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+    val bucketed = base
+      .withColumn("b", floor(col("v") * lit(bucketScale)).cast("long"))
+    val bc = bucketed.groupBy("g", "b").agg(sum("w").as("bw"))
+      .localCheckpoint(true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pos = q·(tw−1) on the EXPANDED count tw — quantile_cont's shape
+    val ranks = bc.groupBy("g").agg(sum("bw").as("tw"))
+      .crossJoin(broadcast(quantiles.toDF("q")))
+      .withColumn("pos", (col("tw") - 1) * col("q"))
+      .select(col("g"), col("q"), col("tw"),
+        (floor(col("pos")) + 1).cast("long").as("rl"),
+        (ceil(col("pos")) + 1).cast("long").as("ru"),
+        (col("pos") - floor(col("pos"))).as("frac"))
+    val wB = Window.partitionBy("g").orderBy("b")
+    val cum = bc
+      .withColumn("cum", sum("bw").over(wB))
+      .withColumn("before", col("cum") - col("bw"))
+    // buckets whose expanded-rank span covers ANY needed rank
+    val tgt = cum.join(ranks, "g")
+      .filter((col("rl") > col("before") && col("rl") <= col("cum")) ||
+        (col("ru") > col("before") && col("ru") <= col("cum")))
+      .select("g", "b", "before").distinct()
+    // within the covering buckets: running EXPANDED rank by value; the
+    // row covers expanded ranks (cw − w, cw]
+    val wV = Window.partitionBy("g", "b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed.join(broadcast(tgt), Seq("g", "b"))
+      .withColumn("cw", col("before") + sum("w").over(wV))
+    ranked.join(broadcast(ranks.withColumnRenamed("g", "g2")),
+        col("g") === col("g2") &&
+          ((col("rl") > col("cw") - col("w") && col("rl") <= col("cw")) ||
+            (col("ru") > col("cw") - col("w") && col("ru") <= col("cw"))))
+      .groupBy(col("g"), col("q"), col("frac"), col("tw"))
+      .agg(
+        min(when(col("rl") > col("cw") - col("w") && col("rl") <= col("cw"),
+          col("v"))).as("vl"),
+        min(when(col("ru") > col("cw") - col("w") && col("ru") <= col("cw"),
+          col("v"))).as("vu"))
+      .select(col("g").as(groupCol), col("q"), col("tw").as("total_weight"),
+        (col("vl") * (lit(1.0) - col("frac")) + col("vu") * col("frac"))
+          .as("quantile"))
+  }
+
   /** The decomposition generalized to ARBITRARY quantiles: one row per
     * (group, q) with the exact interpolated quantile — Spark's
     * `percentile(v, array(...))` ≡ quantile_cont semantics (pos =

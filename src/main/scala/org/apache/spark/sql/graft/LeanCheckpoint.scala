@@ -43,4 +43,11 @@ object LeanCheckpoint {
     rdd.count() // eager materialization (the localCheckpoint contract)
     cds.sparkSession.internalCreateDataFrame(rdd, cds.schema)
   }
+
+  /** `df.leanCheckpoint()` sugar — drop-in for the
+    * `.localCheckpoint(true)` iteration discipline.
+    */
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    def leanCheckpoint(): DataFrame = LeanCheckpoint.localCheckpoint(df)
+  }
 }
