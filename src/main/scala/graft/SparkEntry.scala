@@ -254,6 +254,7 @@ object SparkEntry {
     "q235_weighted_quantiles" -> (Queries.weightedQuantiles _),
     "q236_scc_condensation"   -> (Queries.sccCondensation _),
     "q237_pq_adc_topk"        -> (Queries.pqAdcTopK _),
+    "q238_hilbert_two_level"  -> (Queries.hilbertTwoLevelCompare _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -5865,6 +5866,47 @@ object Queries {
       .orderBy("probe_id")
   }
 
+  // --- q238: two-level layout (time ranges → Hilbert within) vs the flat curve --------
+  // The partition-evolution shape (VERDICT r14 item 10): range-plan the
+  // OUTER dimension (order day) into 2^ObBits ingestion-aligned ranges
+  // FIRST, Hilbert-cluster WITHIN each range on per-range bounds — vs
+  // q230's flat global curve. Both zone maps carry RAW-coordinate
+  // min/max (parquet-footer semantics — the comparable unit when the
+  // grids differ), and the same raw rectangle probes score blocks/rows
+  // a scan must touch under each layout (the q227 evidence pattern).
+  // Beyond pruning, the two-level layout is what survives INGESTION:
+  // a new day extends the top range or opens a new one, while the flat
+  // global curve re-quantizes every historical block the moment the
+  // y-bounds move.
+  val ObBits = 3
+  val TwoLevelProbes: Seq[(Int, Long, Long, Long, Long)] = Seq(
+    (1, 0L, 119L, 9496L, 9861L),        // low-key band × one year
+    (2, 0L, 10000000L, 9496L, 9526L),   // all keys × one month (time band)
+    (3, 0L, 299L, 0L, 20000L),          // key band × all time
+    (4, 400L, 520L, 9131L, 9252L),      // small box in 1995
+    (5, 0L, 10000000L, 10300L, 20000L)) // the newest era only
+
+  def hilbertTwoLevelCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = col("o_custkey")
+    val y = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val orders = Tables.orders(spark, dir)
+    val flat = ZOrder.rawHilbertManifest(orders, x, y, ZQBits, ZBlockShift)
+    val two = ZOrder.twoLevelHilbertManifest(orders, x, y, ObBits, ZQBits,
+      ZBlockShift)
+    val probes = TwoLevelProbes.toDF("probe_id", "xlo", "xhi", "ylo", "yhi")
+    def touched(man: DataFrame, bc: String, rc: String) =
+      probes.join(broadcast(man),
+          col("xlo") <= col("max_x") && col("min_x") <= col("xhi") &&
+            col("ylo") <= col("max_y") && col("min_y") <= col("yhi"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("block")).as(bc),
+          coalesce(sum("n_rows"), lit(0L)).as(rc))
+    touched(flat, "blocks_flat", "rows_flat")
+      .join(touched(two, "blocks_two", "rows_two"), Seq("probe_id"))
+      .orderBy("probe_id")
+  }
+
   // --- q228: cohort conversion rate with Wilson confidence bounds ---------------------
   // The A/B-dashboard statistic done right: per first-view-day cohort,
   // the view→purchase conversion rate with the Wilson 95% interval —
@@ -7256,6 +7298,72 @@ object Oracles {
           qs AS ($qs)
           SELECT qs.g AS l_returnflag, qs.q, tw.total_weight, qs.quantile
           FROM qs JOIN tw USING (g)"""
+    },
+
+    // q238 — both zone maps rebuilt in SQL: the flat walk on global
+    // bounds and the per-range walk on per-range bounds (the SAME
+    // reusable CTE chain, different grids), raw-coordinate bounds, the
+    // probe intersection counts joined per probe. SUMs are cast back
+    // from HUGEINT.
+    "q238_hilbert_two_level" -> {
+      val q = 1L << Queries.ZQBits
+      val blk = 1L << Queries.ZBlockShift
+      val onb = 1L << Queries.ObBits
+      val last = Queries.ZQBits
+      val probeRows = Queries.TwoLevelProbes.map { case (i, xlo, xhi, ylo, yhi) =>
+        s"($i, CAST($xlo AS BIGINT), CAST($xhi AS BIGINT), CAST($ylo AS BIGINT), CAST($yhi AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH b AS (SELECT o_custkey AS rx,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ry
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+          s AS (SELECT MIN(rx) AS minx, MAX(rx) AS maxx,
+                       MIN(ry) AS miny, MAX(ry) AS maxy FROM b),
+          h0 AS (SELECT rx, ry, bx, by, bx AS x, by AS y,
+                        CAST(0 AS BIGINT) AS d FROM
+                  (SELECT rx, ry,
+                          ((rx - minx) * $q) // (maxx - minx + 1) AS bx,
+                          ((ry - miny) * $q) // (maxy - miny + 1) AS by
+                   FROM b, s)),
+          ${hilbertWalkCtes("h", "rx, ry,")},
+          mflat AS (SELECT d // $blk AS block, COUNT(*) AS n_rows,
+                           MIN(rx) AS min_x, MAX(rx) AS max_x,
+                           MIN(ry) AS min_y, MAX(ry) AS max_y
+                    FROM h$last GROUP BY 1),
+          gs AS (SELECT MIN(ry) AS gminy, MAX(ry) AS gmaxy FROM b),
+          ob0 AS (SELECT rx, ry,
+                         ((ry - gminy) * $onb) // (gmaxy - gminy + 1) AS ob
+                  FROM b, gs),
+          pb AS (SELECT ob, MIN(rx) AS pminx, MAX(rx) AS pmaxx,
+                        MIN(ry) AS pminy, MAX(ry) AS pmaxy
+                 FROM ob0 GROUP BY 1),
+          t0 AS (SELECT ob, rx, ry, bx, by, bx AS x, by AS y,
+                        CAST(0 AS BIGINT) AS d FROM
+                  (SELECT ob0.ob, rx, ry,
+                          ((rx - pminx) * $q) // (pmaxx - pminx + 1) AS bx,
+                          ((ry - pminy) * $q) // (pmaxy - pminy + 1) AS by
+                   FROM ob0 JOIN pb USING (ob))),
+          ${hilbertWalkCtes("t", "ob, rx, ry,")},
+          mtwo AS (SELECT ob, d // $blk AS block, COUNT(*) AS n_rows,
+                          MIN(rx) AS min_x, MAX(rx) AS max_x,
+                          MIN(ry) AS min_y, MAX(ry) AS max_y
+                   FROM t$last GROUP BY 1, 2),
+          probes(probe_id, xlo, xhi, ylo, yhi) AS
+            (SELECT * FROM (VALUES $probeRows)),
+          tf AS (SELECT probe_id, COUNT(m.block) AS blocks_flat,
+                        CAST(COALESCE(SUM(m.n_rows), 0) AS BIGINT) AS rows_flat
+                 FROM probes p LEFT JOIN mflat m
+                   ON p.xlo <= m.max_x AND m.min_x <= p.xhi
+                  AND p.ylo <= m.max_y AND m.min_y <= p.yhi
+                 GROUP BY 1),
+          tt AS (SELECT probe_id, COUNT(m.block) AS blocks_two,
+                        CAST(COALESCE(SUM(m.n_rows), 0) AS BIGINT) AS rows_two
+                 FROM probes p LEFT JOIN mtwo m
+                   ON p.xlo <= m.max_x AND m.min_x <= p.xhi
+                  AND p.ylo <= m.max_y AND m.min_y <= p.yhi
+                 GROUP BY 1)
+          SELECT probe_id, blocks_flat, rows_flat, blocks_two, rows_two
+          FROM tf JOIN tt USING (probe_id)"""
     },
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of
@@ -10736,6 +10844,32 @@ object Oracles {
                MIN(by) AS min_y, MAX(by) AS max_y
         FROM m4 GROUP BY 1"""
   }
+
+  /** The Hilbert xy2d walk as a reusable CTE chain: one CTE per bit
+    * level, operating on (x, y, d) with `carry` columns passed through
+    * untouched and `prefix` naming the chain (so two walks can coexist
+    * in one statement — q238 runs the flat and the per-range walk side
+    * by side).
+    */
+  private def hilbertWalkCtes(prefix: String, carry: String): String = {
+    val svals = (Queries.ZQBits - 1 to 0 by -1).map(1L << _)
+    svals.zipWithIndex.map { case (sv, i) =>
+      s"""$prefix${i + 1} AS (SELECT $carry bx, by, nx AS x, ny AS y, d FROM (
+             SELECT $carry bx, by,
+                    CASE WHEN (y & $sv) > 0 THEN x
+                         WHEN (x & $sv) > 0 THEN $sv - 1 - y
+                         ELSE y END AS nx,
+                    CASE WHEN (y & $sv) > 0 THEN y
+                         WHEN (x & $sv) > 0 THEN $sv - 1 - x
+                         ELSE x END AS ny,
+                    d + $sv * $sv *
+                      xor(3 * (CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END),
+                          CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END) AS d
+             FROM $prefix$i))"""
+    }.mkString(",\n        ")
+  }
+
+  private lazy val hilbertWalkLast = Queries.ZQBits
 
   /** q221's oracle: the Hilbert xy2d walk unrolled — one CTE per bit
     * level s = 2^(qBits−1) … 1, each applying the quadrant-digit add

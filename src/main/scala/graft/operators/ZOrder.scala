@@ -127,6 +127,72 @@ object ZOrder {
       .write.mode("overwrite").parquet(path + "_manifest")
   }
 
+  /** `hilbertLayoutManifest` with the zone map in ORIGINAL coordinates
+    * (parquet-footer semantics): blocks are still Hilbert-index ranges
+    * on the quantized grid, but min/max are of the raw values, so a
+    * raw-rectangle probe intersects without replaying quantization.
+    * This is the comparable unit for layout-quality comparisons where
+    * the two layouts use DIFFERENT grids (q238's two-level evolution).
+    */
+  def rawHilbertManifest(df: DataFrame, xCol: Column, yCol: Column,
+                         qBits: Int = 8, blockShift: Int = 6): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val bounds = base.agg(min("x").as("minx"), max("x").as("maxx"),
+      min("y").as("miny"), max("y").as("maxy"))
+    base.crossJoin(broadcast(bounds))
+      .select(col("x"), col("y"),
+        quantize(col("x"), col("minx"), col("maxx"), qBits).as("bx"),
+        quantize(col("y"), col("miny"), col("maxy"), qBits).as("by"))
+      .withColumn("h", graft.plans.HilbertExprs.hilbert(col("bx"), col("by"), qBits))
+      .groupBy(shiftright(col("h"), blockShift).as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  /** TWO-LEVEL layout manifest — the partition-evolution shape real
+    * lakehouses use when one dimension is time: the OUTER dimension
+    * (`yCol`, e.g. event day) is range-planned first into `2^obBits`
+    * equal-width ranges on its GLOBAL bounds (ingestion-aligned time
+    * partitions), and each range is laid out on the Hilbert curve over
+    * its OWN per-range bounds — so the inner grid's resolution adapts
+    * to each era's actual key/time spread instead of stretching one
+    * global grid across all history. Zone map rows are (ob, block)
+    * with raw-coordinate min/max (same comparable unit as
+    * `rawHilbertManifest`).
+    *
+    * Scale shape: global bounds = one scalar agg; per-range bounds =
+    * one tiny agg (≤ 2^obBits rows, broadcast back); the curve code is
+    * map-side codegen; the manifest is one hash-agg. A writer would
+    * `repartitionByRange(ob, h)` — time ranges stay contiguous on
+    * disk, so dropping/compacting an old era never rewrites the rest
+    * (the evolution property the flat global curve lacks: ANY new
+    * day moves the global y-bounds and reshuffles every block).
+    */
+  def twoLevelHilbertManifest(df: DataFrame, xCol: Column, yCol: Column,
+                              obBits: Int = 3, qBits: Int = 8,
+                              blockShift: Int = 6): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val gb = base.agg(min("y").as("gminy"), max("y").as("gmaxy"))
+    val wOb = base.crossJoin(broadcast(gb))
+      .withColumn("ob", quantize(col("y"), col("gminy"), col("gmaxy"), obBits))
+      .select("x", "y", "ob")
+    val pb = wOb.groupBy("ob").agg(
+      min("x").as("pminx"), max("x").as("pmaxx"),
+      min("y").as("pminy"), max("y").as("pmaxy"))
+    wOb.join(broadcast(pb), "ob")
+      .select(col("ob"), col("x"), col("y"),
+        quantize(col("x"), col("pminx"), col("pmaxx"), qBits).as("bx"),
+        quantize(col("y"), col("pminy"), col("pmaxy"), qBits).as("by"))
+      .withColumn("h", graft.plans.HilbertExprs.hilbert(col("bx"), col("by"), qBits))
+      .groupBy(col("ob"), shiftright(col("h"), blockShift).as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
   def hilbertLayoutManifest(df: DataFrame, xCol: Column, yCol: Column,
                             qBits: Int = 8, blockShift: Int = 6): DataFrame = {
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

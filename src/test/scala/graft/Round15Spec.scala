@@ -124,6 +124,29 @@ class Round15Spec extends AnyFunSuite {
     assert(checked >= Queries.PqCodes)
   }
 
+  test("q238: both zone maps are supersets of truth; time bands prune better two-level") {
+    val res = Queries.hilbertTwoLevelCompare(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // true matching rows per probe (the floor any zone map must cover)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("y"))
+    Queries.TwoLevelProbes.foreach { case (id, xlo, xhi, ylo, yhi) =>
+      val truth = orders.filter(col("x").between(xlo, xhi) &&
+        col("y").between(ylo, yhi)).count()
+      val (_, rowsFlat, _, rowsTwo) = res(id)
+      assert(rowsFlat >= truth && rowsTwo >= truth,
+        s"probe $id: zone maps must be supersets ($rowsFlat/$rowsTwo vs $truth)")
+    }
+    // the time-band probe (all keys × one month): range-planning the
+    // time dimension first must touch no MORE rows than the flat curve
+    val (_, fRows, _, tRows) = res(2)
+    assert(tRows <= fRows,
+      s"time-band probe: two-level touched $tRows > flat $fRows")
+  }
+
   test("q237: top-k output is rank-contiguous and ordered by (dist, vec_id)") {
     val rows = Queries.pqAdcTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
