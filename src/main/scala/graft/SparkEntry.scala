@@ -5929,7 +5929,14 @@ object Queries {
     val rad = z * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
     val lo = (p + z2 / (lit(2.0) * nD) - rad) / (lit(1.0) + z2 / nD)
     val hi = (p + z2 / (lit(2.0) * nD) + rad) / (lit(1.0) + z2 / nD)
-    (lo, hi)
+    // clamp to the interval's true contract 0 ≤ lo ≤ p ≤ hi ≤ 1: at
+    // k = 0 the float lo reads ±2e-17 (either side of the exact 0) and
+    // at k = n the float hi reads 1 + ε (randomized-spec findings) —
+    // mathematically lo ≤ p ≤ hi always holds for z > 0, so clamping
+    // restores the exact contract and loses nothing; the oracle clamps
+    // the SAME unclamped bits to the SAME expressions, so the gate
+    // stays bit-exact
+    (least(p, greatest(lit(0.0), lo)), greatest(p, least(lit(1.0), hi)))
   }
 
   def conversionCi(spark: SparkSession, dir: String): DataFrame = {
@@ -7187,14 +7194,16 @@ object Oracles {
                        CAST(n_users AS DOUBLE) AS nd
                 FROM c)
           SELECT cohort_day, n_users, n_converted, p AS conversion_rate,
-                 (p + $z * $z / (2.0 * nd)
-                    - $z * sqrt(p * (1.0 - p) / nd
-                                + $z * $z / (4.0 * nd * nd)))
-                   / (1.0 + $z * $z / nd) AS wilson_lo,
-                 (p + $z * $z / (2.0 * nd)
-                    + $z * sqrt(p * (1.0 - p) / nd
-                                + $z * $z / (4.0 * nd * nd)))
-                   / (1.0 + $z * $z / nd) AS wilson_hi
+                 LEAST(p, GREATEST(CAST(0 AS DOUBLE),
+                   (p + $z * $z / (2.0 * nd)
+                      - $z * sqrt(p * (1.0 - p) / nd
+                                  + $z * $z / (4.0 * nd * nd)))
+                     / (1.0 + $z * $z / nd))) AS wilson_lo,
+                 GREATEST(p, LEAST(CAST(1 AS DOUBLE),
+                   (p + $z * $z / (2.0 * nd)
+                      + $z * sqrt(p * (1.0 - p) / nd
+                                  + $z * $z / (4.0 * nd * nd)))
+                     / (1.0 + $z * $z / nd))) AS wilson_hi
           FROM w"""
     },
 

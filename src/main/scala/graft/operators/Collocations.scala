@@ -108,7 +108,6 @@ object Collocations {
                        docs: DataFrame, textCol: Column, rounds: Int,
                        minMarginal: Long, minPair: Long): DataFrame = {
     require(rounds >= 1, "span mining needs at least one round")
-    val d38 = DecimalType(38, 0)
     var cur = docs.filter(textCol.isNotNull)
       .select(concat(lit(" "), textCol, lit(" ")).as("s"))
       .leanCheckpoint()
@@ -126,17 +125,10 @@ object Collocations {
       val la = c.groupBy("a").agg(sum("n_ab").as("nl"))
       val rb = c.groupBy("b").agg(sum("n_ab").as("nr"))
       val nt = c.agg(sum("n_ab").as("nt"))
-      val best = c.join(la, "a").join(rb, "b")
+      val best = liftColumns(c.join(la, "a").join(rb, "b")
         .crossJoin(broadcast(nt))
         .filter(col("n_ab") >= minPair &&
-          col("nl") >= minMarginal && col("nr") >= minMarginal)
-        .withColumn("lift_key", expr(
-          """(cast(n_ab as decimal(38,0)) * cast(nt as decimal(38,0))
-             * 1048576) div
-             (cast(nl as decimal(38,0)) * cast(nr as decimal(38,0)))"""))
-        .withColumn("lift",
-          (col("n_ab").cast(d38) * col("nt").cast(d38)).cast("double") /
-            (col("nl").cast(d38) * col("nr").cast(d38)).cast("double"))
+          col("nl") >= minMarginal && col("nr") >= minMarginal))
         .orderBy(col("lift_key").desc, col("a"), col("b"))
         .limit(1)
         .select("a", "b", "n_ab", "lift")
@@ -156,6 +148,25 @@ object Collocations {
     found.result()
       .toDF("round", "span_a", "span_b", "n_ab", "lift")
       .orderBy("round")
+  }
+
+  /** The span-selection arithmetic over a frame with count columns
+    * (n_ab, nl, nr, nt): `lift_key` = floor(n_ab·nt·2²⁰ / (nl·nr)) in
+    * DECIMAL(38,0) products (exact at 100-TB count scales, ~1e14 counts
+    * / ~1e34 products) and `lift` = the exact double division of the
+    * two exact integer products. Factored so the randomized spec can
+    * plant 1e14-scale counts straight through the decimal arithmetic.
+    */
+  def liftColumns(counts: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    counts
+      .withColumn("lift_key", expr(
+        """(cast(n_ab as decimal(38,0)) * cast(nt as decimal(38,0))
+           * 1048576) div
+           (cast(nl as decimal(38,0)) * cast(nr as decimal(38,0)))"""))
+      .withColumn("lift",
+        (col("n_ab").cast(d38) * col("nt").cast(d38)).cast("double") /
+          (col("nl").cast(d38) * col("nr").cast(d38)).cast("double"))
   }
 
   /** Internal glue for merged spans: a control char (U+0001) no

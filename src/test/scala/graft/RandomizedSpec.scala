@@ -377,4 +377,168 @@ class RandomizedSpec extends AnyFunSuite {
       "every chain node must resolve to the minimum id")
     assert(rounds <= 12, s"expected O(log d) convergence, took $rounds rounds")
   }
+
+  test("q215/q233: lift arithmetic stays exact at planted 1e14-scale counts") {
+    // counts at 100-TB corpus scale: the products pass 2^63 and MUST
+    // ride DECIMAL(38,0); reference = BigInt integer division (exact
+    // floor) and correctly-rounded BigDecimal→double product casts
+    val cases = (0 until 300).map { _ =>
+      val nl = 1e13.toLong + (rnd.nextLong() % 9e14.toLong).abs
+      val nr = 1e13.toLong + (rnd.nextLong() % 9e14.toLong).abs
+      val nab = 1L + (rnd.nextLong() % math.min(nl, nr)).abs
+      val nt = math.max(nl, nr) + (rnd.nextLong() % 1e14.toLong).abs
+      (nab, nl, nr, nt)
+    }
+    val got = graft.operators.Collocations.liftColumns(
+        cases.toDF("n_ab", "nl", "nr", "nt"))
+      .select("n_ab", "nl", "nr", "nt", "lift_key", "lift")
+      .collect()
+    got.foreach { r =>
+      val (nab, nl, nr, nt) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val num = BigInt(nab) * BigInt(nt)
+      val den = BigInt(nl) * BigInt(nr)
+      val expKey = (num * 1048576) / den
+      val expLift = BigDecimal(num).toDouble / BigDecimal(den).toDouble
+      assert(BigInt(r.getLong(4)) == expKey,
+        s"key($nab,$nl,$nr,$nt): ${r.getLong(4)} != $expKey")
+      assert(r.getDouble(5) == expLift,
+        s"lift($nab,$nl,$nr,$nt): ${r.getDouble(5)} != $expLift")
+    }
+  }
+
+  test("q224: Kneser–Ney counts match a driver reference; single-token docs carry no contexts") {
+    import graft.operators.Collocations
+    // a corpus where MANY docs are single tokens (no bigram slots) and
+    // some are empty; plus an all-singleton corpus (zero bigram types)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    val docs = (0 until 400).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => vocab(rnd.nextInt(vocab.size)) // single token
+        case _ => (0 until 1 + rnd.nextInt(5))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+    }
+    val got = Collocations.kneserNeyCounts(docs.toDF("text"), col("text"), 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // driver reference
+    val toks = docs.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bts = toks.filter(_.size >= 2)
+      .flatMap(ws => ws.zip(ws.tail)).distinct
+    val lt = bts.groupBy(_._2).map { case (w, ps) => w -> ps.size.toLong }
+    val rt = bts.groupBy(_._1).map { case (w, ps) => w -> ps.size.toLong }
+    val nbt = bts.size.toLong
+    uni.foreach { case (w, n) =>
+      val exp = (n, lt.getOrElse(w, 0L), rt.getOrElse(w, 0L),
+        if (nbt == 0) 0.0 else lt.getOrElse(w, 0L).toDouble / nbt.toDouble)
+      assert(got(w) == exp, s"word $w: ${got(w)} != $exp")
+    }
+    // the all-singleton corpus: zero bigram types, p_continuation 0.0
+    val solo = Collocations.kneserNeyCounts(
+      Seq("x", "y", "x").toDF("text"), col("text"), 1L).collect()
+    assert(solo.nonEmpty && solo.forall(r =>
+      r.getLong(2) == 0L && r.getLong(3) == 0L && r.getDouble(4) == 0.0))
+  }
+
+  test("q228: Wilson bounds at the k=0 / k=n / n=1 corners") {
+    val cases = for (n <- 1 to 60; k <- Seq(0L, n.toLong)) yield (k, n.toLong)
+    val df = cases.toDF("k", "n")
+      .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("nD", col("n").cast("double"))
+    val (lo, hi) = Queries.wilsonBounds(col("p"), col("nD"), lit(Queries.WilsonZ))
+    val got = df.select(col("k"), col("n"), lo.as("lo"), hi.as("hi")).collect()
+    got.foreach { r =>
+      val (k, n) = (r.getLong(0), r.getLong(1))
+      // driver replication of the EXACT expression shape
+      val z = Queries.WilsonZ
+      val (p, nD) = (k.toDouble / n.toDouble, n.toDouble)
+      val z2 = z * z
+      val rad = z * math.sqrt(p * (1.0 - p) / nD + z2 / (4.0 * nD * nD))
+      val expLo = math.min(p,
+        math.max(0.0, (p + z2 / (2.0 * nD) - rad) / (1.0 + z2 / nD)))
+      val expHi = math.max(p,
+        math.min(1.0, (p + z2 / (2.0 * nD) + rad) / (1.0 + z2 / nD)))
+      assert(r.getDouble(2) == expLo && r.getDouble(3) == expHi,
+        s"k=$k n=$n: (${r.getDouble(2)}, ${r.getDouble(3)}) != ($expLo, $expHi)")
+      // post-clamp the bounds are STRICTLY inside [0, 1] — this fuzz
+      // caught the unclamped lo reading −3e-17 at k = 0
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= p)
+      assert(r.getDouble(3) >= p && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q231: weighted median is bucketScale-invariant and matches a reference") {
+    import graft.operators.Median
+    val rows = (0 until 1500).map { _ =>
+      (rnd.nextInt(5).toLong, // group
+        (rnd.nextInt(40000) - 20000) / 100.0, // money-like, ties likely
+        rnd.nextInt(6).toLong) // weights incl. ZERO
+    }
+    val df = rows.toDF("g", "v", "w")
+    // driver reference: smallest v with 2·cumw >= total (zero-weight
+    // rows carry no mass; all-zero groups undefined => excluded)
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val tw = rs.map(_._3).sum
+      if (tw == 0) None
+      else {
+        val sorted = rs.sortBy(_._2)
+        var cw = 0L
+        Some(g -> sorted.find { r => cw += r._3; 2 * cw >= tw }.get._2)
+      }
+    }
+    for (scale <- Seq(math.pow(2, -20), 1.0 / 64, 1.0, 2048.0, math.pow(2, 20))) {
+      val got = Median.groupedWeightedMedian(df, "g", "v", "w", "m", scale)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got == expected, s"bucketScale=$scale: $got != $expected")
+    }
+  }
+
+  test("q233: span mining matches a driver replay, glue-char collisions included") {
+    import graft.operators.Collocations
+    // tiny vocabulary forces heavy bigram repetition; some words carry
+    // a PLANTED glue char (U+0001) — hostile input that must behave
+    // exactly like the pre-merged unit it imitates, in both engines
+    val vocab = Vector("aa", "bb", "cc", "dd", s"x${Collocations.Glue}y")
+    val docs = (0 until 120).map { _ =>
+      (0 until 2 + rnd.nextInt(6))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val rounds = 3
+    val got = Collocations.collocationSpans(spark, docs.toDF("text"),
+        col("text"), rounds, 1L, 1L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // driver replay of the documented procedure
+    var cur = docs.map(d => s" $d ")
+    val replay = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Double)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val pairs = cur.flatMap { st =>
+        val ws = st.trim.split(" ").toSeq
+        if (ws.size >= 2) ws.zip(ws.tail) else Seq.empty
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val c = pairs.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+        val la = c.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+        val rb = c.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+        val nt = c.values.sum
+        val best = c.keys.toSeq.map { case (a, b) =>
+          val key = (BigInt(c((a, b))) * BigInt(nt) * 1048576) /
+            (BigInt(la(a)) * BigInt(rb(b)))
+          ((a, b), key)
+        }.sortBy { case ((a, b), key) => (-key, a, b) }.head._1
+        val (a, b) = best
+        val lift = BigDecimal(BigInt(c(best)) * BigInt(nt)).toDouble /
+          BigDecimal(BigInt(la(a)) * BigInt(rb(b))).toDouble
+        replay += ((r, a.replace(Collocations.Glue, " "),
+          b.replace(Collocations.Glue, " "), c(best), lift))
+        cur = cur.map(_.replace(s" $a $b ", s" $a${Collocations.Glue}$b "))
+      }
+    }
+    assert(got == replay.toSeq, s"$got != $replay")
+  }
 }
