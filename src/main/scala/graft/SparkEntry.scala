@@ -255,6 +255,7 @@ object SparkEntry {
     "q236_scc_condensation"   -> (Queries.sccCondensation _),
     "q237_pq_adc_topk"        -> (Queries.pqAdcTopK _),
     "q238_hilbert_two_level"  -> (Queries.hilbertTwoLevelCompare _),
+    "q239_ivf_pq_search"      -> (Queries.ivfPqSearch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6242,7 +6243,23 @@ object Queries {
     * squared L2 to the query) over the full score table, not only the
     * surviving top-k.
     */
-  private[graft] def adcScores(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def adcScores(spark: SparkSession, dir: String): DataFrame =
+    pqWideCodes(spark, dir).crossJoin(broadcast(pqLutDf(spark, dir)))
+      .select(col("query_id"), col("vec_id"), adcDist2.as("adc_dist2"))
+
+  /** The 4-lookup fixed-order ADC sum over (c0..c3) × (t0..t3) rows. */
+  private def adcDist2 =
+    element_at(col("t0"), col("c0").cast("int") + 1) +
+      element_at(col("t1"), col("c1").cast("int") + 1) +
+      element_at(col("t2"), col("c2").cast("int") + 1) +
+      element_at(col("t3"), col("c3").cast("int") + 1)
+
+  /** Per-query LUT frame (query_id, t0..t3): lut(s)(c) = ‖q_s −
+    * cent_{s,c}‖², folded from 0.0 in index order — the exact shape the
+    * oracle's list_reduce yields. Bounded driver state (queries ×
+    * PqSub × PqCodes doubles); broadcast by the consumers.
+    */
+  private def pqLutDf(spark: SparkSession, dir: String): DataFrame = {
     val subDim = graft.functions.Lsh.Dim / PqSub
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -6252,8 +6269,6 @@ object Queries {
     val qvs = emb.filter(col("vec_id") < AnnQueryMaxId)
       .orderBy("vec_id")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // per-query LUT: lut(s)(c) = ‖q_s − cent_{s,c}‖², folded from 0.0
-    // in index order — the exact shape the oracle's list_reduce yields
     val luts = qvs.map { case (qid, qv) =>
       val tabs = (0 until PqSub).map { sp =>
         seeds.indices.map { c =>
@@ -6270,9 +6285,14 @@ object Queries {
       (qid, tabs(0), tabs(1), tabs(2), tabs(3))
     }.toSeq
     import spark.implicits._
-    val lutDf = luts.toDF("query_id", "t0", "t1", "t2", "t3")
-    // wide code rows for the corpus (one row, PqSub code columns)
-    val wide = pqCodes(spark, dir)
+    luts.toDF("query_id", "t0", "t1", "t2", "t3")
+  }
+
+  /** Wide PQ code rows for the corpus (one row, PqSub code columns) —
+    * the in-memory layout a real PQ index ships.
+    */
+  private def pqWideCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
       .filter(col("vec_id") >= AnnQueryMaxId)
       .groupBy("vec_id")
       .agg(
@@ -6280,12 +6300,49 @@ object Queries {
         min(when(col("subspace") === 1, col("code"))).as("c1"),
         min(when(col("subspace") === 2, col("code"))).as("c2"),
         min(when(col("subspace") === 3, col("code"))).as("c3"))
-    wide.crossJoin(broadcast(lutDf))
-      .select(col("query_id"), col("vec_id"),
-        (element_at(col("t0"), col("c0").cast("int") + 1) +
-          element_at(col("t1"), col("c1").cast("int") + 1) +
-          element_at(col("t2"), col("c2").cast("int") + 1) +
-          element_at(col("t3"), col("c3").cast("int") + 1)).as("adc_dist2"))
+
+  // --- q239: IVF + PQ — the composed billion-scale ANN read path -----------------------
+  // The full story assembled from its gated parts: q33's coarse probe
+  // (exact-decimal sum centroids, top-nprobe lists per query by
+  // centroid cosine) restricts WHICH corpus rows are scored at all,
+  // and q237's ADC lookup tables score ONLY those candidates from
+  // their 4 one-byte codes — the corpus's float vectors are never
+  // touched after the offline encode. Spark shape: the probe set
+  // (queries × nprobe rows) and the LUTs broadcast; candidates =
+  // codes ⋈ labels ⋈ probe-set (two broadcast joins, map-side); ADC =
+  // 4 array lookups + fixed-order sum; TakeOrdered per query. At a
+  // billion vectors the scan reads |probed lists| code rows — the
+  // IVF-PQ cost model, expressed in three joins.
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val e = NearDup.withNorm(emb, "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < AnnQueryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cents = Ivf.centroids(
+      emb.filter(col("vec_id") >= AnnQueryMaxId), "embedding", "label")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.Similarity.dot(col("qe"), col("centroid")) /
+          (col("qn") * sqrt(graft.functions.Similarity
+            .dot(col("centroid"), col("centroid")))))
+      .withColumn("lr", row_number().over(wProbe))
+      .filter(col("lr") <= IvfNProbe)
+      .select("query_id", "label")
+    val cand = pqWideCodes(spark, dir)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(probes), "label")
+    val scored = cand.join(broadcast(pqLutDf(spark, dir)), "query_id")
+      .select(col("query_id"), col("vec_id"), adcDist2.as("adc_dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_dist2"))
+      .orderBy("query_id", "rank")
   }
 
   // --- q230: Hilbert-order write path + pruned read-back ------------------------------
@@ -7373,6 +7430,72 @@ object Oracles {
                  GROUP BY 1)
           SELECT probe_id, blocks_flat, rows_flat, blocks_two, rows_two
           FROM tf JOIN tt USING (probe_id)"""
+    },
+
+    // q239 — the q33 probe CTEs (centroid cosine, top-nprobe lists per
+    // query) restrict the q237 ADC scoring to probed-list members; the
+    // same per-subspace MIN-CASE pivots fix the 4-term addition order.
+    "q239_ivf_pq_search" -> {
+      import graft.functions.Lsh.Dim
+      val subDim = Dim / Queries.PqSub
+      val adcSum = (0 until Queries.PqSub).map(i =>
+        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
+      s"""WITH $pqCtes,
+          en AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                        $nrmSql AS nrm
+                 FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qe, nrm AS qn
+                FROM en WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          cent AS (
+            SELECT label, array_agg(CAST(s AS DOUBLE) ORDER BY i) AS centroid
+            FROM (SELECT label, i,
+                         SUM(CAST(v[i] AS DECIMAL(20,10))) AS s
+                  FROM en, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                  WHERE vec_id >= ${Queries.AnnQueryMaxId}
+                  GROUP BY 1, 2)
+            GROUP BY label),
+          pr AS (
+            SELECT query_id, label FROM (
+              SELECT query_id, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ccos DESC, label) AS lr
+              FROM (SELECT q.query_id, cent.label,
+                           ${dotSql("qe", "centroid")}
+                             / (q.qn * sqrt(${dotSql("centroid", "centroid")})) AS ccos
+                    FROM q, cent))
+            WHERE lr <= ${Queries.IvfNProbe}),
+          qq AS (SELECT vec_id AS query_id, v FROM emb
+                 WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          qsub AS (SELECT query_id, sp.subspace,
+                          list_slice(v, sp.subspace * $subDim + 1,
+                                     (sp.subspace + 1) * $subDim) AS qsv
+                   FROM qq, sp),
+          lut AS (SELECT query_id, qsub.subspace, code,
+                         list_reduce(list_transform(
+                           generate_series(1, $subDim),
+                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
+                           (a, b) -> a + b) AS d2
+                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
+          cand AS (SELECT pr.query_id, en2.vec_id
+                   FROM pr JOIN (SELECT vec_id, label FROM en
+                                 WHERE vec_id >= ${Queries.AnnQueryMaxId}) en2
+                     USING (label)),
+          corp AS (SELECT vec_id, subspace, code FROM codes
+                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          j AS (SELECT cand.query_id, cand.vec_id, corp.subspace, d2
+                FROM cand JOIN corp ON corp.vec_id = cand.vec_id
+                          JOIN lut ON lut.query_id = cand.query_id
+                                  AND lut.subspace = corp.subspace
+                                  AND lut.code = corp.code),
+          sq AS (SELECT query_id, vec_id,
+                        $adcSum AS adc_dist2
+                 FROM j GROUP BY 1, 2)
+          SELECT query_id, rank, vec_id, adc_dist2 FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+            FROM sq)
+          WHERE rank <= ${Queries.AnnK}"""
     },
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of

@@ -147,6 +147,25 @@ class Round15Spec extends AnyFunSuite {
       s"time-band probe: two-level touched $tRows > flat $fRows")
   }
 
+  test("q239: composed IVF+PQ scores agree with the full ADC scan on every returned pair") {
+    val full = Queries.adcScores(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Queries.ivfPqSearch(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(full(key) == r.getDouble(3),
+        s"pair $key: composed ${r.getDouble(3)} != full-scan ${full(key)}")
+    }
+    // and at nprobe = all lists the composed search IS the full ADC
+    // top-k (probing everything removes the only approximation layer)
+    val labels = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= Queries.AnnQueryMaxId)
+      .select("label").distinct().count()
+    assert(Queries.IvfNProbe <= labels,
+      "fixture sanity: nprobe must not exceed the list count")
+  }
+
   test("q237: top-k output is rank-contiguous and ordered by (dist, vec_id)") {
     val rows = Queries.pqAdcTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
