@@ -256,6 +256,11 @@ object SparkEntry {
     "q237_pq_adc_topk"        -> (Queries.pqAdcTopK _),
     "q238_hilbert_two_level"  -> (Queries.hilbertTwoLevelCompare _),
     "q239_ivf_pq_search"      -> (Queries.ivfPqSearch _),
+    "q240_ivm_signed"         -> (Queries.ivmSigned _),
+    "q241_join_size_cms"      -> (Queries.joinSizeCms _),
+    "q242_orc_roundtrip"      -> (Queries.orcRoundtrip _),
+    "q243_bloom_decontaminate" -> (Queries.decontaminateBloom _),
+    "q244_temporal_align"     -> (Queries.temporalAlign _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2147,19 +2152,31 @@ object Queries {
   val DecontamEvalIds: Seq[Long] = Seq(2L, 5L, 8L)
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, evalGrams) = decontamGramSides(spark, dir)
+    decontamReport(
+      grams.filter(!col("doc_id").isin(DecontamEvalIds: _*))
+        .join(broadcast(evalGrams), Seq("gram")))
+  }
+
+  /** (all doc n-grams, distinct eval-side n-grams) — shared by the exact
+    * broadcast path (q56) and the bloom-prefiltered path (q243).
+    */
+  private def decontamGramSides(spark: SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.plans.SignatureExprs.distinctNGrams(
           TextAnalysis.words(col("text")), DecontamN)).as("gram"))
     val evalGrams = grams.filter(col("doc_id").isin(DecontamEvalIds: _*))
       .select(col("gram"), col("doc_id").as("eval_id")).distinct()
-    grams.filter(!col("doc_id").isin(DecontamEvalIds: _*))
-      .join(broadcast(evalGrams), Seq("gram"))
-      .groupBy("eval_id")
+    (grams, evalGrams)
+  }
+
+  private def decontamReport(hits: DataFrame): DataFrame =
+    hits.groupBy("eval_id")
       .agg(count_distinct(col("doc_id")).as("n_flagged"),
         count(lit(1)).as("n_contaminated_ngrams"))
       .orderBy("eval_id")
-  }
 
   // --- q57: temperature-based language mixing weights -------------------------
   // The mT5/XLM-R multilingual sampling recipe: sample language l with
@@ -6393,6 +6410,147 @@ object Queries {
         sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  // --- q240: signed-delta incremental view maintenance --------------------------------
+  // q14 merges INSERT-only partials; this is the full z-set/DBSP change
+  // algebra: the delta carries retractions (sign −1) as well as inserts
+  // (+1), so late corrections — a GDPR delete, a reversed transaction, a
+  // re-stated fact — maintain the view WITHOUT rescanning the base data.
+  // The scenario folds two real change kinds at once: every base row
+  // with event_id ≡ 0 (mod 7) is retracted and the post-watermark slice
+  // is inserted; the maintained view must equal a full recompute over
+  // (base ∖ retracted) ∪ inserted — which IS the oracle. Groups whose
+  // count reaches zero vanish; a negative count fails fast
+  // (Incremental.applySignedDelta). Refresh cost: O(|delta| + touched
+  // keys) — at 100 TB the nightly correction feed maintains a view over
+  // years of facts with zero fact rescans.
+  val IvmDeleteMod = 7L
+
+  def ivmSigned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = ev.filter(col("ts") <= utcTs(SplitTs))
+    val view = base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).as("total_value"))
+    val delta = base.filter(pmod(col("event_id"), lit(IvmDeleteMod)) === 0)
+      .withColumn("__sign", lit(-1))
+      .unionByName(ev.filter(col("ts") > utcTs(SplitTs))
+        .withColumn("__sign", lit(1)))
+    val dp = Incremental.signedPartial(delta, Seq("user_id"), col("__sign"),
+      "n_events", Seq("total_value" -> dec2(col("value"))))
+    Incremental.applySignedDelta(view, dp, Seq("user_id"),
+        "n_events", Seq("total_value"))
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
+  // --- q241: sketch-based join-cardinality estimation ----------------------------------
+  // The optimizer statistic that prices a join WITHOUT running it: the
+  // CMS inner product Σ_b a_d[b]·b_d[b] upper-bounds the true join size
+  // Σ_k f_A(k)·f_B(k) at every depth row, min over depths is the
+  // estimate (Alon–Matias–Szegedy / Cormode–Muthukrishnan). Each side
+  // is sketched in ONE pass into depth×width additive integer cells —
+  // at 100 TB the two scans are embarrassingly parallel, the estimate
+  // itself costs a join of two 2048-cell frames — and the report puts
+  // the estimate next to the exact size (per-key count join) so the
+  // bound's tightness is itself gated. Keys are fingerprinted by
+  // `k mod P` (exact, portable; the CMS row hashes re-mix per depth).
+  def joinSizeCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val e = Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(Sketches.P)).as("k"))
+    val o = Tables.orders(spark, dir)
+      .select(pmod(col("o_custkey"), lit(Sketches.P)).as("k"))
+    val dots = Sketches.cmsInnerProducts(
+      Sketches.cmsCounters(e, col("k"), CmsDepth, CmsWidth),
+      Sketches.cmsCounters(o, col("k"), CmsDepth, CmsWidth))
+    val est = dots.agg(min(col("dot")).as("est_join_size"))
+    val exact = e.groupBy("k").agg(count(lit(1)).as("na"))
+      .join(o.groupBy("k").agg(count(lit(1)).as("nb")), "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join_size"))
+    dots.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("d"), col("dot"), col("est_join_size"), col("exact_join_size"))
+      .orderBy("d")
+  }
+
+  // --- q242: ORC sink + source with pushed predicates ----------------------------------
+  // The second columnar lake format, write → filtered read-back →
+  // aggregate, gated against the same rows read from parquet. The
+  // read-back enforces a 4-column schema (column pruning at the scan)
+  // and its range predicate reaches the ORC reader as PushedFilters
+  // (Round15Spec pins it in the plan) — backed by ORC's
+  // file/stripe/row-group statistics, a selective date filter skips
+  // whole stripes undecoded at 100 TB. Timestamps round-trip inside one
+  // session (write and read share the session timezone), matching the
+  // parquet oracle's instants.
+  val OrcShipLo = "1995-01-01 00:00:00"
+  val OrcShipHi = "1997-01-01 00:00:00"
+
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.sources.Sources
+    val path = s"${tempDir("graft_orc_")}/lineitem_orc"
+    val cols = Seq("l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
+    Sources.writeOrc(
+      Tables.lineitem(spark, dir).select(cols.map(col): _*), path)
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      // lineitem ships l_shipdate as TIMESTAMP_NTZ (isAdjustedToUTC=
+      // false); ORC preserves the NTZ-ness and refuses an LTZ read
+      StructField("l_shipdate", TimestampNTZType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType)))
+    Sources.orc(spark, path, schema)
+      .filter(col("l_shipdate") >= Cols.ntzTs(OrcShipLo) &&
+        col("l_shipdate") < Cols.ntzTs(OrcShipHi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- q243: bloom-prefiltered decontamination ------------------------------------------
+  // q56's scale path for when the eval-set n-gram table is itself too
+  // big to broadcast as DATA: the eval grams compress to a 2^17-bit
+  // bloom bitmap (16 KiB however many grams — the q129 runtime-filter
+  // machinery on a string key), the training scan keeps only bloom hits
+  // (map-side, codegen membership test), and the exact confirm join
+  // runs on the SURVIVORS only. False positives die in the confirm,
+  // false negatives are impossible — so the report is bit-identical to
+  // q56's, which is exactly what the shared oracle checks.
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, evalGrams) = decontamGramSides(spark, dir)
+    val bitmap = BloomJoin.buildBitmap(evalGrams, "gram", BloomBits)
+    decontamReport(
+      grams.filter(!col("doc_id").isin(DecontamEvalIds: _*))
+        .filter(BloomJoin.mightContain(bitmap, col("gram")))
+        .join(broadcast(evalGrams), Seq("gram")))
+  }
+
+  // --- q244: temporal alignment of two SCD2 histories -----------------------------------
+  // The temporal-join primitive (the alignment step of every
+  // bitemporal/temporal-DB engine): two independently-evolving
+  // histories of the same entity — here the even- and odd-event_id
+  // changelog slices, which change at DIFFERENT times — are aligned
+  // into elementary validity segments on which exactly one version of
+  // each side holds, both attributes carried, [greatest(from),
+  // least(to)) per overlapping version pair, null effective_to = +∞.
+  // One equi-join on the entity key with an overlap residual: per-key
+  // fan-out is bounded by history lengths, never a range/cross join.
+  def temporalAlign(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+    def history(side: DataFrame, attr: String) =
+      Scd.scd2FromChangelog(side, Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_type").as(attr),
+          col("effective_from"), col("effective_to"))
+    val a = history(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a_type")
+    val b = history(ev.filter(pmod(col("event_id"), lit(2)) === 1), "b_type")
+    Scd.alignHistories(a, b, Seq("user_id"), Seq("a_type"), Seq("b_type"))
+      .orderBy("user_id", "valid_from", "a_type", "b_type")
+  }
 }
 
 /** DuckDB-equivalent SQL for every SQL-expressible query. Aliases match the
@@ -7496,6 +7654,84 @@ object Oracles {
                         ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
             FROM sq)
           WHERE rank <= ${Queries.AnnK}"""
+    },
+
+    // q240 — the maintained view must equal the full recompute over
+    // (base ∖ retracted) ∪ inserted: kept rows are exactly those NOT
+    // (pre-watermark AND retraction-tagged).
+    "q240_ivm_signed" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          FROM events
+          WHERE ts > TIMESTAMP '${Queries.SplitTs}'
+             OR event_id % ${Queries.IvmDeleteMod} <> 0
+          GROUP BY 1""",
+
+    // q241 — both CMS counter sets rebuilt cell-for-cell (the q94 bucket
+    // algebra on `k mod P` fingerprints), per-depth inner products, min
+    // bound, and the exact join size from per-key count products.
+    "q241_join_size_cms" -> {
+      import graft.functions.{Lsh, Sketches}
+      val d = Queries.CmsDepth
+      val wdt = Queries.CmsWidth
+      def counters(src: String, name: String) = {
+        val buckets = (0 until d).map(i =>
+          s"((${Lsh.A(i)} * f + ${Lsh.B(i)}) % ${Sketches.P}) % $wdt AS b$i")
+          .mkString(", ")
+        s"""${name}0 AS (SELECT $buckets
+                         FROM (SELECT k % ${Sketches.P} AS f FROM $src)),
+            $name AS (SELECT d, bucket, COUNT(*) AS cnt FROM (
+                ${(0 until d).map(i =>
+                  s"SELECT $i AS d, b$i AS bucket FROM ${name}0")
+                  .mkString(" UNION ALL ")})
+              GROUP BY 1, 2)"""
+      }
+      s"""WITH ea AS (SELECT user_id AS k FROM events),
+          ob AS (SELECT o_custkey AS k FROM orders),
+          ${counters("ea", "ca")},
+          ${counters("ob", "cb")},
+          dots AS (SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+                   FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+                   GROUP BY 1),
+          est AS (SELECT MIN(dot) AS est_join_size FROM dots),
+          ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT)
+                          AS exact_join_size
+                 FROM (SELECT k, COUNT(*) AS na FROM ea GROUP BY 1) a
+                 JOIN (SELECT k, COUNT(*) AS nb FROM ob GROUP BY 1) b
+                   USING (k))
+          SELECT d, dot, est_join_size, exact_join_size FROM dots, est, ex"""
+    },
+
+    // q242 — the ORC write/read round-trips the same rows the oracle
+    // reads from parquet; the gate proves format fidelity (timestamps,
+    // doubles, strings) plus the filtered aggregate.
+    "q242_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '${Queries.OrcShipLo}'
+            AND l_shipdate < TIMESTAMP '${Queries.OrcShipHi}'
+          GROUP BY 1""",
+
+    // q244 — both SCD2 histories as lead-window CTEs (the q03/q16
+    // contract), joined on the entity with the null-aware overlap
+    // residual; segment bounds via greatest / null-as-infinity least.
+    "q244_temporal_align" -> {
+      def hist(par: Int, attr: String, f: String, t: String) =
+        s"""SELECT user_id, event_type AS $attr, ts AS $f,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS $t
+            FROM events WHERE event_id % 2 = $par"""
+      s"""WITH a AS (${hist(0, "a_type", "af", "a_to")}),
+          b AS (${hist(1, "b_type", "bf", "b_to")})
+          SELECT a.user_id, a_type, b_type,
+                 greatest(af, bf) AS valid_from,
+                 CASE WHEN a_to IS NULL THEN b_to
+                      WHEN b_to IS NULL THEN a_to
+                      ELSE least(a_to, b_to) END AS valid_to
+          FROM a JOIN b ON a.user_id = b.user_id
+          WHERE (b_to IS NULL OR af < b_to)
+            AND (a_to IS NULL OR bf < a_to)"""
     },
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of
@@ -8932,22 +9168,12 @@ object Oracles {
           FROM u"""
     },
 
-    "q56_decontaminate" -> {
-      val ids = Queries.DecontamEvalIds.mkString("(", ",", ")")
-      val n = Queries.DecontamN
-      val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
-      s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
-          g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                  generate_series(1, len(ws) - ${n - 1}), i -> $gram))) AS gram
-                FROM w WHERE len(ws) >= $n),
-          ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g
-                 WHERE doc_id IN $ids),
-          hits AS (SELECT eval_id, g.doc_id FROM ev JOIN g USING (gram)
-                   WHERE g.doc_id NOT IN $ids)
-          SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
-                 count(*) AS n_contaminated_ngrams
-          FROM hits GROUP BY 1"""
-    },
+    "q56_decontaminate" -> decontamSql,
+
+    // q243 — the bloom prefilter is semantics-neutral (false positives
+    // die in the exact confirm join, false negatives are impossible), so
+    // the bloom path shares q56's oracle verbatim.
+    "q243_bloom_decontaminate" -> decontamSql,
 
     "q57_lang_mix_weights" ->
       s"""WITH per AS (
@@ -10843,6 +11069,27 @@ object Oracles {
           WHERE 2 * cw >= tw
           GROUP BY 1, 2""",
   )
+
+  /** The decontamination report (shared by q56's exact broadcast path
+    * and q243's bloom-prefiltered path — the bloom pass cannot change
+    * the result set, only the bytes that reach the confirm join).
+    */
+  private lazy val decontamSql: String = {
+    val ids = Queries.DecontamEvalIds.mkString("(", ",", ")")
+    val n = Queries.DecontamN
+    val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(ws) - ${n - 1}), i -> $gram))) AS gram
+              FROM w WHERE len(ws) >= $n),
+        ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g
+               WHERE doc_id IN $ids),
+        hits AS (SELECT eval_id, g.doc_id FROM ev JOIN g USING (gram)
+                 WHERE g.doc_id NOT IN $ids)
+        SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
+               count(*) AS n_contaminated_ngrams
+        FROM hits GROUP BY 1"""
+  }
 
   /** The CMS heavy-hitter report (shared by q94's frame path and q194's
     * native-aggregate path — the counter cells are identical by the

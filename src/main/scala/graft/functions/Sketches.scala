@@ -174,6 +174,22 @@ object Sketches {
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-depth inner products of two CMS counter frames — the classic
+    * sketch join-cardinality estimator (AMS/CM inner product):
+    * |A ⋈_k B| = Σ_k f_A(k)·f_B(k) ≤ Σ_b a_d[b]·b_d[b] for every depth
+    * row d, so min over d is the tightest upper bound the sketches
+    * support. Everything is additive integer algebra (counters are
+    * counts; the product sum fits int64 up to n_A·n_B < 2^63), so the
+    * estimate — the optimizer statistic that prices a join WITHOUT
+    * running it — is bit-identical in any engine and mergeable across
+    * shards exactly like the counters themselves. Cost: one join of two
+    * O(depth·width) frames — independent of data size.
+    */
+  def cmsInnerProducts(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.withColumnRenamed("cnt", "cnt_b"), Seq("d", "bucket"))
+      .groupBy("d")
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+
   // --- HyperLogLog -----------------------------------------------------------
 
   /** Bits of the HLL rho domain: `keyHash` values are < P, registers take

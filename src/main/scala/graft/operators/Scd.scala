@@ -65,6 +65,40 @@ object Scd {
     scd2FromChangelog(changelog, keys, seqCol, tieCols).unionByName(untouched)
   }
 
+  /** Temporal ALIGNMENT of two SCD2 histories of the same entity — the
+    * temporal-join primitive: every output row is an elementary validity
+    * segment on which exactly one version of A and one version of B are
+    * simultaneously valid, carrying both sides' attributes over
+    * [greatest(from), least(to)). Open current versions (`effective_to`
+    * null) participate via null-aware overlap (null reads as +∞), and a
+    * segment is open iff both inputs are open. Both inputs must follow
+    * the [[scd2FromChangelog]] column contract (`effective_from` /
+    * `effective_to`); attribute names must be disjoint across the sides.
+    *
+    * Scale: one equi-join on the entity keys with an overlap residual —
+    * per-key fan-out is bounded by the two history lengths (versions per
+    * entity, not table size), each history shuffles once on the key, and
+    * bucketed storage makes the join exchange-free. Never a range/cross
+    * join: the key equality carries all the distribution.
+    */
+  def alignHistories(a: DataFrame, b: DataFrame, keys: Seq[String],
+                     attrsA: Seq[String], attrsB: Seq[String]): DataFrame = {
+    val aa = a.select(keys.map(col) ++ attrsA.map(col) ++ Seq(
+      col("effective_from").as("__af"), col("effective_to").as("__at")): _*)
+    val bb = b.select(keys.map(col) ++ attrsB.map(col) ++ Seq(
+      col("effective_from").as("__bf"), col("effective_to").as("__bt")): _*)
+    aa.join(bb, keys)
+      .filter((col("__bt").isNull || col("__af") < col("__bt")) &&
+        (col("__at").isNull || col("__bf") < col("__at")))
+      .withColumn("valid_from", greatest(col("__af"), col("__bf")))
+      .withColumn("valid_to",
+        when(col("__at").isNull, col("__bt"))
+          .when(col("__bt").isNull, col("__at"))
+          .otherwise(least(col("__at"), col("__bt"))))
+      .select(keys.map(col) ++ attrsA.map(col) ++ attrsB.map(col) ++
+        Seq(col("valid_from"), col("valid_to")): _*)
+  }
+
   /** Point-in-time (as-of) snapshot of an SCD2 table: the version valid at
     * `at`. Pure filter — pushed into the scan, no shuffle.
     */

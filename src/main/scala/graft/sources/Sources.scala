@@ -56,6 +56,25 @@ object Sources {
   def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** ORC read with an enforced schema — the second columnar lake format
+    * (ORC ships in Spark's core distribution alongside parquet). Like
+    * the parquet reader, enforcing the schema prunes the scan to exactly
+    * the requested columns, and comparison/range predicates reach the
+    * ORC reader as pushed filters backed by ORC's file/stripe/row-group
+    * statistics indexes (PlanSpec pins `PushedFilters` on this scan) —
+    * at 100 TB a selective date filter skips whole stripes without
+    * decoding them.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC write. Same retry posture as [[writePartitioned]]: default
+    * `errorifexists`, appends are an explicit caller decision.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               saveMode: String = "errorifexists"): Unit =
+    df.write.mode(saveMode).orc(path)
+
   /** Hive-layout partitioned parquet write: one directory per value of
     * `partitionCols` (low-cardinality columns — a time grain, a source, a
     * language). The payoff is at READ time: an equality/IN filter on a

@@ -179,4 +179,138 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // --- q240: signed-delta IVM -------------------------------------------------
+
+  test("q240: signed merge on a hand fixture — vanish, update, new key") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // view: u1 {2 rows, 30.00}, u2 {1 row, 5.00}
+    val view = Seq((1L, 2L, BigDecimal("30.00")), (2L, 1L, BigDecimal("5.00")))
+      .toDF("k", "n", "v")
+      .select(col("k"), col("n"),
+        col("v").cast("decimal(28,2)").as("v"))
+    // delta: retract one u1 row (10.00), retract u2 fully, insert u3
+    val delta = Seq((1L, -1, 10.0), (2L, -1, 5.0), (3L, 1, 7.5))
+      .toDF("k", "s", "value")
+    val dp = Incremental.signedPartial(delta, Seq("k"), col("s"), "n",
+      Seq("v" -> Cols.dec2(col("value"))))
+    val got = Incremental.applySignedDelta(view, dp, Seq("k"), "n", Seq("v"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSeq
+    assert(got == Seq((1L, 1L, "20.00"), (3L, 1L, "7.50")))
+  }
+
+  test("q240: retracting rows the view never held fails fast") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val view = Seq((1L, 1L, BigDecimal("10.00"))).toDF("k", "n", "v")
+      .select(col("k"), col("n"), col("v").cast("decimal(28,2)").as("v"))
+    val delta = Seq((1L, -1, 10.0), (1L, -1, 10.0)).toDF("k", "s", "value")
+    val dp = Incremental.signedPartial(delta, Seq("k"), col("s"), "n",
+      Seq("v" -> Cols.dec2(col("value"))))
+    val ex = intercept[Exception] {
+      Incremental.applySignedDelta(view, dp, Seq("k"), "n", Seq("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("IVM underflow")),
+      s"expected the IVM underflow raise_error, got: $ex")
+  }
+
+  test("q240: maintained view equals the full recompute") {
+    val got = Queries.ivmSigned(spark, sf)
+    val recompute = Tables.events(spark, sf)
+      .filter(col("ts") > Cols.utcTs(Queries.SplitTs) ||
+        pmod(col("event_id"), lit(Queries.IvmDeleteMod)) =!= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(Cols.dec2(col("value"))).cast("double").as("total_value"))
+    assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty)
+  }
+
+  // --- q241: CMS join-cardinality bound ---------------------------------------
+
+  test("q241: every depth's inner product upper-bounds the exact join size") {
+    val rows = Queries.joinSizeCms(spark, sf).collect()
+    assert(rows.length == Queries.CmsDepth)
+    val exact = rows.head.getLong(3)
+    val est = rows.head.getLong(2)
+    assert(exact > 0L, "fixture sanity: the probe join must be non-empty")
+    rows.foreach(r => assert(r.getLong(1) >= exact,
+      s"depth ${r.getInt(0)}: dot ${r.getLong(1)} < exact $exact"))
+    assert(est == rows.map(_.getLong(1)).min)
+  }
+
+  // --- q242: ORC scan contract -------------------------------------------------
+
+  test("q242: the ORC read-back pushes the range filter and prunes columns") {
+    val plan = Queries.orcRoundtrip(spark, sf).queryExecution.executedPlan
+      .toString
+    val scan = plan.linesIterator.filter(_.contains("Batched")).mkString("\n")
+    assert(plan.contains("PushedFilters: ["), s"no PushedFilters in:\n$plan")
+    // the Source-V1 pushed-filter rendering (`GreaterThanOrEqual(col,…)`)
+    // appears ONLY in the PushedFilters list — DataFilters renders
+    // expressions as `(col#id >= …)` — so this pins the range reaching
+    // the ORC reader even when Spark elides the list mid-string
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed to the ORC reader:\n$scan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(";")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"),
+      s"ORC read not pruned to the 4 written columns: $readSchema")
+  }
+
+  // --- q243: bloom path ≡ exact path -------------------------------------------
+
+  test("q243: bloom-prefiltered decontamination is bit-identical to q56") {
+    val exact = Queries.decontaminate(spark, sf)
+    val bloom = Queries.decontaminateBloom(spark, sf)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  // --- q244: temporal alignment ------------------------------------------------
+
+  test("q244: alignment on a hand fixture — staggered versions, open tails") {
+    import spark.implicits._
+    import graft.operators.Scd
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // A changes at d1 and d5 (versions [1,5), [5,∞));
+    // B changes at d3        (version  [3,∞))
+    val a = Seq((1L, "a1", ts(1), 1L), (1L, "a2", ts(5), 2L))
+      .toDF("user_id", "a_type", "ts", "event_id")
+      .withColumnRenamed("a_type", "event_type")
+    val b = Seq((1L, "b1", ts(3), 3L))
+      .toDF("user_id", "b_type", "ts", "event_id")
+      .withColumnRenamed("b_type", "event_type")
+    def hist(side: org.apache.spark.sql.DataFrame, attr: String) =
+      Scd.scd2FromChangelog(side, Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_type").as(attr),
+          col("effective_from"), col("effective_to"))
+    val got = Scd.alignHistories(hist(a, "a_type"), hist(b, "b_type"),
+        Seq("user_id"), Seq("a_type"), Seq("b_type"))
+      .orderBy("valid_from")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)))).toSeq
+    // a1 × b1 on [3,5); a2 × b1 on [5,∞) — a1's [1,3) has no B partner
+    assert(got == Seq(
+      ("a1", "b1", ts(3), Some(ts(5))),
+      ("a2", "b1", ts(5), None)))
+  }
+
+  test("q244: segment set covers exactly the pairwise overlaps (no dup segments)") {
+    val rows = Queries.temporalAlign(spark, sf)
+    // every closed segment is strictly positive-length, and within a user
+    // segments for a fixed (a_type run) never overlap each other:
+    // elementary segments tile, they don't stack
+    val bad = rows.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= col("valid_from")).count()
+    assert(bad == 0L, s"$bad non-positive-length closed segments")
+    val n = rows.count()
+    val distinct = rows.distinct().count()
+    assert(n == distinct, "duplicate aligned segments")
+  }
+
 }
