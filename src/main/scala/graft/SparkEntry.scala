@@ -261,6 +261,7 @@ object SparkEntry {
     "q242_orc_roundtrip"      -> (Queries.orcRoundtrip _),
     "q243_bloom_decontaminate" -> (Queries.decontaminateBloom _),
     "q244_temporal_align"     -> (Queries.temporalAlign _),
+    "q245_stream_ivm"         -> (Queries.streamedIvm _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6529,6 +6530,39 @@ object Queries {
         .join(broadcast(evalGrams), Seq("gram")))
   }
 
+  // --- q245: streaming signed-delta IVM (foreachBatch + bucketed commits) ---------------
+  // q240 as a REAL change stream: every event row lands as an insert
+  // (+1), and the retracted slice (pre-watermark, event_id ≡ 0 mod 7)
+  // ALSO emits a −1 row — one explode over a CASE array, no self-union.
+  // The foreachBatch sink (streaming/IvmSink) folds each micro-batch's
+  // signed partial into a bucketed Snapshots view; signed addition is
+  // NOT idempotent, so the sink commits a batch high-water marker
+  // ATOMICALLY with the data (a reserved-key row of the view itself —
+  // the Delta txnVersion pattern) and replayed batches rewrite the
+  // touched buckets unchanged. Final view ≡ q240 ≡ the full recompute,
+  // so the gate shares q240's oracle verbatim.
+  def streamedIvm(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_ivms_")
+    val retracted = col("ts") <= utcTs(SplitTs) &&
+      pmod(col("event_id"), lit(IvmDeleteMod)) === 0
+    val signed = Tables.eventsStream(spark, dir)
+      .select(col("user_id"), col("value"),
+        explode(when(retracted, array(lit(1), lit(-1)))
+          .otherwise(array(lit(1)))).as("__sign"))
+    val q = signed.writeStream
+      .foreachBatch(graft.streaming.IvmSink.signedView(
+        s"$tmp/view", "user_id", "__sign", "n_events",
+        Seq("total_value" -> dec2(col("value")))) _)
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.IvmSink.readView(spark, s"$tmp/view", "user_id")
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
+
   // --- q244: temporal alignment of two SCD2 histories -----------------------------------
   // The temporal-join primitive (the alignment step of every
   // bitemporal/temporal-DB engine): two independently-evolving
@@ -7659,13 +7693,11 @@ object Oracles {
     // q240 — the maintained view must equal the full recompute over
     // (base ∖ retracted) ∪ inserted: kept rows are exactly those NOT
     // (pre-watermark AND retraction-tagged).
-    "q240_ivm_signed" ->
-      s"""SELECT user_id, COUNT(*) AS n_events,
-                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          FROM events
-          WHERE ts > TIMESTAMP '${Queries.SplitTs}'
-             OR event_id % ${Queries.IvmDeleteMod} <> 0
-          GROUP BY 1""",
+    "q240_ivm_signed" -> ivmSql,
+
+    // q245 — the streaming sink's final view must equal the batch IVM
+    // result, which equals the full recompute: one oracle gates both.
+    "q245_stream_ivm" -> ivmSql,
 
     // q241 — both CMS counter sets rebuilt cell-for-cell (the q94 bucket
     // algebra on `k mod P` fingerprints), per-depth inner products, min
@@ -11069,6 +11101,18 @@ object Oracles {
           WHERE 2 * cw >= tw
           GROUP BY 1, 2""",
   )
+
+  /** The maintained-view recompute (shared by q240's batch IVM and
+    * q245's streaming sink — final view ≡ full recompute over
+    * (base ∖ retracted) ∪ inserted in both).
+    */
+  private lazy val ivmSql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts > TIMESTAMP '${Queries.SplitTs}'
+           OR event_id % ${Queries.IvmDeleteMod} <> 0
+        GROUP BY 1"""
 
   /** The decontamination report (shared by q56's exact broadcast path
     * and q243's bloom-prefiltered path — the bloom pass cannot change

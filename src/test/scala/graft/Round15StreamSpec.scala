@@ -84,4 +84,62 @@ class Round15StreamSpec extends AnyFunSuite {
         s"got $last")
     } finally q.stop()
   }
+
+  // --- q245: IvmSink marker machinery -----------------------------------------
+
+  private def ivmState(path: String): Seq[(Long, Long, String)] =
+    graft.streaming.IvmSink.readView(spark, path, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSeq
+
+  test("IvmSink: signed batches fold; REPLAYED batches rewrite state unchanged") {
+    import spark.implicits._
+    val path = s"${TestSession.tempDir("graft_ivmsink")}/view"
+    val sink = graft.streaming.IvmSink.signedView(
+      path, "k", "s", "n_events", Seq("v" -> Cols.dec2(col("value")))) _
+    val b0 = Seq((1L, 1, 10.0), (1L, 1, 20.0), (2L, 1, 5.0))
+      .toDF("k", "s", "value")
+    sink(b0, 0L)
+    val v0 = ivmState(path)
+    assert(v0 == Seq((1L, 2L, "30.00"), (2L, 1L, "5.00")))
+    // at-least-once redelivery of the SAME batch id: signed addition is
+    // not idempotent, so only the marker can absorb this
+    sink(b0, 0L)
+    assert(ivmState(path) == v0, "replayed batch 0 double-applied")
+    // batch 1 retracts a u1 row and u2 entirely, inserts u3
+    val b1 = Seq((1L, -1, 10.0), (2L, -1, 5.0), (3L, 1, 7.5))
+      .toDF("k", "s", "value")
+    sink(b1, 1L)
+    val v1 = ivmState(path)
+    assert(v1 == Seq((1L, 1L, "20.00"), (3L, 1L, "7.50")))
+    sink(b1, 1L)
+    assert(ivmState(path) == v1, "replayed batch 1 double-applied")
+    // a stale replay AFTER newer commits is also absorbed
+    sink(b0, 0L)
+    assert(ivmState(path) == v1, "stale batch-0 replay double-applied")
+  }
+
+  test("IvmSink: retracting rows the view never held fails the batch") {
+    import spark.implicits._
+    val path = s"${TestSession.tempDir("graft_ivmsink_uf")}/view"
+    val sink = graft.streaming.IvmSink.signedView(
+      path, "k", "s", "n_events", Seq("v" -> Cols.dec2(col("value")))) _
+    sink(Seq((1L, 1, 10.0)).toDF("k", "s", "value"), 0L)
+    val ex = intercept[Exception] {
+      sink(Seq((1L, -1, 10.0), (1L, -1, 10.0)).toDF("k", "s", "value"), 1L)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(c => Option(c.getMessage)).mkString("|")
+    assert(msgs.contains("IVM underflow"), s"expected underflow error, got $msgs")
+    // and the failed batch left the committed view intact
+    assert(ivmState(path) == Seq((1L, 1L, "10.00")))
+  }
+
+  test("q245: the streamed view equals the batch IVM result") {
+    val streamed = Queries.streamedIvm(spark, sf)
+    val batch = Queries.ivmSigned(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
