@@ -262,6 +262,7 @@ object SparkEntry {
     "q243_bloom_decontaminate" -> (Queries.decontaminateBloom _),
     "q244_temporal_align"     -> (Queries.temporalAlign _),
     "q245_stream_ivm"         -> (Queries.streamedIvm _),
+    "q246_ivf_pq_residual"    -> (Queries.ivfPqResidualSearch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6530,6 +6531,117 @@ object Queries {
         .join(broadcast(evalGrams), Seq("gram")))
   }
 
+  // --- q246: residual IVF-PQ search (the true FAISS IVFPQ encode) -----------------------
+  // q223/q237/q239 quantize the raw vectors; production IVFPQ quantizes
+  // the RESIDUAL to the coarse centroid (v − mean_list) — residuals
+  // cluster near zero whatever the list's absolute position, so the 16
+  // codes spend their resolution on local structure instead of re-
+  // encoding the centroid every vector. Consequences wired through:
+  // the coarse quantizer is L2-to-MEAN (not cosine-to-sum — magnitude
+  // matters for residuals; Ivf.meanCentroids), and the ADC tables
+  // become per-(query, PROBED LIST) — lut_{l,s}(c) = ‖(q−mean_l)_s −
+  // cb_{c,s}‖² — still bounded driver state (queries × nprobe × 4×16
+  // doubles) broadcast to a codes-only candidate scan. One join carries
+  // everything: wide code rows ⋈ the (query, label)-keyed LUT frame on
+  // label restricts candidates to probed lists AND delivers the tables.
+  // Exactness: mean = exact-decimal sum → double ÷ count; every fold
+  // fixed-order from 0.0; argmins tie-break on code/label/vec_id.
+  def ivfPqResidualSearch(spark: SparkSession, dir: String): DataFrame = {
+    val subDim = graft.functions.Lsh.Dim / PqSub
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val corpus = emb.filter(col("vec_id") >= AnnQueryMaxId)
+    val means = Ivf.meanCentroids(corpus, "v", "label")
+    val (res, cb) = residualsAndCodebook(corpus, means)
+    val codes = residualCodesFrame(res, cb, subDim)
+    val wide = codes.groupBy("vec_id", "label")
+      .agg(
+        min(when(col("subspace") === 0, col("code"))).as("c0"),
+        min(when(col("subspace") === 1, col("code"))).as("c1"),
+        min(when(col("subspace") === 2, col("code"))).as("c2"),
+        min(when(col("subspace") === 3, col("code"))).as("c3"))
+    // bounded driver state: coarse means (lists × dim) + query vectors →
+    // probe sets and per-(query, list) ADC tables
+    import spark.implicits._
+    val meanArr = means.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val qvs = emb.filter(col("vec_id") < AnnQueryMaxId).orderBy("vec_id")
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def foldL2(a: Seq[Double], b: Seq[Double], from: Int, len: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < len) {
+        val d = a(from + i) - b(from + i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val luts = qvs.flatMap { case (qid, qv) =>
+      val probed = meanArr
+        .map { case (l, m) => (foldL2(qv, m, 0, qv.length), l) }
+        .sorted.take(IvfNProbe)
+      probed.map { case (_, l) =>
+        val m = meanArr.find(_._1 == l).get._2
+        val qr = qv.indices.map(i => qv(i) - m(i))
+        val tabs = (0 until PqSub).map { s =>
+          cb.indices.map(c => foldL2(qr, cb(c), s * subDim, subDim))
+        }
+        (qid, l, tabs(0), tabs(1), tabs(2), tabs(3))
+      }
+    }.toSeq.toDF("query_id", "label", "t0", "t1", "t2", "t3")
+    val scored = wide.join(broadcast(luts), Seq("label"))
+      .select(col("query_id"), col("vec_id"), adcDist2.as("adc_dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_dist2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Residual frame (vec_id, label, r = v − mean_label) and the residual
+    * codebook (the PqCodes lowest corpus ids' residuals, bounded collect).
+    */
+  private[graft] def residualsAndCodebook(
+      corpus: DataFrame, means: DataFrame): (DataFrame, Array[Seq[Double]]) = {
+    val res = corpus.join(broadcast(means), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("v"), col("centroid"), (x, c) => x - c).as("r"))
+    val cb = res.orderBy("vec_id").limit(PqCodes)
+      .select("r").collect().map(_.getSeq[Double](0))
+    (res, cb)
+  }
+
+  /** Per-(vec, subspace) residual code assignment WITH its distance —
+    * factored so the spec can pin the seed-exactness property (a vector
+    * whose residual IS a codebook entry must code to it at distance
+    * exactly 0.0 in every subspace).
+    */
+  private[graft] def residualCodesFrame(res: DataFrame, cb: Array[Seq[Double]],
+                                        subDim: Int): DataFrame = {
+    import res.sparkSession.implicits._
+    val cdf = (for (s <- 0 until PqSub; c <- cb.indices)
+      yield (s, c, cb(c).slice(s * subDim, (s + 1) * subDim)))
+      .toDF("subspace", "code", "cent")
+    val sub = res.select(col("vec_id"), col("label"),
+        explode(array((0 until PqSub).map(s =>
+          struct(lit(s).as("subspace"),
+            slice(col("r"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("label"),
+        col("e.subspace").as("subspace"), col("e.sv").as("sv"))
+    sub.join(broadcast(cdf), "subspace")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(sv, cent, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)"))
+      .groupBy("vec_id", "label", "subspace")
+      .agg(min(struct(col("dist2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("label"), col("subspace"),
+        col("m.code").as("code"), col("m.dist2").as("dist2"))
+  }
+
   // --- q245: streaming signed-delta IVM (foreachBatch + bucketed commits) ---------------
   // q240 as a REAL change stream: every event row lands as an insert
   // (+1), and the retracted slice (pre-watermark, event_id ≡ 0 mod 7)
@@ -7764,6 +7876,99 @@ object Oracles {
           FROM a JOIN b ON a.user_id = b.user_id
           WHERE (b_to IS NULL OR af < b_to)
             AND (a_to IS NULL OR bf < a_to)"""
+    },
+
+    // q246 — the full residual chain replayed: exact-decimal means,
+    // residual transform, residual codebook + codes (row_number argmin
+    // tie-broken on code), L2-to-mean probe (tie on label), per-(query,
+    // probed-list) LUTs, per-subspace MIN-CASE pivot fixing the 4-term
+    // addition order, vec_id tiebreak on the final rank.
+    "q246_ivf_pq_residual" -> {
+      import graft.functions.Lsh.Dim
+      val subDim = Dim / Queries.PqSub
+      val adcSum = (0 until Queries.PqSub).map(i =>
+        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
+      s"""WITH emb AS (SELECT vec_id, label,
+                              list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+          corp AS (SELECT vec_id, label, v FROM emb
+                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          mean AS (SELECT label, array_agg(m ORDER BY i) AS centroid FROM (
+                     SELECT label, i,
+                            CAST(SUM(CAST(floor(v[i] *
+                                ${operators.Ivf.MeanQuantScale}) AS BIGINT))
+                              AS DOUBLE)
+                              / CAST(COUNT(*) *
+                                  ${operators.Ivf.MeanQuantScale} AS DOUBLE)
+                              AS m
+                     FROM corp, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                     GROUP BY 1, 2)
+                   GROUP BY label),
+          res AS (SELECT vec_id, corp.label,
+                         list_transform(generate_series(1, $Dim),
+                           i -> v[i] - centroid[i]) AS r
+                  FROM corp JOIN mean USING (label)),
+          cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                          - 1 AS code, r
+                 FROM (SELECT vec_id, r FROM res
+                       ORDER BY vec_id LIMIT ${Queries.PqCodes})),
+          sp AS (SELECT CAST(unnest(generate_series(0, ${Queries.PqSub - 1}))
+                   AS INT) AS subspace),
+          cents AS (SELECT sp.subspace, cb.code,
+                           list_slice(r, sp.subspace * $subDim + 1,
+                                      (sp.subspace + 1) * $subDim) AS cent
+                    FROM cb, sp),
+          sub AS (SELECT vec_id, label, sp.subspace,
+                         list_slice(r, sp.subspace * $subDim + 1,
+                                    (sp.subspace + 1) * $subDim) AS sv
+                  FROM res, sp),
+          scoredc AS (SELECT vec_id, label, sub.subspace, code,
+                             list_reduce(list_transform(
+                               generate_series(1, $subDim),
+                               i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
+                               (a, b) -> a + b) AS d2
+                      FROM sub JOIN cents ON sub.subspace = cents.subspace),
+          codes AS (SELECT vec_id, label, subspace, code FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, code) AS rn
+                      FROM scoredc)
+                    WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v FROM emb
+                WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          qd AS (SELECT query_id, label,
+                        list_reduce(list_transform(generate_series(1, $Dim),
+                          i -> (v[i] - centroid[i]) * (v[i] - centroid[i])),
+                          (a, b) -> a + b) AS cd2,
+                        list_transform(generate_series(1, $Dim),
+                          i -> v[i] - centroid[i]) AS qr
+                 FROM q, mean),
+          pr AS (SELECT query_id, label, qr FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cd2, label) AS lr
+                   FROM qd)
+                 WHERE lr <= ${Queries.IvfNProbe}),
+          qsub AS (SELECT query_id, label, sp.subspace,
+                          list_slice(qr, sp.subspace * $subDim + 1,
+                                     (sp.subspace + 1) * $subDim) AS qsv
+                   FROM pr, sp),
+          lut AS (SELECT query_id, label, qsub.subspace, code,
+                         list_reduce(list_transform(
+                           generate_series(1, $subDim),
+                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
+                           (a, b) -> a + b) AS d2
+                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
+          j AS (SELECT lut.query_id, codes.vec_id, codes.subspace, d2
+                FROM codes JOIN lut ON lut.label = codes.label
+                                   AND lut.subspace = codes.subspace
+                                   AND lut.code = codes.code),
+          sq AS (SELECT query_id, vec_id, $adcSum AS adc_dist2
+                 FROM j GROUP BY 1, 2)
+          SELECT query_id, rank, vec_id, adc_dist2 FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+            FROM sq)
+          WHERE rank <= ${Queries.AnnK}"""
     },
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of

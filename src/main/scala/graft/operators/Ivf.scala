@@ -38,6 +38,35 @@ object Ivf {
         array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s").cast("double")).as("centroid"))
 
+  /** Quantization grid for [[meanCentroids]] (2^20 — the q42/q124
+    * truncation-quantized-moments scale).
+    */
+  val MeanQuantScale = 1048576L
+
+  /** Element-wise MEAN centroid per list label (array<double>),
+    * TRUNCATION-QUANTIZED for cross-engine exactness: each element is
+    * floored onto the 2^20 grid (floor is tie-free, unlike a
+    * double→decimal cast whose half-way rounding is engine lottery —
+    * measured: 1 of 640 sf0.01 elements diverged under DECIMAL(20,10)),
+    * summed as exact int64, and divided once in double by count·2^20.
+    * The SUM form ([[centroids]]) serves cosine probing (direction is
+    * scale-invariant); residual encoding (v − centroid) needs a true
+    * mean, where magnitude matters — the 2^-20 grid error is absorbed
+    * into the residual and cancels in any distance COMPARISON (both
+    * sides quantize identically).
+    */
+  def meanCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(floor(col("v") * MeanQuantScale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") /
+            (col("n") * MeanQuantScale).cast("double")).as("m")))),
+        x => x.getField("m")).as("centroid"))
+
   /** Top-k cosine neighbors per query, searching only the `nprobe` lists
     * whose centroid is most cosine-similar to the query.
     */
