@@ -263,6 +263,8 @@ object SparkEntry {
     "q244_temporal_align"     -> (Queries.temporalAlign _),
     "q245_stream_ivm"         -> (Queries.streamedIvm _),
     "q246_ivf_pq_residual"    -> (Queries.ivfPqResidualSearch _),
+    "q247_ivm_join_agg"       -> (Queries.ivmJoinAgg _),
+    "q248_pattern_match"      -> (Queries.patternMatch _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6603,6 +6605,88 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // --- q247: signed-delta IVM over a JOIN-aggregate view --------------------------------
+  // The case that makes IVM pay at 100 TB: the maintained view is an
+  // aggregate over a star JOIN (q08's region/nation revenue), and the
+  // refresh joins ONLY THE DELTA against the (broadcast) dimension
+  // chain — Δview = agg(Δfact ⋈ dims) folded in with signs. The base
+  // fact is never rescanned AND never re-joined; a day's corrections
+  // against years of facts cost one delta-sized join plus a keyspace
+  // merge. Retractions: every base row with l_linenumber ≡ 0 (mod 5)
+  // is retracted (a re-stated shipment feed); inserts: the post-cut
+  // slice. Oracle = q08's SQL over the delta-modified fact set.
+  val IvmJoinCutTs = "1997-01-01 00:00:00"
+  val IvmJoinDeleteMod = 5L
+
+  def ivmJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def joined(fact: DataFrame) = {
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      fact.join(o, fact("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          discounted(col("l_extendedprice"), col("l_discount")).as("rev"),
+          col("__sign"))
+    }
+    val base = li.filter(col("l_shipdate") < Cols.ntzTs(IvmJoinCutTs))
+    val view = joined(base.withColumn("__sign", lit(1)))
+      .groupBy("region", "nation")
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue"))
+    val delta = base
+      .filter(pmod(col("l_linenumber"), lit(IvmJoinDeleteMod)) === 0)
+      .withColumn("__sign", lit(-1))
+      .unionByName(li.filter(col("l_shipdate") >= Cols.ntzTs(IvmJoinCutTs))
+        .withColumn("__sign", lit(1)))
+    // the refresh path: ONLY the delta flows through the join
+    val dp = Incremental.signedPartial(joined(delta),
+      Seq("region", "nation"), col("__sign"), "n_items",
+      Seq("revenue" -> col("rev")))
+    Incremental.applySignedDelta(view, dp, Seq("region", "nation"),
+        "n_items", Seq("revenue"))
+      .select(col("region"), col("nation"), col("n_items"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy("region", "nation")
+  }
+
+  // --- q248: event-sequence pattern matching (MATCH_RECOGNIZE-lite) ---------------------
+  // The SQL-2016 row-pattern primitive, distributed: each user's event
+  // stream becomes an ordered type string (one char per event — the
+  // five fixture types have distinct initials), and a regex finds
+  // non-overlapping journey runs: `v[vc]*p` = a view, any uninterrupted
+  // browse run (views/clicks only — an error or signup breaks it),
+  // ending in a purchase. Greedy leftmost non-overlapping semantics are
+  // identical in Java regex and RE2 for this backreference-free class.
+  // One keyed shuffle builds the per-user string (bounded by per-user
+  // event counts — the q148/q75 sequence-budget argument); the match is
+  // map-side. Report: matches, matched length, longest run per user.
+  val JourneyRe = "v[vc]*p"
+
+  def patternMatch(spark: SparkSession, dir: String): DataFrame =
+    journeyReport(Tables.events(spark, dir)).orderBy("user_id")
+
+  /** The pattern-match core over any (user_id, ts, event_id, event_type)
+    * frame — factored so the spec can drive it with planted sequences.
+    */
+  private[graft] def journeyReport(events: DataFrame): DataFrame = {
+    val lens = "transform(m, x -> cast(length(x) as bigint))"
+    events
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")))),
+        x => x.getField("ch")), "").as("s"))
+      .withColumn("m", expr(s"regexp_extract_all(s, '$JourneyRe', 0)"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_matches"),
+        expr(s"aggregate($lens, 0L, (a, b) -> a + b)").as("matched_len"),
+        coalesce(expr(s"array_max($lens)"), lit(0L)).as("max_run"))
+  }
+
   /** Residual frame (vec_id, label, r = v − mean_label) and the residual
     * codebook (the PqCodes lowest corpus ids' residuals, bounded collect).
     */
@@ -7876,6 +7960,44 @@ object Oracles {
           FROM a JOIN b ON a.user_id = b.user_id
           WHERE (b_to IS NULL OR af < b_to)
             AND (a_to IS NULL OR bf < a_to)"""
+    },
+
+    // q247 — the maintained join-agg view must equal q08's report over
+    // the delta-modified fact set: kept lineitems are NOT (pre-cut AND
+    // retraction-tagged).
+    "q247_ivm_join_agg" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+                 COUNT(*) AS n_items,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE l_shipdate >= TIMESTAMP '${Queries.IvmJoinCutTs}'
+             OR l_linenumber % ${Queries.IvmJoinDeleteMod} <> 0
+          GROUP BY 1, 2""",
+
+    // q248 — the same ordered type string (string_agg ORDER BY ts,
+    // event_id ≡ the array_sort struct walk) and the same RE2/Java-
+    // agreeing greedy non-overlapping extraction.
+    "q248_pattern_match" -> {
+      val lens = "list_transform(ms, x -> CAST(len(x) AS BIGINT))"
+      s"""WITH s AS (SELECT user_id,
+                 string_agg(substring(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS s
+               FROM events GROUP BY 1),
+          m AS (SELECT user_id,
+                       regexp_extract_all(s, '${Queries.JourneyRe}') AS ms
+                FROM s)
+          SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+                 CAST(CASE WHEN len(ms) = 0 THEN 0 ELSE
+                   list_reduce($lens, (a, b) -> a + b) END
+                   AS BIGINT) AS matched_len,
+                 CAST(CASE WHEN len(ms) = 0 THEN 0 ELSE
+                   list_reduce($lens, (a, b) -> greatest(a, b)) END
+                   AS BIGINT) AS max_run
+          FROM m"""
     },
 
     // q246 — the full residual chain replayed: exact-decimal means,

@@ -328,6 +328,52 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // --- q247: join-agg IVM ---------------------------------------------------------
+
+  test("q247: maintained join-agg view equals the full recompute") {
+    val got = Queries.ivmJoinAgg(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= Cols.ntzTs(Queries.IvmJoinCutTs) ||
+        pmod(col("l_linenumber"), lit(Queries.IvmJoinDeleteMod)) =!= 0)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val full = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.moneySum(Cols.discounted(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"))
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
+  // --- q248: pattern-match semantics ---------------------------------------------
+
+  test("q248: planted sequences — greedy runs, interruption, non-overlap") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def evs(u: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) => (u, ts(i), (u * 100 + i), t) }
+    val events = (
+      // u1: vvcp | e | vp → 2 matches, lens 4 + 2
+      evs(1L, Seq("view", "view", "click", "purchase", "error", "view", "purchase")) ++
+      // u2: v e p → interruption kills the run, 0 matches
+      evs(2L, Seq("view", "error", "purchase")) ++
+      // u3: vcvp → ONE greedy match spanning all four
+      evs(3L, Seq("view", "click", "view", "purchase")) ++
+      // u4: pure signups → empty-match aggregates stay 0, not null
+      evs(4L, Seq("signup", "signup"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Queries.journeyReport(events).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 0L),
+      (3L, 1L, 4L, 4L),
+      (4L, 0L, 0L, 0L)))
+  }
+
   // --- q244: temporal alignment ------------------------------------------------
 
   test("q244: alignment on a hand fixture — staggered versions, open tails") {
