@@ -265,6 +265,7 @@ object SparkEntry {
     "q246_ivf_pq_residual"    -> (Queries.ivfPqResidualSearch _),
     "q247_ivm_join_agg"       -> (Queries.ivmJoinAgg _),
     "q248_pattern_match"      -> (Queries.patternMatch _),
+    "q249_ivm_dim_change"     -> (Queries.ivmDimChange _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6653,6 +6654,54 @@ object Queries {
       .orderBy("region", "nation")
   }
 
+  // --- q249: IVM under a DIMENSION change ------------------------------------------------
+  // The other half of join-view maintenance (q247 handles fact deltas):
+  // a dimension UPDATE — customers moving nation, the SCD1 overwrite —
+  // re-attributes every fact row of the touched keys. Δview =
+  // agg(fact ⋈ Δdim_old, sign −1) ∪ agg(fact ⋈ Δdim_new, sign +1): the
+  // changed-customer table (tiny) broadcasts into the fact chain twice
+  // by SIGN, so the refresh reads facts only through a broadcast-hash
+  // restriction on the touched keys (at 100 TB the same shape ships a
+  // bloom/runtime filter into the fact scan — the q129/q243 machinery)
+  // and the view merge is keyspace-sized. Cells whose count reaches
+  // zero vanish; oracle = the star SQL over the UPDATED dimension.
+  val DimChangeMod = 50L
+  val DimChangeShift = 7
+
+  def ivmDimChange(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    def report(cust: DataFrame) =
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n), cust("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          discounted(col("l_extendedprice"), col("l_discount")).as("rev"),
+          col("__sign"))
+    val view = report(c.withColumn("__sign", lit(1)))
+      .groupBy("region", "nation")
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue"))
+    val changed = c.filter(pmod(col("c_custkey"), lit(DimChangeMod)) === 0)
+    val cdelta = changed.withColumn("__sign", lit(-1))
+      .unionByName(changed
+        .withColumn("c_nationkey",
+          pmod(col("c_nationkey") + DimChangeShift, lit(25)))
+        .withColumn("__sign", lit(1)))
+    val dp = Incremental.signedPartial(report(cdelta),
+      Seq("region", "nation"), col("__sign"), "n_items",
+      Seq("revenue" -> col("rev")))
+    Incremental.applySignedDelta(view, dp, Seq("region", "nation"),
+        "n_items", Seq("revenue"))
+      .select(col("region"), col("nation"), col("n_items"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy("region", "nation")
+  }
+
   // --- q248: event-sequence pattern matching (MATCH_RECOGNIZE-lite) ---------------------
   // The SQL-2016 row-pattern primitive, distributed: each user's event
   // stream becomes an ordered type string (one char per event — the
@@ -7976,6 +8025,24 @@ object Oracles {
           JOIN region   ON n_regionkey = r_regionkey
           WHERE l_shipdate >= TIMESTAMP '${Queries.IvmJoinCutTs}'
              OR l_linenumber % ${Queries.IvmJoinDeleteMod} <> 0
+          GROUP BY 1, 2""",
+
+    // q249 — the maintained view must equal the star report over the
+    // UPDATED dimension (moved customers re-attributed to their new
+    // nation's row; DuckDB % on positive ints ≡ Spark pmod here).
+    "q249_ivm_dim_change" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+                 COUNT(*) AS n_items,
+                 CAST(SUM($discTerm) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN (SELECT c_custkey,
+                       CASE WHEN c_custkey % ${Queries.DimChangeMod} = 0
+                            THEN (c_nationkey + ${Queries.DimChangeShift}) % 25
+                            ELSE c_nationkey END AS c_nationkey
+                FROM customer) c ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
           GROUP BY 1, 2""",
 
     // q248 — the same ordered type string (string_agg ORDER BY ts,

@@ -348,6 +348,26 @@ class Round15Spec extends AnyFunSuite {
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 
+  test("q249: dim-change IVM equals the star report over the updated dimension") {
+    val got = Queries.ivmDimChange(spark, sf)
+    val updated = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(Queries.DimChangeMod)) === 0,
+          pmod(col("c_nationkey") + Queries.DimChangeShift, lit(25)))
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val full = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(updated, o("o_custkey") === updated("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.moneySum(Cols.discounted(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"))
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
