@@ -266,6 +266,7 @@ object SparkEntry {
     "q247_ivm_join_agg"       -> (Queries.ivmJoinAgg _),
     "q248_pattern_match"      -> (Queries.patternMatch _),
     "q249_ivm_dim_change"     -> (Queries.ivmDimChange _),
+    "q250_split_leakage"      -> (Queries.splitLeakage _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6654,6 +6655,38 @@ object Queries {
       .orderBy("region", "nation")
   }
 
+  // --- q250: train/val/test split contamination ------------------------------------------
+  // The evaluation-integrity audit a random split CANNOT avoid: near-
+  // duplicate documents land on opposite sides of the q143 hash split,
+  // so "held-out" test examples have verbatim siblings in train (the
+  // benchmark-inflation mechanism decontamination papers measure). The
+  // memoized verified-pair table (LSH candidates + exact Jaccard — the
+  // q34/q87 upstream, computed once per session) joins each endpoint's
+  // split label; the report rolls up pairs per unordered split
+  // combination — off-diagonal rows ARE the leaks, and the fix is
+  // cluster-aware splitting (assign q34 components, not documents).
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(graft.functions.Sketches.keyHash(col("doc_id")), lit(100L))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "split")
+    verifiedPairs(spark, dir)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("split_a", "split_b")
+  }
+
   // --- q249: IVM under a DIMENSION change ------------------------------------------------
   // The other half of join-view maintenance (q247 handles fact deltas):
   // a dimension UPDATE — customers moving nation, the SCD1 overwrite —
@@ -9170,6 +9203,26 @@ object Oracles {
           SELECT source_a, source_b, COUNT(*) AS n_pairs,
                  MAX(jaccard) AS max_jaccard
           FROM sp GROUP BY 1, 2""",
+
+    // q250 — the q87 rollup shape over q143's split labels: the same
+    // memoized verified-pair CTE, endpoints joined to the hash-split
+    // CASE, unordered split combination per row.
+    "q250_split_leakage" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""$componentCtes,
+          sd AS (SELECT doc_id,
+                   CASE WHEN (($HA * doc_id + $HB) % $P) % 100 < 80 THEN 'train'
+                        WHEN (($HA * doc_id + $HB) % $P) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM documents WHERE text IS NOT NULL),
+          sp AS (SELECT least(a.split, b.split) AS split_a,
+                        greatest(a.split, b.split) AS split_b, jaccard
+                 FROM pairs JOIN sd a ON pairs.doc_a = a.doc_id
+                            JOIN sd b ON pairs.doc_b = b.doc_id)
+          SELECT split_a, split_b, COUNT(*) AS n_pairs,
+                 MAX(jaccard) AS max_jaccard
+          FROM sp GROUP BY 1, 2"""
+    },
 
     "q89_quality_dup_calibration" -> {
       val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)

@@ -368,6 +368,16 @@ class Round15Spec extends AnyFunSuite {
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 
+  test("q250: the split rollup conserves every verified pair") {
+    val rows = Queries.splitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Queries.verifiedPairs(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "rolled-up pair count != verified-pair count")
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "split combination not canonically ordered"))
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
