@@ -267,6 +267,7 @@ object SparkEntry {
     "q248_pattern_match"      -> (Queries.patternMatch _),
     "q249_ivm_dim_change"     -> (Queries.ivmDimChange _),
     "q250_split_leakage"      -> (Queries.splitLeakage _),
+    "q251_cluster_split"      -> (Queries.clusterSplit _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6687,6 +6688,36 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q251: cluster-aware split assignment (the q250 fix) -------------------------------
+  // The leak-free split: hash the near-dup COMPONENT label (q34's
+  // cluster_id, memoized) instead of the document id, so every verified
+  // near-dup pair lands on ONE side by construction — the spec proves
+  // zero cross-split pairs where q250 measures nonzero. Same 80/10/10
+  // thresholds and hash family as q143 (stable under corpus growth:
+  // new members of an existing cluster follow their cluster). One
+  // rollup of the cached decision table; the report carries docs and
+  // clusters per split.
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitAssign(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .orderBy("split")
+
+  /** Per-document cluster-hash split labels — shared by the gate rollup
+    * and the zero-leak spec.
+    */
+  private[graft] def clusterSplitAssign(spark: SparkSession,
+                                        dir: String): DataFrame =
+    dedupDecisionTable(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(graft.functions.Sketches.keyHash(col("cluster_id")), lit(100L))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+
   // --- q249: IVM under a DIMENSION change ------------------------------------------------
   // The other half of join-view maintenance (q247 handles fact deltas):
   // a dimension UPDATE — customers moving nation, the SCD1 overwrite —
@@ -9222,6 +9253,23 @@ object Oracles {
           SELECT split_a, split_b, COUNT(*) AS n_pairs,
                  MAX(jaccard) AS max_jaccard
           FROM sp GROUP BY 1, 2"""
+    },
+
+    // q251 — split on the COMPONENT hash: comp labels from the same
+    // recursive closure (MIN over reach ≡ the Spark min-label pointer
+    // jump), the q143 CASE applied to the cluster id.
+    "q251_cluster_split" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""$componentCtes,
+          comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+          sd AS (SELECT id, cluster,
+                   CASE WHEN (($HA * cluster + $HB) % $P) % 100 < 80 THEN 'train'
+                        WHEN (($HA * cluster + $HB) % $P) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM comp)
+          SELECT split, COUNT(*) AS n_docs,
+                 CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+          FROM sd GROUP BY 1"""
     },
 
     "q89_quality_dup_calibration" -> {

@@ -378,6 +378,23 @@ class Round15Spec extends AnyFunSuite {
       "split combination not canonically ordered"))
   }
 
+  test("q251: cluster-hash split closes the leak the doc-hash split measures") {
+    val assign = Queries.clusterSplitAssign(spark, sf).select("doc_id", "split")
+    val leaks = Queries.verifiedPairs(spark, sf)
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks == 0L, s"$leaks near-dup pairs cross the cluster split")
+    // and the fixture's doc-hash split DOES leak — the problem is real,
+    // not vacuously absent
+    val docLeaks = Queries.splitLeakage(spark, sf)
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(coalesce(sum("n_pairs"), lit(0L))).head().getLong(0)
+    assert(docLeaks > 0L, "fixture sanity: doc-hash split shows no leak to fix")
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
