@@ -268,6 +268,7 @@ object SparkEntry {
     "q249_ivm_dim_change"     -> (Queries.ivmDimChange _),
     "q250_split_leakage"      -> (Queries.splitLeakage _),
     "q251_cluster_split"      -> (Queries.clusterSplit _),
+    "q252_interp_gap_fill"    -> (Queries.interpGapFill _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6688,6 +6689,30 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q252: linear-interpolation gap fill -----------------------------------------------
+  // q101's calendar densification with the OTHER fill rule: forward
+  // fill answers "what was the last known state" (as-of semantics);
+  // linear interpolation answers "what was the level mid-gap" — the
+  // resampling rule for series where a gap means not-measured, not
+  // zero. Each gap day gets prev + (next − prev)·(d−dp)/(dn−dp) from
+  // the SURROUNDING observations; leading/trailing gaps stay null
+  // (extrapolation is a modeling decision, not a fill). Same daily
+  // frame as q101, four running windows, one fixed-shape expression.
+  def interpGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    Analytics.gapFillLinear(daily, "segment", "day", "rev_dec")
+      .select(col("segment"), col("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("interp_rev_dec").as("interp_revenue"),
+        col("is_gap"))
+      .orderBy("segment", "day")
+  }
+
   // --- q251: cluster-aware split assignment (the q250 fix) -------------------------------
   // The leak-free split: hash the near-dup COMPONENT label (q34's
   // cluster_id, memoized) instead of the document id, so every verified
@@ -9896,6 +9921,50 @@ object Oracles {
                       AS DOUBLE) AS filled_revenue,
                  (rev_dec IS NULL) AS is_gap
           FROM j""",
+
+    // q252 — the same grid as q101 with IGNORE NULLS windows for the
+    // surrounding observations and the single fixed-shape
+    // a + (b−a)·t interpolation expression; DATE−DATE is integer days
+    // in both engines.
+    "q252_interp_gap_fill" ->
+      """WITH daily AS (
+           SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+          span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+          grid AS (
+            SELECT s.segment, CAST(g.d AS DATE) AS day
+            FROM (SELECT DISTINCT segment FROM daily) s
+            CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+                        FROM span) g),
+          j AS (SELECT g.segment, g.day, d.rev_dec
+                FROM grid g LEFT JOIN daily d USING (segment, day)),
+          w AS (SELECT segment, day, rev_dec,
+                  last_value(rev_dec IGNORE NULLS) OVER
+                    (PARTITION BY segment ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN rev_dec IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY segment ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  last_value(rev_dec IGNORE NULLS) OVER
+                    (PARTITION BY segment ORDER BY day DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+                  last_value(CASE WHEN rev_dec IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY segment ORDER BY day DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd
+                FROM j)
+          SELECT segment, day, CAST(rev_dec AS DOUBLE) AS revenue,
+                 CASE WHEN rev_dec IS NOT NULL THEN CAST(rev_dec AS DOUBLE)
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        CAST(pv AS DOUBLE) +
+                        (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+                        (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                      ELSE NULL END AS interp_revenue,
+                 (rev_dec IS NULL) AS is_gap
+          FROM w""",
 
     "q102_supplier_load_islands" ->
       """WITH iv AS (

@@ -139,6 +139,46 @@ object Analytics {
       .drop("__island")
   }
 
+  /** Calendar densification + LINEAR interpolation — the resampling rule
+    * for series where a gap means "not measured", not "zero" (sensor
+    * feeds, sparse pricing): each missing day gets
+    * v = prev + (next − prev) · (d − d_prev)/(d_next − d_prev), from the
+    * SURROUNDING observations (forward fill, [[gapFillForward]], answers
+    * the as-of question instead). Leading/trailing gaps — no observation
+    * on one side — stay null: extrapolation is a modeling decision, not
+    * a fill. Exactness: the exact-decimal observations cast to double
+    * once, the day ratio is an int÷int double division, and the single
+    * a + (b−a)·t expression is evaluated in one fixed shape — bit-equal
+    * in any engine. Cost: the same grid join + four running windows over
+    * the per-key frames; at 100 TB the frame is O(keys × span-days),
+    * already aggregated — tiny next to the fact scan that produced it.
+    */
+  def gapFillLinear(daily: DataFrame, keyCol: String, dayCol: String,
+                    valCol: String): DataFrame = {
+    val span = daily.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as(dayCol))
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val wBwd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol).desc)
+    val obsDay = when(col(valCol).isNotNull, col(dayCol))
+    grid.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("__pv", last(col(valCol), ignoreNulls = true).over(wFwd))
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(wFwd))
+      .withColumn("__nv", last(col(valCol), ignoreNulls = true).over(wBwd))
+      .withColumn("__nd", last(obsDay, ignoreNulls = true).over(wBwd))
+      .withColumn(s"interp_$valCol",
+        when(col(valCol).isNotNull, col(valCol).cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv").cast("double") +
+              (col("__nv").cast("double") - col("__pv").cast("double")) *
+              (datediff(col(dayCol), col("__pd")).cast("double") /
+                datediff(col("__nd"), col("__pd")).cast("double"))))
+      .withColumn("is_gap", col(valCol).isNull)
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
+
   /** Cramér's V association strength between two categorical columns —
     * the log-free cousin of mutual information (MI needs ln(), whose
     * last-ulp behavior is libm lottery; chi-square is +,×,÷ and one

@@ -395,6 +395,27 @@ class Round15Spec extends AnyFunSuite {
     assert(docLeaks > 0L, "fixture sanity: doc-hash split shows no leak to fix")
   }
 
+  test("q252: linear interpolation on a hand fixture — interior exact, edges null") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def d(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
+    // key A observes 10.00@d2 and 40.00@d5 inside a grid d1..d6 (key B
+    // extends the span): d3→20, d4→30, d1/d6 edge gaps stay null
+    val daily = Seq(("A", d(2), BigDecimal("10.00")), ("A", d(5), BigDecimal("40.00")),
+        ("B", d(1), BigDecimal("1.00")), ("B", d(6), BigDecimal("7.00")))
+      .toDF("k", "day", "v")
+    val got = Analytics.gapFillLinear(daily, "k", "day", "v")
+      .filter(col("k") === "A").orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, Option(r.get(3)).map(_.toString), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", None, true),
+      ("2024-01-02", Some("10.0"), false),
+      ("2024-01-03", Some("20.0"), true),
+      ("2024-01-04", Some("30.0"), true),
+      ("2024-01-05", Some("40.0"), false),
+      ("2024-01-06", None, true)))
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
