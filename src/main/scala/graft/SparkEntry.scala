@@ -269,6 +269,7 @@ object SparkEntry {
     "q250_split_leakage"      -> (Queries.splitLeakage _),
     "q251_cluster_split"      -> (Queries.clusterSplit _),
     "q252_interp_gap_fill"    -> (Queries.interpGapFill _),
+    "q253_link_prediction"    -> (Queries.linkPrediction _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6689,6 +6690,52 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q253: common-neighbor link prediction ---------------------------------------------
+  // Graph-completion over the co-purchase graph (the recommender-cold-
+  // start primitive): for item pairs NOT yet co-purchased, the
+  // common-neighbor count predicts the missing edge, with preferential
+  // attachment deg(a)·deg(b) as the integer-exact secondary signal
+  // (Adamic–Adar needs ln() — engine lottery — and CN/PA are its
+  // standard log-free neighbors in the link-prediction literature).
+  // Candidates come from wedges only (two edges sharing a middle
+  // vertex) — never an all-pairs cross; existing edges anti-join out.
+  // The memoized support-≥2 edge frame (q92's graph) is the input; at
+  // power-law scale the wedge join takes the q187 degree-orientation /
+  // per-vertex-cap levers. Output: deterministic top-K by
+  // (cn, pref_attach, item_a, item_b).
+  val LinkTopK = 50
+
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionFrom(
+      copurchaseEdges(spark, dir)
+        .filter(col("n_baskets") >= CoMinSupport)
+        .select(col("item_a").as("a"), col("item_b").as("b")),
+      LinkTopK)
+
+  /** The wedge-candidate link scorer over any undirected (a < b) edge
+    * frame — factored so the spec can drive it with planted graphs.
+    */
+  private[graft] def linkPredictionFrom(e: DataFrame, topK: Int): DataFrame = {
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val cand = und.select(col("a").as("m"), col("b").as("x"))
+      .join(und.select(col("a").as("m2"), col("b").as("y")),
+        col("m") === col("m2"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common_neighbors"))
+    val nonEdges = cand
+      .join(e, cand("x") === e("a") && cand("y") === e("b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("a").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("a").as("y"), col("deg").as("dy")), "y")
+      .withColumn("pref_attach", col("dx") * col("dy"))
+      .orderBy(col("common_neighbors").desc, col("pref_attach").desc,
+        col("x"), col("y"))
+      .limit(topK)
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        col("common_neighbors"), col("pref_attach"))
+  }
+
   // --- q252: linear-interpolation gap fill -----------------------------------------------
   // q101's calendar densification with the OTHER fill rule: forward
   // fill answers "what was the last known state" (as-of semantics);
@@ -9085,6 +9132,30 @@ object Oracles {
           HAVING COUNT(*) >= ${Queries.CoMinSupport}
           ORDER BY n_baskets DESC, item_a, item_b
           LIMIT ${Queries.CoTopK}""",
+
+    // q253 — the same support-≥2 edge set (CoMaxBasket is non-binding on
+    // the fixture, as for every co-purchase oracle), wedges through a
+    // shared middle vertex, existing edges removed, the deterministic
+    // four-key ordering.
+    "q253_link_prediction" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS bkt, l_partkey AS i
+                         FROM lineitem),
+          e AS (SELECT a.i AS a, b.i AS b
+                FROM items a JOIN items b ON a.bkt = b.bkt AND a.i < b.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= ${Queries.CoMinSupport}),
+          und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1),
+          cand AS (SELECT u1.b AS x, u2.b AS y, COUNT(*) AS common_neighbors
+                   FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+                   GROUP BY 1, 2),
+          ne AS (SELECT cand.x, cand.y, cand.common_neighbors
+                 FROM cand LEFT JOIN e ON cand.x = e.a AND cand.y = e.b
+                 WHERE e.a IS NULL)
+          SELECT ne.x AS item_a, ne.y AS item_b, common_neighbors,
+                 dx.deg * dy.deg AS pref_attach
+          FROM ne JOIN deg dx ON ne.x = dx.a JOIN deg dy ON ne.y = dy.a
+          ORDER BY common_neighbors DESC, pref_attach DESC, item_a, item_b
+          LIMIT ${Queries.LinkTopK}""",
 
     "q93_revenue_anomaly" -> {
       val wd = Queries.AnomalyWindowDays

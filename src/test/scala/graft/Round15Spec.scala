@@ -416,6 +416,24 @@ class Round15Spec extends AnyFunSuite {
       ("2024-01-06", None, true)))
   }
 
+  test("q253: planted square + pendant — wedge candidates, edges excluded") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus pendant 5 on 1:
+    //   diagonals (1,3) and (2,4) have TWO common neighbors each;
+    //   (2,5)/(4,5) one (via 1); (3,5) zero (no wedge → absent);
+    //   existing edges never appear
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Queries.linkPredictionFrom(e, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)))
+    // degrees: 1→3, 2→2, 3→2, 4→2, 5→1
+    assert(got((1L, 3L)) == (2L, 6L))
+    assert(got((2L, 4L)) == (2L, 4L))
+    assert(got((2L, 5L)) == (1L, 2L))
+    assert(got((4L, 5L)) == (1L, 2L))
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
