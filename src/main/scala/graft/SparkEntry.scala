@@ -270,6 +270,7 @@ object SparkEntry {
     "q251_cluster_split"      -> (Queries.clusterSplit _),
     "q252_interp_gap_fill"    -> (Queries.interpGapFill _),
     "q253_link_prediction"    -> (Queries.linkPrediction _),
+    "q254_pq_recall"          -> (Queries.pqRecall _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6690,6 +6691,49 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q254: PQ recall harness -----------------------------------------------------------
+  // The ANN quality MEASUREMENT (q184's candidate-quality harness for
+  // the vector side): exact L2 top-k per query (fixed-fold distance,
+  // vec_id tiebreak — the ground truth a 4×16 quantizer is judged
+  // against) left-joined to q237's ADC top-k; per-query hit count and
+  // recall@k. The exact side broadcasts the bounded query set over one
+  // corpus scan (the q25 shape); at a billion vectors the ground truth
+  // comes from a sampled query panel — the harness shape is unchanged.
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir,
+      pqAdcTopK(spark, dir).select("query_id", "vec_id"))
+
+  /** Exact L2 top-k per query — the ANN ground truth. */
+  private[graft] def exactL2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < AnnQueryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    emb.filter(col("vec_id") >= AnnQueryMaxId)
+      .crossJoin(broadcast(q))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, v, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnK)
+      .select("query_id", "vec_id")
+  }
+
+  /** Recall@AnnK of `preds` (query_id, vec_id) against the exact top-k —
+    * factored so the spec can run the instrument on the ground truth
+    * itself (which must read exactly 1.0).
+    */
+  private[graft] def recallAgainstExact(spark: SparkSession, dir: String,
+                                        preds: DataFrame): DataFrame =
+    exactL2TopK(spark, dir)
+      .join(preds.withColumn("__hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum(col("__hit")), lit(0)).cast("long").as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(AnnK))
+      .orderBy("query_id")
+
   // --- q253: common-neighbor link prediction ---------------------------------------------
   // Graph-completion over the co-purchase graph (the recommender-cold-
   // start primitive): for item pairs NOT yet co-purchased, the
@@ -8301,36 +8345,42 @@ object Oracles {
     // 0.0), the 4-term sum pivoted per subspace so the addition order
     // is FIXED (a hash-agg SUM over subspaces would be order-unstable
     // in the last ulp), row_number tiebreak on vec_id.
-    "q237_pq_adc_topk" -> {
-      val subDim = graft.functions.Lsh.Dim / Queries.PqSub
-      val adcSum = (0 until Queries.PqSub).map(i =>
-        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
-      s"""WITH $pqCtes,
-          qq AS (SELECT vec_id AS query_id, v FROM emb
-                 WHERE vec_id < ${Queries.AnnQueryMaxId}),
-          qsub AS (SELECT query_id, sp.subspace,
-                          list_slice(v, sp.subspace * $subDim + 1,
-                                     (sp.subspace + 1) * $subDim) AS qsv
-                   FROM qq, sp),
-          lut AS (SELECT query_id, qsub.subspace, code,
-                         list_reduce(list_transform(
-                           generate_series(1, $subDim),
-                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
-                           (a, b) -> a + b) AS d2
-                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
-          corp AS (SELECT vec_id, subspace, code FROM codes
-                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
-          j AS (SELECT query_id, vec_id, corp.subspace, d2
-                FROM corp JOIN lut ON corp.subspace = lut.subspace
-                                  AND corp.code = lut.code),
-          sq AS (SELECT query_id, vec_id,
-                        $adcSum AS adc_dist2
-                 FROM j GROUP BY 1, 2)
-          SELECT query_id, rank, vec_id, adc_dist2 FROM (
-            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
-            FROM sq)
-          WHERE rank <= ${Queries.AnnK}"""
+    "q237_pq_adc_topk" ->
+      s"""WITH $pqAdcRankedCtes
+          SELECT query_id, rank, vec_id, adc_dist2 FROM adck
+          WHERE rank <= ${Queries.AnnK}""",
+
+    // q254 — exact L2 top-k (the same fixed-fold distance, vec_id
+    // tiebreak) left-joined against the q237 ADC top-k from the SHARED
+    // ranked CTE chain; per-query hit counts and recall@k.
+    "q254_pq_recall" -> {
+      import graft.functions.Lsh.Dim
+      s"""WITH $pqAdcRankedCtes,
+          corpv AS (SELECT vec_id, v FROM emb
+                    WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          exact AS (SELECT query_id, corpv.vec_id,
+                           list_reduce(list_transform(
+                             generate_series(1, $Dim),
+                             i -> (qq.v[i] - corpv.v[i]) *
+                                  (qq.v[i] - corpv.v[i])),
+                             (a, b) -> a + b) AS d2
+                    FROM qq, corpv),
+          ext AS (SELECT query_id, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) AS rk
+                    FROM exact)
+                  WHERE rk <= ${Queries.AnnK}),
+          hits AS (SELECT e.query_id,
+                          CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_hits
+                   FROM ext e LEFT JOIN (SELECT query_id, vec_id FROM adck
+                                         WHERE rank <= ${Queries.AnnK}) a
+                     ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+                   GROUP BY 1)
+          SELECT query_id, n_hits,
+                 CAST(n_hits AS DOUBLE) / ${Queries.AnnK} AS recall
+          FROM hits"""
     },
 
 
@@ -11748,6 +11798,41 @@ object Oracles {
         WHERE ts > TIMESTAMP '${Queries.SplitTs}'
            OR event_id % ${Queries.IvmDeleteMod} <> 0
         GROUP BY 1"""
+
+  /** The q237 ADC chain up to the RANKED score table `adck` (query_id,
+    * vec_id, adc_dist2, rank) — shared by the q237 gate and q254's
+    * recall harness, which compares it against the exact top-k.
+    */
+  private lazy val pqAdcRankedCtes: String = {
+    val subDim = graft.functions.Lsh.Dim / Queries.PqSub
+    val adcSum = (0 until Queries.PqSub).map(i =>
+      s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
+    s"""$pqCtes,
+        qq AS (SELECT vec_id AS query_id, v FROM emb
+               WHERE vec_id < ${Queries.AnnQueryMaxId}),
+        qsub AS (SELECT query_id, sp.subspace,
+                        list_slice(v, sp.subspace * $subDim + 1,
+                                   (sp.subspace + 1) * $subDim) AS qsv
+                 FROM qq, sp),
+        lut AS (SELECT query_id, qsub.subspace, code,
+                       list_reduce(list_transform(
+                         generate_series(1, $subDim),
+                         i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
+                         (a, b) -> a + b) AS d2
+                FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
+        corp AS (SELECT vec_id, subspace, code FROM codes
+                 WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+        j AS (SELECT query_id, vec_id, corp.subspace, d2
+              FROM corp JOIN lut ON corp.subspace = lut.subspace
+                                AND corp.code = lut.code),
+        sq AS (SELECT query_id, vec_id,
+                      $adcSum AS adc_dist2
+               FROM j GROUP BY 1, 2),
+        adck AS (SELECT query_id, vec_id, adc_dist2,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+                 FROM sq)"""
+  }
 
   /** The decontamination report (shared by q56's exact broadcast path
     * and q243's bloom-prefiltered path — the bloom pass cannot change

@@ -434,6 +434,23 @@ class Round15Spec extends AnyFunSuite {
     assert(got((4L, 5L)) == (1L, 2L))
   }
 
+  test("q254: the recall instrument reads exactly 1.0 on the ground truth itself") {
+    val perfect = Queries.recallAgainstExact(spark, sf,
+      Queries.exactL2TopK(spark, sf)).collect()
+    assert(perfect.length == Queries.AnnQueryMaxId)
+    perfect.foreach { r =>
+      assert(r.getLong(1) == Queries.AnnK && r.getDouble(2) == 1.0,
+        s"query ${r.getLong(0)}: instrument reads ${r.getDouble(2)} on truth")
+    }
+    // and on the real ADC predictions it reads a proper fraction
+    val real = Queries.pqRecall(spark, sf).collect()
+    assert(real.length == Queries.AnnQueryMaxId)
+    real.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= Queries.AnnK &&
+        r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
