@@ -271,6 +271,7 @@ object SparkEntry {
     "q252_interp_gap_fill"    -> (Queries.interpGapFill _),
     "q253_link_prediction"    -> (Queries.linkPrediction _),
     "q254_pq_recall"          -> (Queries.pqRecall _),
+    "q255_csv_roundtrip"      -> (Queries.csvRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6691,6 +6692,42 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q255: CSV round-trip through the rescue reader -------------------------------------
+  // The text-format landing path under the gate (q173 gates JSON
+  // rescue; this gates CSV, the other reference landing format): a
+  // clean CSV export re-read through `Sources.csvWithRescue` —
+  // PERMISSIVE mode, corrupt-record column — must parse every row with
+  // ZERO rescued rows (enforced in-plan: a raise_error projection on
+  // the rescue column, so silent type coercion cannot fake a pass),
+  // then aggregate bit-identically to the parquet oracle. Doubles
+  // survive because Spark's CSV writer emits the shortest round-trip
+  // decimal form; no timestamps in the slice (CSV timestamp formats
+  // are a config contract, exercised by the rescue machinery in q173).
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.sources.Sources
+    val path = s"${tempDir("graft_csv_")}/lineitem_csv"
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val back = Sources.csvWithRescue(spark, path, schema)
+    back
+      .withColumn("l_orderkey",
+        when(col(Sources.RescueCol).isNull, col("l_orderkey"))
+          .otherwise(raise_error(concat(
+            lit("CSV round-trip rescued a row: "), col(Sources.RescueCol)))))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+        moneySum(dec2(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   // --- q254: PQ recall harness -----------------------------------------------------------
   // The ANN quality MEASUREMENT (q184's candidate-quality harness for
   // the vector side): exact L2 top-k per query (fixed-fold distance,
@@ -8206,6 +8243,16 @@ object Oracles {
           WHERE l_shipdate >= TIMESTAMP '${Queries.IvmJoinCutTs}'
              OR l_linenumber % ${Queries.IvmJoinDeleteMod} <> 0
           GROUP BY 1, 2""",
+
+    // q255 — the CSV round-trip must reproduce the same rows the oracle
+    // reads from parquet (shortest-round-trip doubles survive the text
+    // format; zero rescued rows enforced in-plan on the Spark side).
+    "q255_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem GROUP BY 1""",
 
     // q249 — the maintained view must equal the star report over the
     // UPDATED dimension (moved customers re-attributed to their new

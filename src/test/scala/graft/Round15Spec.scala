@@ -451,6 +451,26 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q255: a malformed CSV row lands in the rescue column, clean rows parse") {
+    import org.apache.spark.sql.types._
+    import graft.sources.Sources
+    val dir = TestSession.tempDir("graft_csvbad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/x.csv"),
+      "l_orderkey,l_returnflag,l_quantity,l_extendedprice\n" +
+        "1,N,5.0,100.0\n" +
+        "2,R,notanumber,50.0\n")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val (clean, quarantine) = Sources.splitRescued(
+      Sources.csvWithRescue(spark, dir, schema))
+    assert(clean.count() == 1L && quarantine.count() == 1L)
+    assert(quarantine.select("l_orderkey").head().getLong(0) == 2L)
+  }
+
   // --- q248: pattern-match semantics ---------------------------------------------
 
   test("q248: planted sequences — greedy runs, interruption, non-overlap") {
