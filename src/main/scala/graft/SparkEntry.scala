@@ -272,6 +272,7 @@ object SparkEntry {
     "q253_link_prediction"    -> (Queries.linkPrediction _),
     "q254_pq_recall"          -> (Queries.pqRecall _),
     "q255_csv_roundtrip"      -> (Queries.csvRoundtrip _),
+    "q256_rolling_median"     -> (Queries.rollingMedian _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6692,6 +6693,40 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  // --- q256: rolling 28-day exact median -------------------------------------------------
+  // The robust rolling baseline: q93's trailing mean/z flags melt when
+  // the window itself contains the anomaly (one spike day inflates σ);
+  // the rolling MEDIAN has breakdown point 1/2 inside the window. The
+  // window rides the O(days) daily frame — a bounded 28-element sorted
+  // list per row (collect over a RANGE frame on the aggregated series,
+  // NEVER on raw events), exact integer cents, and the even-count
+  // midpoint is the one fixed (a+b)/2 double op. At 100 TB the daily
+  // frame is still O(days): the rolling structure costs nothing more
+  // after the one fact-scan aggregation.
+  val RollMedDays = 28L
+
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("epoch_day").rangeBetween(-(RollMedDays - 1L), 0L)
+    Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("vals", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n", size(col("vals")).cast("long"))
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("epoch_day").cast("int"))
+          .as("day"),
+        col("n").as("n_days"), col("cents").as("day_cents"),
+        expr("""CASE WHEN n % 2 = 1
+                     THEN CAST(element_at(vals, CAST((n + 1) div 2 AS INT))
+                               AS DOUBLE)
+                     ELSE (CAST(element_at(vals, CAST(n div 2 AS INT))
+                                AS DOUBLE) +
+                           CAST(element_at(vals, CAST(n div 2 + 1 AS INT))
+                                AS DOUBLE)) / 2.0 END""").as("median_cents_28d"))
+      .orderBy("day")
+  }
+
   // --- q255: CSV round-trip through the rescue reader -------------------------------------
   // The text-format landing path under the gate (q173 gates JSON
   // rescue; this gates CSV, the other reference landing format): a
@@ -7560,6 +7595,31 @@ object Oracles {
                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                  END AS corr_28d
+          FROM m"""
+    },
+
+    // q256 — the same daily-cents frame, a list() window over the RANGE
+    // frame, list_sort, and the identical parity CASE; integral cents
+    // make DuckDB's rounding decimal→int cast ≡ Spark's truncation.
+    "q256_rolling_median" -> {
+      val k = Queries.RollMedDays - 1
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+                  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events GROUP BY 1),
+          m AS (SELECT epoch_day, cents,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                       list_sort(list(cents) OVER w) AS vals
+                FROM daily
+                WINDOW w AS (ORDER BY epoch_day
+                             RANGE BETWEEN $k PRECEDING AND CURRENT ROW))
+          SELECT DATE '1970-01-01' + CAST(epoch_day AS INT) AS day,
+                 n AS n_days, cents AS day_cents,
+                 CASE WHEN n % 2 = 1
+                      THEN CAST(vals[CAST((n + 1) // 2 AS INT)] AS DOUBLE)
+                      ELSE (CAST(vals[CAST(n // 2 AS INT)] AS DOUBLE) +
+                            CAST(vals[CAST(n // 2 + 1 AS INT)] AS DOUBLE))
+                           / 2.0 END AS median_cents_28d
           FROM m"""
     },
 

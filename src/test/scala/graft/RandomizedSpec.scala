@@ -541,4 +541,64 @@ class RandomizedSpec extends AnyFunSuite {
     }
     assert(got == replay.toSeq, s"$got != $replay")
   }
+
+  test("signed-delta IVM equals the recompute for random insert/retract mixes") {
+    import graft.operators.Incremental
+    // random base multiset over a small key domain (forcing collisions,
+    // full-retraction groups, and delta-only new keys), then a delta
+    // that retracts a random SUBSET of base rows and inserts new ones —
+    // the maintained view must equal GROUP BY over (base ∖ retracted)
+    // ∪ inserted, including groups that vanish entirely
+    (0 until 5).foreach { round =>
+      val base = (0 until 300).map(i =>
+        (rnd.nextInt(12).toLong, BigDecimal(rnd.nextInt(2000)) / 100))
+      val retracted = base.filter(_ => rnd.nextBoolean())
+      val inserts = (0 until 120).map(i =>
+        (rnd.nextInt(16).toLong, BigDecimal(rnd.nextInt(2000)) / 100))
+      val baseDf = base.toDF("k", "v")
+      val view = baseDf.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(Cols.dec2(col("v"))).as("s"))
+      val delta = retracted.map { case (k, v) => (k, -1, v) }
+        .++(inserts.map { case (k, v) => (k, 1, v) })
+        .toDF("k", "sign", "v")
+      val dp = Incremental.signedPartial(delta, Seq("k"), col("sign"), "n",
+        Seq("s" -> Cols.dec2(col("v"))))
+      val got = Incremental.applySignedDelta(view, dp, Seq("k"), "n", Seq("s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2).toPlainString)).toMap
+      val kept = base.diff(retracted) ++ inserts
+      val want = kept.groupBy(_._1).map { case (k, rows) =>
+        k -> (rows.size.toLong,
+          rows.map(_._2).sum.setScale(2).toString)
+      }
+      assert(got == want, s"round $round: $got != $want")
+    }
+  }
+
+  test("rolling median matches a driver reference on random sparse series") {
+    // sparse random day series (gaps → varying window populations, ties
+    // via a tiny value domain) against a brute-force sliding reference
+    val days = (0 until 120).filter(_ => rnd.nextBoolean())
+    val series = days.map(d => (d.toLong, (rnd.nextInt(7) * 25).toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("d").rangeBetween(-(Queries.RollMedDays - 1L), 0L)
+    val got = series.toDF("d", "c")
+      .withColumn("vals", sort_array(collect_list(col("c")).over(w)))
+      .withColumn("n", size(col("vals")).cast("long"))
+      .withColumn("med", expr(
+        """CASE WHEN n % 2 = 1
+                THEN CAST(element_at(vals, CAST((n + 1) div 2 AS INT)) AS DOUBLE)
+                ELSE (CAST(element_at(vals, CAST(n div 2 AS INT)) AS DOUBLE) +
+                      CAST(element_at(vals, CAST(n div 2 + 1 AS INT)) AS DOUBLE))
+                     / 2.0 END"""))
+      .select("d", "med").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    series.foreach { case (d, _) =>
+      val win = series.filter(p => p._1 >= d - (Queries.RollMedDays - 1) && p._1 <= d)
+        .map(_._2).sorted
+      val ref =
+        if (win.size % 2 == 1) win((win.size - 1) / 2).toDouble
+        else (win(win.size / 2 - 1).toDouble + win(win.size / 2).toDouble) / 2.0
+      assert(got(d) == ref, s"day $d: ${got(d)} != $ref over $win")
+    }
+  }
 }
