@@ -64,6 +64,37 @@ object Bench {
     // carries the GC time its timed runs paid and the heap high-water
     // they touched — an excursion with gc_ms ≈ the excess seconds is
     // JVM pressure, not a plan change.
+    // SparkListener task-metric forensics (VERDICT r15 item 5): the
+    // r15 in-suite 2.3x excursions on q198/q186 adjudicated clean but
+    // the MECHANISM stayed undiagnosed. Per-block EXECUTOR-side task
+    // aggregates (run time, task GC, spill, shuffle read) over exactly
+    // the timed runs let the artifact separate the two hypotheses with
+    // no re-run: inflated wall + flat task_ms = driver-side stall
+    // (GC/JIT/cleaner); inflated task_ms = the executors really did
+    // more work (cache miss, plan change, spill). Listener events are
+    // posted async, but forceEval's head() returns after job end and
+    // deltas are read per-block — residual lag is noise, not skew.
+    val taskAgg = new org.apache.spark.scheduler.SparkListener {
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+      val spillB = new java.util.concurrent.atomic.AtomicLong
+      val shufB = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shufB.addAndGet(m.shuffleReadMetrics.localBytesRead +
+            m.shuffleReadMetrics.remoteBytesRead)
+          ()
+        }
+      }
+      def snap: Seq[Long] =
+        Seq(taskMs.get, taskGcMs.get, spillB.get, shufB.get)
+    }
+    spark.sparkContext.addSparkListener(taskAgg)
     import scala.jdk.CollectionConverters._
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
@@ -90,11 +121,21 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       run() // untimed steady-state run at the target SF (JIT depth)
+      // collect the untimed run's debris BEFORE timing: the steady-state
+      // run rebuilds any memoized cache its query rides plus a full
+      // query's transient allocations, and on the heaviest blocks that
+      // garbage was being collected DURING the timed runs (r15: q198
+      // gc_ms 4613 over three timed runs, heap near the 8g ceiling) —
+      // paying it here moves the cost to untimed wall-clock, where it
+      // belongs
+      System.gc()
       // diagnostics cover exactly the three timed runs
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = gcNowMs
+      val task0 = taskAgg.snap
       val times = (1 to 3).map(_ => run())
       val gcMs = gcNowMs - gc0
+      val taskD = taskAgg.snap.zip(task0).map { case (a, b) => a - b }
       // sum of per-pool peaks (eden+survivor+old): an upper bound on the
       // true simultaneous high-water, but self-consistent across rows
       val heapPeakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576
@@ -105,8 +146,8 @@ object Bench {
       // tail capture truncated the single giant summary line in round 6
       // (BENCH_r06.json "parsed": null, 22/80 timings lost), and short
       // per-query lines can't fall off a byte-bounded tail the same way.
-      println(s"""{"query":"$name","sec":$sec,"gc_ms":$gcMs,"heap_peak_mb":$heapPeakMb}""")
-      name -> ((sec, gcMs, heapPeakMb))
+      println(s"""{"query":"$name","sec":$sec,"gc_ms":$gcMs,"heap_peak_mb":$heapPeakMb,"task_ms":${taskD(0)},"task_gc_ms":${taskD(1)},"spill_mb":${taskD(2) / 1048576},"shuffle_mb":${taskD(3) / 1048576}}""")
+      name -> ((sec, gcMs, heapPeakMb, taskD))
     }
     // Auto-adjudication (VERDICT r13 process item): every row whose
     // in-suite median exceeds 2x its BASELINE.md pin is re-run ISOLATED
@@ -124,7 +165,7 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val adjudicated = results.collect {
-      case (name, (sec, _, _))
+      case (name, (sec, _, _, _))
           if sec > 0 && pins.get(name).exists(p => sec > 2 * p) =>
         spark.catalog.clearCache()
         System.gc()
@@ -140,20 +181,26 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         run1() // untimed steady-state run, the suite protocol
+        System.gc() // the suite protocol's post-untimed collection
+        val task0 = taskAgg.snap
         val isoTimes = (1 to 3).map(_ => run1())
+        val taskD = taskAgg.snap.zip(task0).map { case (a, b) => a - b }
         val iso = if (isoFailed) -1.0 else isoTimes.sorted.apply(1)
-        println(s"""{"adjudicate":"$name","insuite_sec":$sec,"isolated_sec":$iso,"pin_sec":${pins(name)}}""")
-        name -> iso
+        // the isolated task_ms next to the in-suite task_ms (in diag) is
+        // the diagnosis: flat task_ms + inflated wall = driver-side
+        // stall; inflated task_ms = real executor work appeared in-suite
+        println(s"""{"adjudicate":"$name","insuite_sec":$sec,"isolated_sec":$iso,"pin_sec":${pins(name)},"iso_task_ms":${taskD(0)},"iso_task_gc_ms":${taskD(1)}}""")
+        name -> ((iso, taskD))
     }
-    val adjJson = adjudicated.map { case (k, iso) =>
-      s"""\"$k\":{"insuite_sec":${results(k)._1},"isolated_sec":$iso,"pin_sec":${pins(k)}}"""
+    val adjJson = adjudicated.map { case (k, v) =>
+      s"""\"$k\":{"insuite_sec":${results(k)._1},"isolated_sec":${v._1},"pin_sec":${pins(k)},"iso_task_ms":${v._2(0)},"iso_task_gc_ms":${v._2(1)}}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     // per-query diagnostics, file artifact only (the stdout line is
     // byte-bounded; the per-query lines above carry them for the tail)
     val diag = results.map { case (k, v) =>
-      s"""\"$k\":{"gc_ms":${v._2},"heap_peak_mb":${v._3}}"""
+      s"""\"$k\":{"gc_ms":${v._2},"heap_peak_mb":${v._3},"task_ms":${v._4(0)},"task_gc_ms":${v._4(1)},"spill_mb":${v._4(2) / 1048576},"shuffle_mb":${v._4(3) / 1048576}}"""
     }.mkString("{", ",", "}")
     // Stdout summary uses SHORT keys (the qNN prefix) and 3-decimal
     // seconds: the driver keeps only a byte-bounded tail of stdout, and

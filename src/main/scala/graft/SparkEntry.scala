@@ -273,6 +273,8 @@ object SparkEntry {
     "q254_pq_recall"          -> (Queries.pqRecall _),
     "q255_csv_roundtrip"      -> (Queries.csvRoundtrip _),
     "q256_rolling_median"     -> (Queries.rollingMedian _),
+    "q257_residual_recall"    -> (Queries.residualRecall _),
+    "q258_scd2_tracked_except" -> (Queries.scd2TrackedExcept _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -3394,16 +3396,27 @@ object Queries {
   // runs, engines, partitionings, and corpus growth (a doc never changes
   // split when new data arrives — the property random assignment lacks).
   // Reported as the per-(source, split) doc/token manifest.
+
+  /** The 80/10/10 split label as a pure function of a key column — the
+    * ONE definition behind q143 (assignment on doc_id), q250 (the
+    * leakage audit of that assignment) and q251 (the cluster-keyed
+    * fix). The audit's premise is that it measures EXACTLY the split
+    * the other two apply, so the hash family and thresholds must be a
+    * single point of change: three inline copies agreeing by
+    * coincidence is how a future threshold tweak silently invalidates
+    * the audit (VERDICT r15 item 6).
+    */
+  private[graft] def splitOf(key: Column): Column = {
+    val bucket = pmod(graft.functions.Sketches.keyHash(key), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.words(col("text"))).cast("long").as("tokens"),
-        pmod(graft.functions.Sketches.keyHash(col("doc_id")), lit(100L))
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
+        splitOf(col("doc_id")).as("split"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
       .orderBy("source", "split")
@@ -4534,6 +4547,30 @@ object Queries {
       keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id"),
       trackCols = Seq("event_type"))
       .select("user_id", "event_id", "event_type", "value",
+        "effective_from", "effective_to", "is_current")
+
+  // --- q258: SCD2 with EXCEPT-form history tracking ---------------------------------
+  // DLT's `track_history_except_column_list` (DimDate.py:19 — the last
+  // unclaimed reference feature, VERDICT r15 item 4): q185 names the
+  // columns that DO version; this names the ones that DON'T — the right
+  // form when the untracked set (measures, audit churn) is the smaller
+  // list, and safer under schema growth (a new payload column is
+  // tracked by default instead of silently un-versioned). Here `value`
+  // (the churning measure) is excepted, so the tracked set derives to
+  // {event_type, day}: a new validity interval opens when the type OR
+  // the activity day changes, while value churn only updates the
+  // current version in place (latest value wins, effective_from
+  // survives). The except list is load-bearing — without it every
+  // value change would open an interval and the build degenerates to
+  // q03's full versioning. Same single-shuffle posture as q185.
+  def scd2TrackedExcept(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2FromChangelogTrackedExcept(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), Cols.utcDate(col("ts")).as("day"), col("ts")),
+      keys = Seq("user_id"), seqCol = "ts", tieCols = Seq("event_id"),
+      exceptCols = Seq("value"))
+      .select("user_id", "event_id", "event_type", "value", "day",
         "effective_from", "effective_to", "is_current")
 
   // --- q187: triangle counting via degree orientation -----------------------------
@@ -6556,6 +6593,10 @@ object Queries {
   // label restricts candidates to probed lists AND delivers the tables.
   // Exactness: mean = exact-decimal sum → double ÷ count; every fold
   // fixed-order from 0.0; argmins tie-break on code/label/vec_id.
+  // Recall: measured by q257 — at THIS untrained 16-code geometry the
+  // residual encode reads recall@5 0.08 vs the raw codebook's 0.16
+  // (probe ceiling 0.98, so the codebook is the limiter); the encode
+  // PIPELINE is what this query gates, the recall row prices it.
   def ivfPqResidualSearch(spark: SparkSession, dir: String): DataFrame = {
     val subDim = graft.functions.Lsh.Dim / PqSub
     val emb = Tables.embeddings(spark, dir)
@@ -6674,13 +6715,7 @@ object Queries {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val split = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        pmod(graft.functions.Sketches.keyHash(col("doc_id")), lit(100L))
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
-      .select("doc_id", "split")
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
     verifiedPairs(spark, dir)
       .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
         "doc_a")
@@ -6752,8 +6787,14 @@ object Queries {
       StructField("l_extendedprice", DoubleType)))
     val back = Sources.csvWithRescue(spark, path, schema)
     back
-      .withColumn("l_orderkey",
-        when(col(Sources.RescueCol).isNull, col("l_orderkey"))
+      // the guard must ride a column the AGGREGATE consumes — attached to
+      // an unreferenced column (the first cut wrapped l_orderkey, which
+      // the groupBy/agg below never reads) Catalyst column pruning
+      // deletes the raise_error with the column and the "enforced
+      // in-plan" claim is silently false; Round16Spec pins raise_error
+      // present in the executed plan
+      .withColumn("l_quantity",
+        when(col(Sources.RescueCol).isNull, col("l_quantity"))
           .otherwise(raise_error(concat(
             lit("CSV round-trip rescued a row: "), col(Sources.RescueCol)))))
       .groupBy("l_returnflag")
@@ -6774,6 +6815,28 @@ object Queries {
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     recallAgainstExact(spark, dir,
       pqAdcTopK(spark, dir).select("query_id", "vec_id"))
+
+  // --- q257: residual-PQ recall (the q246 claim, measured) ------------------------------
+  // q254 reads recall 0.16 for the RAW 4×16 codebook and q246's whole
+  // reason to exist is "residual encoding spends the codes on local
+  // structure instead of re-encoding the centroid" — a claim that was
+  // never measured (VERDICT r15 item 3). Same harness, same exact-L2
+  // ground truth, same recall@k schema as q254; the candidate set is
+  // q246's probed residual-ADC top-k. Measured (sf0.01): recall@5
+  // 0.08 vs the raw codebook's 0.16 — the claim is REFUTED at this
+  // geometry, and the instrument says why: the coarse-probe ceiling
+  // (share of exact neighbors inside probed lists) reads 0.98, so
+  // nprobe is not the limiter — the 16-entry codebook is. q246 seeds
+  // its codebook with arbitrary corpus residuals (lowest vec_ids, not
+  // k-means over residuals), and 16 untrained codewords cover the
+  // near-isotropic residual cloud worse than they cover the raw
+  // vectors' global structure. The tuning lever this points at is a
+  // TRAINED residual codebook (the q59 k-means machinery) and/or a
+  // larger code budget — exactly the decision a recall instrument
+  // exists to price.
+  def residualRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir,
+      ivfPqResidualSearch(spark, dir).select("query_id", "vec_id"))
 
   /** Exact L2 top-k per query — the ANN ground truth. */
   private[graft] def exactL2TopK(spark: SparkSession, dir: String): DataFrame = {
@@ -6815,27 +6878,43 @@ object Queries {
   // standard log-free neighbors in the link-prediction literature).
   // Candidates come from wedges only (two edges sharing a middle
   // vertex) — never an all-pairs cross; existing edges anti-join out.
-  // The memoized support-≥2 edge frame (q92's graph) is the input; at
-  // power-law scale the wedge join takes the q187 degree-orientation /
-  // per-vertex-cap levers. Output: deterministic top-K by
+  // The memoized support-≥2 edge frame (q92's graph) is the input.
+  // Hub safety is ENFORCED, not argued (VERDICT r15 item 1): a middle
+  // vertex of degree d lands d² candidate rows on ONE wedge-join key,
+  // so middle vertices above LinkMaxMiddleDeg are quarantined whole —
+  // q92's maxBasketSize discipline, same rationale: a 10⁴-degree hub
+  // would put 10⁸ rows in one straggler task, and "everything
+  // co-occurs with a hub" is popularity noise, not link evidence (the
+  // literature down-weights hub-mediated wedges — Adamic–Adar's 1/log
+  // deg — this drops them at an explicit bound). Per-join-key work is
+  // ≤ LinkMaxMiddleDeg² by construction; hub degrees still count for
+  // pref_attach (degree itself is one cheap hash-agg). The cap is far
+  // above the fixture's max middle degree (13 at sf0.01, 6 at sf0.1)
+  // AND mirrored in the oracle SQL, so semantics agree at every SF by
+  // construction, binding or not. Output: deterministic top-K by
   // (cn, pref_attach, item_a, item_b).
   val LinkTopK = 50
+  val LinkMaxMiddleDeg = 256L
 
   def linkPrediction(spark: SparkSession, dir: String): DataFrame =
     linkPredictionFrom(
       copurchaseEdges(spark, dir)
         .filter(col("n_baskets") >= CoMinSupport)
         .select(col("item_a").as("a"), col("item_b").as("b")),
-      LinkTopK)
+      LinkTopK, LinkMaxMiddleDeg)
 
   /** The wedge-candidate link scorer over any undirected (a < b) edge
-    * frame — factored so the spec can drive it with planted graphs.
+    * frame — factored so the spec can drive it with planted graphs
+    * (incl. a planted hub asserting the quarantine bound).
     */
-  private[graft] def linkPredictionFrom(e: DataFrame, topK: Int): DataFrame = {
+  private[graft] def linkPredictionFrom(e: DataFrame, topK: Int,
+                                        maxMiddleDeg: Long): DataFrame = {
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
-    val cand = und.select(col("a").as("m"), col("b").as("x"))
-      .join(und.select(col("a").as("m2"), col("b").as("y")),
+    val mid = und.join(
+      deg.filter(col("deg") <= maxMiddleDeg).select("a"), Seq("a"), "left_semi")
+    val cand = mid.select(col("a").as("m"), col("b").as("x"))
+      .join(mid.select(col("a").as("m2"), col("b").as("y")),
         col("m") === col("m2"))
       .filter(col("x") < col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("common_neighbors"))
@@ -6899,12 +6978,7 @@ object Queries {
                                         dir: String): DataFrame =
     dedupDecisionTable(spark, dir)
       .select(col("doc_id"), col("cluster_id"),
-        pmod(graft.functions.Sketches.keyHash(col("cluster_id")), lit(100L))
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
-      .select("doc_id", "cluster_id", "split")
+        splitOf(col("cluster_id")).as("split"))
 
   // --- q249: IVM under a DIMENSION change ------------------------------------------------
   // The other half of join-view maintenance (q247 handles fact deltas):
@@ -6962,20 +7036,38 @@ object Queries {
   // browse run (views/clicks only — an error or signup breaks it),
   // ending in a purchase. Greedy leftmost non-overlapping semantics are
   // identical in Java regex and RE2 for this backreference-free class.
-  // One keyed shuffle builds the per-user string (bounded by per-user
-  // event counts — the q148/q75 sequence-budget argument); the match is
-  // map-side. Report: matches, matched length, longest run per user.
+  // One keyed shuffle builds the per-user string; per-user state is
+  // BOUNDED by an enforced cap (VERDICT r15 item 2), not by the
+  // sequence-budget argument alone: users with more than
+  // JourneyMaxEvents events are quarantined WHOLE before the string
+  // build — one 10⁷-event bot would otherwise concentrate a 10 MB
+  // string + regex scan in a single task (q92's maxBasketSize failure
+  // mode), and a bot's "journeys" are crawler noise, not funnels. The
+  // cap rides a window count on the SAME user_id hash-partitioning the
+  // sequence agg needs (no extra exchange, counting is streaming — the
+  // bot's rows never materialize as an array), it is far above any
+  // organic fixture user (max 99 events at sf0.1), and the oracle
+  // enforces the SAME rule, so semantics agree at every SF whether or
+  // not it binds. The match is map-side. Report: matches, matched
+  // length, longest run per user.
   val JourneyRe = "v[vc]*p"
+  val JourneyMaxEvents = 8192L
 
   def patternMatch(spark: SparkSession, dir: String): DataFrame =
     journeyReport(Tables.events(spark, dir)).orderBy("user_id")
 
   /** The pattern-match core over any (user_id, ts, event_id, event_type)
-    * frame — factored so the spec can drive it with planted sequences.
+    * frame — factored so the spec can drive it with planted sequences
+    * (incl. a planted over-cap bot asserting whole-user quarantine).
     */
-  private[graft] def journeyReport(events: DataFrame): DataFrame = {
+  private[graft] def journeyReport(events: DataFrame,
+                                   maxEvents: Long = JourneyMaxEvents): DataFrame = {
     val lens = "transform(m, x -> cast(length(x) as bigint))"
     events
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("__n") <= maxEvents)
+      .drop("__n")
       .groupBy("user_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"),
@@ -8333,14 +8425,17 @@ object Oracles {
           GROUP BY 1, 2""",
 
     // q248 — the same ordered type string (string_agg ORDER BY ts,
-    // event_id ≡ the array_sort struct walk) and the same RE2/Java-
-    // agreeing greedy non-overlapping extraction.
+    // event_id ≡ the array_sort struct walk), the same enforced
+    // per-user event cap (whole-user quarantine — semantics agree at
+    // every SF whether or not it binds) and the same RE2/Java-agreeing
+    // greedy non-overlapping extraction.
     "q248_pattern_match" -> {
       val lens = "list_transform(ms, x -> CAST(len(x) AS BIGINT))"
       s"""WITH s AS (SELECT user_id,
                  string_agg(substring(event_type, 1, 1), ''
                             ORDER BY ts, event_id) AS s
-               FROM events GROUP BY 1),
+               FROM events GROUP BY 1
+               HAVING COUNT(*) <= ${Queries.JourneyMaxEvents}),
           m AS (SELECT user_id,
                        regexp_extract_all(s, '${Queries.JourneyRe}') AS ms
                 FROM s)
@@ -8359,93 +8454,44 @@ object Oracles {
     // tie-broken on code), L2-to-mean probe (tie on label), per-(query,
     // probed-list) LUTs, per-subspace MIN-CASE pivot fixing the 4-term
     // addition order, vec_id tiebreak on the final rank.
-    "q246_ivf_pq_residual" -> {
+    "q246_ivf_pq_residual" ->
+      s"""WITH $resAdcRankedCtes
+          SELECT query_id, rank, vec_id, adc_dist2 FROM radck
+          WHERE rank <= ${Queries.AnnK}""",
+
+    // q257 — the residual chain's OWN recall row (q254 measures the raw
+    // codebook; this measures what q246 claims to fix): the shared
+    // residual-ADC ranked CTE against the same exact-L2 ground truth.
+    "q257_residual_recall" -> {
       import graft.functions.Lsh.Dim
-      val subDim = Dim / Queries.PqSub
-      val adcSum = (0 until Queries.PqSub).map(i =>
-        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
-      s"""WITH emb AS (SELECT vec_id, label,
-                              list_transform(embedding,
-                                x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-          corp AS (SELECT vec_id, label, v FROM emb
-                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
-          mean AS (SELECT label, array_agg(m ORDER BY i) AS centroid FROM (
-                     SELECT label, i,
-                            CAST(SUM(CAST(floor(v[i] *
-                                ${operators.Ivf.MeanQuantScale}) AS BIGINT))
-                              AS DOUBLE)
-                              / CAST(COUNT(*) *
-                                  ${operators.Ivf.MeanQuantScale} AS DOUBLE)
-                              AS m
-                     FROM corp, (SELECT unnest(generate_series(1, $Dim)) AS i) g
-                     GROUP BY 1, 2)
-                   GROUP BY label),
-          res AS (SELECT vec_id, corp.label,
-                         list_transform(generate_series(1, $Dim),
-                           i -> v[i] - centroid[i]) AS r
-                  FROM corp JOIN mean USING (label)),
-          cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
-                          - 1 AS code, r
-                 FROM (SELECT vec_id, r FROM res
-                       ORDER BY vec_id LIMIT ${Queries.PqCodes})),
-          sp AS (SELECT CAST(unnest(generate_series(0, ${Queries.PqSub - 1}))
-                   AS INT) AS subspace),
-          cents AS (SELECT sp.subspace, cb.code,
-                           list_slice(r, sp.subspace * $subDim + 1,
-                                      (sp.subspace + 1) * $subDim) AS cent
-                    FROM cb, sp),
-          sub AS (SELECT vec_id, label, sp.subspace,
-                         list_slice(r, sp.subspace * $subDim + 1,
-                                    (sp.subspace + 1) * $subDim) AS sv
-                  FROM res, sp),
-          scoredc AS (SELECT vec_id, label, sub.subspace, code,
-                             list_reduce(list_transform(
-                               generate_series(1, $subDim),
-                               i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
-                               (a, b) -> a + b) AS d2
-                      FROM sub JOIN cents ON sub.subspace = cents.subspace),
-          codes AS (SELECT vec_id, label, subspace, code FROM (
-                      SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-                                 ORDER BY d2, code) AS rn
-                      FROM scoredc)
-                    WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, v FROM emb
-                WHERE vec_id < ${Queries.AnnQueryMaxId}),
-          qd AS (SELECT query_id, label,
-                        list_reduce(list_transform(generate_series(1, $Dim),
-                          i -> (v[i] - centroid[i]) * (v[i] - centroid[i])),
-                          (a, b) -> a + b) AS cd2,
-                        list_transform(generate_series(1, $Dim),
-                          i -> v[i] - centroid[i]) AS qr
-                 FROM q, mean),
-          pr AS (SELECT query_id, label, qr FROM (
-                   SELECT *, row_number() OVER (PARTITION BY query_id
-                              ORDER BY cd2, label) AS lr
-                   FROM qd)
-                 WHERE lr <= ${Queries.IvfNProbe}),
-          qsub AS (SELECT query_id, label, sp.subspace,
-                          list_slice(qr, sp.subspace * $subDim + 1,
-                                     (sp.subspace + 1) * $subDim) AS qsv
-                   FROM pr, sp),
-          lut AS (SELECT query_id, label, qsub.subspace, code,
-                         list_reduce(list_transform(
-                           generate_series(1, $subDim),
-                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
-                           (a, b) -> a + b) AS d2
-                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
-          j AS (SELECT lut.query_id, codes.vec_id, codes.subspace, d2
-                FROM codes JOIN lut ON lut.label = codes.label
-                                   AND lut.subspace = codes.subspace
-                                   AND lut.code = codes.code),
-          sq AS (SELECT query_id, vec_id, $adcSum AS adc_dist2
-                 FROM j GROUP BY 1, 2)
-          SELECT query_id, rank, vec_id, adc_dist2 FROM (
-            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
-            FROM sq)
-          WHERE rank <= ${Queries.AnnK}"""
+      s"""WITH $resAdcRankedCtes,
+          corpv AS (SELECT vec_id, v FROM emb
+                    WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          exact AS (SELECT q.query_id, corpv.vec_id,
+                           list_reduce(list_transform(
+                             generate_series(1, $Dim),
+                             i -> (q.v[i] - corpv.v[i]) *
+                                  (q.v[i] - corpv.v[i])),
+                             (a, b) -> a + b) AS d2
+                    FROM q, corpv),
+          ext AS (SELECT query_id, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) AS rk
+                    FROM exact)
+                  WHERE rk <= ${Queries.AnnK}),
+          hits AS (SELECT e.query_id,
+                          CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_hits
+                   FROM ext e LEFT JOIN (SELECT query_id, vec_id FROM radck
+                                         WHERE rank <= ${Queries.AnnK}) a
+                     ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+                   GROUP BY 1)
+          SELECT query_id, n_hits,
+                 CAST(n_hits AS DOUBLE) / ${Queries.AnnK} AS recall
+          FROM hits"""
     },
+
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of
     // subspace distances (list_reduce fold ≡ the driver's fold from
@@ -9292,8 +9338,10 @@ object Oracles {
 
     // q253 — the same support-≥2 edge set (CoMaxBasket is non-binding on
     // the fixture, as for every co-purchase oracle), wedges through a
-    // shared middle vertex, existing edges removed, the deterministic
-    // four-key ordering.
+    // shared middle vertex with the SAME enforced middle-degree
+    // quarantine as the engine (LinkMaxMiddleDeg — semantics agree at
+    // every SF whether or not the cap binds), existing edges removed,
+    // the deterministic four-key ordering.
     "q253_link_prediction" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS bkt, l_partkey AS i
                          FROM lineitem),
@@ -9302,8 +9350,10 @@ object Oracles {
                 GROUP BY 1, 2 HAVING COUNT(*) >= ${Queries.CoMinSupport}),
           und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
           deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY 1),
+          mid AS (SELECT und.a, und.b FROM und JOIN deg ON und.a = deg.a
+                  WHERE deg.deg <= ${Queries.LinkMaxMiddleDeg}),
           cand AS (SELECT u1.b AS x, u2.b AS y, COUNT(*) AS common_neighbors
-                   FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+                   FROM mid u1 JOIN mid u2 ON u1.a = u2.a AND u1.b < u2.b
                    GROUP BY 1, 2),
           ne AS (SELECT cand.x, cand.y, cand.common_neighbors
                  FROM cand LEFT JOIN e ON cand.x = e.a AND cand.y = e.b
@@ -11632,6 +11682,46 @@ object Oracles {
                    AS is_current
           FROM v""",
 
+    // q258 — q185's collapse with the COMPLEMENT tracked set {event_type,
+    // day}: a run opens when either tracked column differs null-safely
+    // from the previous row's; the excepted `value` only rides last_value
+    "q258_scd2_tracked_except" ->
+      """WITH c AS (
+           SELECT user_id, event_id, event_type, value,
+                  CAST(ts AS DATE) AS day, ts,
+                  CASE WHEN event_type IS NOT DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                        AND CAST(ts AS DATE) IS NOT DISTINCT FROM
+                            lag(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id)
+                       THEN 0 ELSE 1 END AS opens
+           FROM events),
+          r AS (
+           SELECT *, SUM(opens) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+           FROM c),
+          v AS (
+           SELECT DISTINCT user_id, run,
+                  MIN(ts) OVER w AS effective_from,
+                  last_value(event_id) OVER w AS event_id,
+                  last_value(event_type) OVER w AS event_type,
+                  last_value(value) OVER w AS value,
+                  last_value(day) OVER w AS day
+           FROM r
+           WINDOW w AS (PARTITION BY user_id, run ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING))
+          SELECT user_id, event_id, event_type, value, day, effective_from,
+                 lead(effective_from) OVER (PARTITION BY user_id
+                                            ORDER BY effective_from)
+                   AS effective_to,
+                 (lead(effective_from) OVER (PARTITION BY user_id
+                                             ORDER BY effective_from) IS NULL)
+                   AS is_current
+          FROM v""",
+
     "q186_pagerank_deep" -> {
       val s = Queries.PrScale
       val base = 15L * s / 100L
@@ -11910,6 +12000,98 @@ object Oracles {
     * vec_id, adc_dist2, rank) — shared by the q237 gate and q254's
     * recall harness, which compares it against the exact top-k.
     */
+  /** The q246 residual IVF-PQ chain as a shared ranked CTE list
+    * (ending in `radck`, the per-query ADC ranking) — q246's top-k
+    * gate and q257's recall instrument must score the SAME chain, so
+    * it is one definition, the pqAdcRankedCtes pattern.
+    */
+  private lazy val resAdcRankedCtes: String = {
+      import graft.functions.Lsh.Dim
+      val subDim = Dim / Queries.PqSub
+      val adcSum = (0 until Queries.PqSub).map(i =>
+        s"MIN(CASE WHEN subspace = $i THEN d2 END)").mkString(" + ")
+      s"""emb AS (SELECT vec_id, label,
+                              list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+          corp AS (SELECT vec_id, label, v FROM emb
+                   WHERE vec_id >= ${Queries.AnnQueryMaxId}),
+          mean AS (SELECT label, array_agg(m ORDER BY i) AS centroid FROM (
+                     SELECT label, i,
+                            CAST(SUM(CAST(floor(v[i] *
+                                ${operators.Ivf.MeanQuantScale}) AS BIGINT))
+                              AS DOUBLE)
+                              / CAST(COUNT(*) *
+                                  ${operators.Ivf.MeanQuantScale} AS DOUBLE)
+                              AS m
+                     FROM corp, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+                     GROUP BY 1, 2)
+                   GROUP BY label),
+          res AS (SELECT vec_id, corp.label,
+                         list_transform(generate_series(1, $Dim),
+                           i -> v[i] - centroid[i]) AS r
+                  FROM corp JOIN mean USING (label)),
+          cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                          - 1 AS code, r
+                 FROM (SELECT vec_id, r FROM res
+                       ORDER BY vec_id LIMIT ${Queries.PqCodes})),
+          sp AS (SELECT CAST(unnest(generate_series(0, ${Queries.PqSub - 1}))
+                   AS INT) AS subspace),
+          cents AS (SELECT sp.subspace, cb.code,
+                           list_slice(r, sp.subspace * $subDim + 1,
+                                      (sp.subspace + 1) * $subDim) AS cent
+                    FROM cb, sp),
+          sub AS (SELECT vec_id, label, sp.subspace,
+                         list_slice(r, sp.subspace * $subDim + 1,
+                                    (sp.subspace + 1) * $subDim) AS sv
+                  FROM res, sp),
+          scoredc AS (SELECT vec_id, label, sub.subspace, code,
+                             list_reduce(list_transform(
+                               generate_series(1, $subDim),
+                               i -> (sv[i] - cent[i]) * (sv[i] - cent[i])),
+                               (a, b) -> a + b) AS d2
+                      FROM sub JOIN cents ON sub.subspace = cents.subspace),
+          codes AS (SELECT vec_id, label, subspace, code FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, code) AS rn
+                      FROM scoredc)
+                    WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v FROM emb
+                WHERE vec_id < ${Queries.AnnQueryMaxId}),
+          qd AS (SELECT query_id, label,
+                        list_reduce(list_transform(generate_series(1, $Dim),
+                          i -> (v[i] - centroid[i]) * (v[i] - centroid[i])),
+                          (a, b) -> a + b) AS cd2,
+                        list_transform(generate_series(1, $Dim),
+                          i -> v[i] - centroid[i]) AS qr
+                 FROM q, mean),
+          pr AS (SELECT query_id, label, qr FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cd2, label) AS lr
+                   FROM qd)
+                 WHERE lr <= ${Queries.IvfNProbe}),
+          qsub AS (SELECT query_id, label, sp.subspace,
+                          list_slice(qr, sp.subspace * $subDim + 1,
+                                     (sp.subspace + 1) * $subDim) AS qsv
+                   FROM pr, sp),
+          lut AS (SELECT query_id, label, qsub.subspace, code,
+                         list_reduce(list_transform(
+                           generate_series(1, $subDim),
+                           i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i])),
+                           (a, b) -> a + b) AS d2
+                  FROM qsub JOIN cents ON qsub.subspace = cents.subspace),
+          j AS (SELECT lut.query_id, codes.vec_id, codes.subspace, d2
+                FROM codes JOIN lut ON lut.label = codes.label
+                                   AND lut.subspace = codes.subspace
+                                   AND lut.code = codes.code),
+          sq AS (SELECT query_id, vec_id, $adcSum AS adc_dist2
+                 FROM j GROUP BY 1, 2),
+          radck AS (SELECT query_id, vec_id, adc_dist2,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+                    FROM sq)"""
+    }
+
   private lazy val pqAdcRankedCtes: String = {
     val subDim = graft.functions.Lsh.Dim / Queries.PqSub
     val adcSum = (0 until Queries.PqSub).map(i =>

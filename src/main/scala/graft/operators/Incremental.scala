@@ -59,9 +59,14 @@ object Incremental {
   /** Partial aggregate of a SIGNED delta (the z-set/DBSP change shape:
     * inserts carry sign +1, retractions −1). Per key it emits Σ sign as
     * `countCol` and, for each `(name, valueExpr)`, Σ(±valueExpr) as
-    * `name` — computed as `CASE sign WHEN +1 THEN v ELSE −v` so the
-    * aggregate keeps the value expression's own type (a DECIMAL money
-    * column stays exact decimal, never widened by a sign multiply).
+    * `name` — computed as `CASE WHEN sign>0 THEN v WHEN sign<0 THEN −v END`
+    * so the aggregate keeps the value expression's own type (a DECIMAL
+    * money column stays exact decimal, never widened by a sign multiply)
+    * AND a sign outside {−1, +1} is a NO-OP on both aggregates: the
+    * count adds 0 and the value CASE yields null, which sum() drops —
+    * the two can never disagree (an `otherwise(−v)` here would book a
+    * sign-0 row's value as a retraction while the count ignored it,
+    * corrupting the view below the underflow fail-fast's radar).
     * One hash-agg over the delta only; output is delta-keyspace-sized.
     */
   def signedPartial(delta: DataFrame, keys: Seq[String], sign: Column,
@@ -70,7 +75,7 @@ object Incremental {
     delta.groupBy(keys.map(col): _*)
       .agg(sum(sign.cast("long")).as(countCol),
         sums.map { case (n, v) =>
-          sum(when(sign > 0, v).otherwise(-v)).as(n)
+          sum(when(sign > 0, v).when(sign < 0, -v)).as(n)
         }: _*)
 
   /** Signed-delta incremental view maintenance: fold `deltaPartial`

@@ -132,6 +132,45 @@ object Scd {
     scd2TrackedCore(df.withColumn("__from", col(seqCol)),
       keys, seqCol, tieCols, trackCols)
 
+  /** DLT's `track_history_except_column_list` (reference:
+    * local_spotify_dab/src/gold/spotify_etl/transformations/DimDate.py:19
+    * and the other gold dims) — the COMPLEMENT form of
+    * [[scd2FromChangelogTracked]]: track every payload column EXCEPT the
+    * listed ones. The tracked set is derived structurally — all columns
+    * minus keys, the sequence/tie columns (ordering metadata, tracking
+    * them would degenerate to full versioning since they change every
+    * row) and `exceptCols` — so adding a payload column to the frame
+    * automatically tracks it, which is exactly the contract that makes
+    * the EXCEPT form the right call when the untracked set (audit
+    * timestamps, measures) is the smaller, stabler list.
+    */
+  def scd2FromChangelogTrackedExcept(df: DataFrame, keys: Seq[String],
+                                     seqCol: String, tieCols: Seq[String],
+                                     exceptCols: Seq[String]): DataFrame =
+    scd2FromChangelogTracked(df, keys, seqCol, tieCols,
+      complementTrack(df.columns, keys, seqCol, tieCols, exceptCols))
+
+  /** The merge-shape twin of [[scd2FromChangelogTrackedExcept]] — the
+    * complement is computed on the UPDATE batch's columns (the history
+    * side carries the same payload plus validity metadata).
+    */
+  def scd2MergeTrackedExcept(history: DataFrame, updates: DataFrame,
+                             keys: Seq[String], seqCol: String,
+                             tieCols: Seq[String],
+                             exceptCols: Seq[String]): DataFrame =
+    scd2MergeTracked(history, updates, keys, seqCol, tieCols,
+      complementTrack(updates.columns, keys, seqCol, tieCols, exceptCols))
+
+  private def complementTrack(cols: Array[String], keys: Seq[String],
+                              seqCol: String, tieCols: Seq[String],
+                              exceptCols: Seq[String]): Seq[String] = {
+    val excluded = (keys ++ (seqCol +: tieCols) ++ exceptCols).toSet
+    val track = cols.filterNot(excluded).toSeq
+    require(track.nonEmpty,
+      s"except-list $exceptCols leaves no tracked columns on ${cols.toSeq}")
+    track
+  }
+
   /** Incremental fold of an update batch into a TRACKED SCD2 history
     * (the merge-shape twin of [[scd2Merge]]): only keys present in the
     * batch are rebuilt — their version rows re-enter the collapse as

@@ -20,8 +20,9 @@ import graft.sources.Snapshots
   * txnVersion` pattern without a table format. A replayed batch
   * (batchId below the stored marker) rewrites the touched buckets
   * unchanged. The marker's bucket is forced into every batch's touched
-  * set by a zero-signed probe row, so the marker is always read and
-  * re-committed together with the data.
+  * set by a probe row (sign zeroed AND filtered out of the aggregate
+  * domain before it can reach the view), so the marker is always read
+  * and re-committed together with the data.
   *
   * Underflow (a retraction of rows the view never held) fails the batch
   * via [[Incremental.applySignedDelta]]'s raise_error — the stream stops
@@ -65,10 +66,14 @@ object IvmSink {
     }
 
     // a zero-signed probe row on the marker key forces the marker's
-    // bucket into the touched set (it aggregates to count 0 inside
-    // signedPartial's filtered domain — it never reaches the view)
+    // bucket into the touched set. Two independent guards keep it out of
+    // the view: partial() filters MarkerKey rows before aggregating, and
+    // the sign really IS zeroed — signedPartial books sign-0 rows as
+    // no-ops on both aggregates — so a refactor dropping either guard
+    // alone still cannot fold the probe's value into the marker bucket.
     val probe = batch.limit(1)
       .withColumn(keyCol, lit(MarkerKey).cast(batch.schema(keyCol).dataType))
+      .withColumn(signCol, lit(0).cast(batch.schema(signCol).dataType))
     val updates = batch.unionByName(probe)
 
     Snapshots.mergeCommitBuckets(updates, path, Seq(keyCol), buckets)(

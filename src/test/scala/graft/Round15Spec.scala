@@ -424,7 +424,8 @@ class Round15Spec extends AnyFunSuite {
     //   existing edges never appear
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
       .toDF("a", "b")
-    val got = Queries.linkPredictionFrom(e, 10).collect()
+    val got = Queries.linkPredictionFrom(e, 10, Queries.LinkMaxMiddleDeg)
+      .collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(got.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)))
     // degrees: 1→3, 2→2, 3→2, 4→2, 5→1

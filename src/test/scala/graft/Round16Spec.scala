@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Incremental, Scd}
+
+/** Round-16 contracts: the q255 rescue guard is ALIVE in the executed
+  * plan (not pruned — ADVICE r15), signed-delta algebra treats an
+  * out-of-domain sign as a no-op on BOTH aggregates, the IvmSink
+  * marker/probe protocol drilled through direct batch calls, q253's
+  * enforced middle-vertex quarantine (planted hub + fixture
+  * non-bindingness), q248's enforced per-user event cap (planted bot +
+  * fixture non-bindingness), and the q258 EXCEPT-form tracked SCD2
+  * (complement equivalence, value-churn collapse, merge ≡ rebuild,
+  * redelivery idempotence, q115-style validity audit).
+  */
+class Round16Spec extends AnyFunSuite {
+  import TestSession._
+
+  // --- q255: the in-plan rescue guard (ADVICE r15 medium) -------------------
+
+  test("q255: raise_error guard survives column pruning into the executed plan") {
+    val plan = SparkEntry.queries("q255_csv_roundtrip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("raise_error"),
+      "the rescue guard was pruned out of the executed plan — it must ride " +
+        "a column the aggregate consumes")
+  }
+
+  // --- signed-delta algebra: sign ∉ {−1,+1} is a NO-OP (ADVICE r15 low) -----
+
+  test("signedPartial: a zero sign contributes to neither the count nor the sums") {
+    import spark.implicits._
+    val delta = Seq((1L, 10.0, 1), (1L, 20.0, 0), (1L, 30.0, -1))
+      .toDF("k", "v", "s")
+    val r = Incremental.signedPartial(delta, Seq("k"), col("s"), "n",
+      Seq("sv" -> col("v"))).collect().head
+    // +1 and −1 cancel; the stray sign-0 row is invisible to BOTH
+    // aggregates (before the fix its value was booked as a retraction
+    // while the count ignored it — silently corrupting the view)
+    assert(r.getAs[Long]("n") == 0L, s"count saw the sign-0 row: $r")
+    assert(r.getAs[Double]("sv") == -20.0, s"sums saw the sign-0 row: $r")
+  }
+
+  // --- IvmSink: marker protocol drilled via direct batch calls --------------
+
+  test("IvmSink: view matches signed recompute, marker carries only the high-water, replay is a no-op") {
+    import spark.implicits._
+    val path = tempDir("ivmsink16_") + "/view"
+    val sink = graft.streaming.IvmSink.signedView(
+      path, "k", "s", "n", Seq("tv" -> col("v"))) _
+    val b0 = Seq((1L, 5.0, 1), (2L, 7.0, 1)).toDF("k", "v", "s")
+    val b1 = Seq((1L, 5.0, -1), (2L, 1.0, 1)).toDF("k", "v", "s")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    def viewRows = graft.streaming.IvmSink.readView(spark, path, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // key 1 retracted to count 0 → vanishes; key 2 accumulates
+    assert(viewRows == Set((2L, 2L, 8.0)), viewRows.toString)
+    // the marker row holds batchId+1 and ZERO in every sum column — the
+    // probe row (sign zeroed + filtered) can never fold value into it
+    val marker = graft.sources.Snapshots.read(spark, path)
+      .filter(col("k") === graft.streaming.IvmSink.MarkerKey)
+      .collect()
+    assert(marker.length == 1 && marker.head.getLong(1) == 2L &&
+      marker.head.getDouble(2) == 0.0, marker.mkString(","))
+    sink(b1, 1L) // at-least-once redelivery of a committed batch
+    assert(viewRows == Set((2L, 2L, 8.0)), "replayed batch was re-applied")
+  }
+
+  // --- q253: enforced middle-vertex quarantine ------------------------------
+
+  test("q253: a hub middle vertex above the cap is quarantined whole; bounded wedges survive") {
+    import spark.implicits._
+    // star: spokes 1..10 all meet at hub 100 (deg 10); plus an
+    // independent wedge 201–202–203 (middle deg 2)
+    val edges = ((1L to 10L).map(i => (i, 100L)) ++
+      Seq((201L, 202L), (202L, 203L))).toDF("a", "b")
+    val capped = Queries.linkPredictionFrom(edges, topK = 100, maxMiddleDeg = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hub-mediated spoke pairs are gone; the bounded wedge remains, and
+    // pref_attach still uses TRUE degrees (quarantine bounds wedge
+    // enumeration, not the degree table)
+    assert(capped.toSeq == Seq((201L, 203L, 1L, 1L)), capped.mkString(","))
+    val uncapped = Queries.linkPredictionFrom(edges, topK = 100,
+      maxMiddleDeg = 100L).collect()
+    // cap lifted: the hub mediates all C(10,2) spoke pairs again
+    assert(uncapped.length == 45 + 1, uncapped.length.toString)
+  }
+
+  test("q253: LinkMaxMiddleDeg is non-binding on the fixture co-purchase graph") {
+    val e = Queries.copurchaseEdges(spark, sf)
+      .filter(col("n_baskets") >= Queries.CoMinSupport)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+    val maxDeg = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head().getLong(0)
+    assert(maxDeg <= Queries.LinkMaxMiddleDeg,
+      s"fixture max degree $maxDeg exceeds the quarantine cap — the gate " +
+        "output would change; re-derive the cap")
+  }
+
+  // --- q248: enforced per-user event cap ------------------------------------
+
+  test("q248: an over-cap bot user is quarantined whole; organic users are untouched") {
+    import spark.implicits._
+    val organic = Seq((2L, 1L, 10L, "view"), (2L, 2L, 11L, "purchase"))
+    val bot = (1L to 6L).map(i => (1L, i + 10L, i, "view"))
+    val df = (organic ++ bot).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Queries.journeyReport(df, maxEvents = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bot (6 events > cap 5) dropped WHOLE — not truncated; organic user
+    // 2's v→p journey matches
+    assert(got.toSeq == Seq((2L, 1L, 2L, 2L)), got.mkString(","))
+  }
+
+  test("q248: JourneyMaxEvents is non-binding on the fixture event stream") {
+    val maxN = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxN <= Queries.JourneyMaxEvents,
+      s"fixture max per-user events $maxN exceeds the cap — the gate " +
+        "output would change; re-derive the cap")
+  }
+
+  // --- q258: EXCEPT-form tracked SCD2 ---------------------------------------
+
+  private def exceptSlice = Tables.events(spark, sf)
+    .select(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), Cols.utcDate(col("ts")).as("day"), col("ts"))
+
+  test("q258: except-form equals include-form with the complement track list") {
+    val viaExcept = Scd.scd2FromChangelogTrackedExcept(exceptSlice,
+      Seq("user_id"), "ts", Seq("event_id"), exceptCols = Seq("value"))
+    val viaInclude = Scd.scd2FromChangelogTracked(exceptSlice,
+      Seq("user_id"), "ts", Seq("event_id"),
+      trackCols = Seq("event_type", "day"))
+    assert(viaExcept.exceptAll(viaInclude).count() == 0 &&
+      viaInclude.exceptAll(viaExcept).count() == 0)
+  }
+
+  test("q258: value-only churn updates the current version in place") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val changelog = Seq(
+      (1L, 10L, "a", 1.0, d0, 100L),
+      (1L, 11L, "a", 2.0, d0, 200L),
+      (1L, 12L, "a", 3.0, d0, 300L))
+      .toDF("user_id", "event_id", "event_type", "value", "day", "ts")
+    val got = Scd.scd2FromChangelogTrackedExcept(changelog,
+      Seq("user_id"), "ts", Seq("event_id"), exceptCols = Seq("value"))
+      .collect()
+    // tracked tuple (event_type, day) never changes → ONE version whose
+    // excepted value is the LATEST, effective_from the run's opening seq
+    assert(got.length == 1, got.mkString(","))
+    val r = got.head
+    assert(r.getAs[Double]("value") == 3.0 &&
+      r.getAs[Long]("effective_from") == 100L &&
+      r.getAs[Boolean]("is_current"), r.toString)
+  }
+
+  test("q258: incremental merge fold ≡ full rebuild; redelivery is idempotent") {
+    val slice = exceptSlice
+    val cut = lit(Queries.SplitTs).cast("timestamp")
+    val b1 = slice.filter(col("ts") < cut)
+    val b2 = slice.filter(col("ts") >= cut)
+    val keys = Seq("user_id")
+    val h1 = Scd.scd2FromChangelogTrackedExcept(b1, keys, "ts",
+      Seq("event_id"), Seq("value"))
+    val folded = Scd.scd2MergeTrackedExcept(h1, b2, keys, "ts",
+      Seq("event_id"), Seq("value"))
+    val rebuilt = Scd.scd2FromChangelogTrackedExcept(slice, keys, "ts",
+      Seq("event_id"), Seq("value"))
+    assert(folded.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(folded).count() == 0)
+    val redelivered = Scd.scd2MergeTrackedExcept(folded, b2, keys, "ts",
+      Seq("event_id"), Seq("value"))
+    assert(redelivered.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(redelivered).count() == 0)
+  }
+
+  test("q258: validity audit — no overlaps, no gaps, exactly one current per key") {
+    val scd = Queries.scd2TrackedExcept(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("effective_from"), col("event_id"))
+    val bad = scd
+      .withColumn("__prev_to", lag(col("effective_to"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("__prev_to") > col("effective_from"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("__prev_to") < col("effective_from"), 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
+      .filter(col("n_overlaps") > 0 || col("n_gaps") > 0 ||
+        col("n_current") =!= 1)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+}
