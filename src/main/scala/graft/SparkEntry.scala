@@ -277,6 +277,10 @@ object SparkEntry {
     "q258_scd2_tracked_except" -> (Queries.scd2TrackedExcept _),
     "q259_pq_trained"         -> (Queries.pqTrainedSearch _),
     "q260_trained_recall"     -> (Queries.trainedRecall _),
+    "q261_compaction_plan"    -> (Queries.compactionPlan _),
+    "q262_sliding_hll"        -> (Queries.slidingHll _),
+    "q263_stream_interval_left" -> (Queries.streamedIntervalLeftJoin _),
+    "q264_budget_waterfill"   -> (Queries.budgetWaterfill _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6825,6 +6829,185 @@ object Queries {
       .orderBy("day")
   }
 
+  // --- q261: bucket compaction planner ----------------------------------------------------
+  // Lakehouse maintenance planned from METADATA only (the OPTIMIZE
+  // decision): the bucketed store's per-bucket row manifest is grouped
+  // into adjacent ~target-row compaction bins by the cumulative-offset
+  // rule (`sources/Compaction`) — small buckets coalesce, at-target
+  // buckets stand alone, the tail bin may honestly run under. The
+  // input is O(buckets) manifest rows whatever the data volume; the
+  // single cumsum window rides that bounded frame (the q256
+  // discipline). The data rewrite this plan feeds is exactly what a
+  // maintenance job then does SELECTIVELY — bins, not the table.
+  val CompactBuckets = 64L
+  val CompactTargetRows = 4000L
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = Tables.lineitem(spark, dir)
+      .groupBy(pmod(graft.functions.Sketches.keyHash(col("l_orderkey")),
+        lit(CompactBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.sources.Compaction.planBins(manifest, "bucket", "n_rows",
+      CompactTargetRows)
+  }
+
+  // --- q262: sliding 7-day HLL distinct (the q95 ↔ q121 compose) --------------------------
+  // q95's rolling reach with SKETCH state: per-(day, register) max-rho
+  // partials (one corpus scan, the q122 grouped-register build keyed by
+  // day), then the trailing window is a REGISTER-WISE max over the
+  // O(days × m) frame — HLL's max algebra makes the sliding combine
+  // free, where q95's exact decomposition explodes each row ×7. At
+  // 100 TB the day×register frame is still days × m; the estimate is
+  // the q121 engine-portable exact-arithmetic form (powers of two sum
+  // exactly), so even the APPROXIMATE column hash-matches the oracle.
+  // Exact counts ride along for calibration (the q95 decomposition).
+  // m=32 keeps the raw-regime estimator honest at sf0.01 window
+  // cardinalities (n/m ≈ 4.7 ≥ 2.5).
+  val HllSlideM = 32
+
+  def slidingHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Cols.utcDate(col("ts")).as("day"))
+    val daily = Sketches.groupedHllRegisters(ev, "day", col("user_id"),
+        HllSlideM)
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("idx").orderBy("day_num")
+      .rangeBetween(-(SlidingWindowDays - 1L), 0L)
+    val slid = daily.withColumn("rho7", max(col("rho")).over(w))
+      .select(col("day").as("window_end"), col("idx"),
+        col("rho7").as("rho"))
+    val est = Sketches.hllEstimate(slid, Seq("window_end"), HllSlideM,
+      "est_users_7d")
+    val exact = Analytics.slidingDistinctCount(ev, "user_id", "day",
+      SlidingWindowDays, "exact_users_7d")
+    est.join(exact, "window_end")
+      .select(col("window_end"), lit(HllSlideM.toLong).as("m"),
+        col("exact_users_7d"), col("est_users_7d"),
+        (col("est_users_7d") / col("exact_users_7d").cast("double"))
+          .as("est_ratio"))
+      .orderBy("window_end")
+  }
+
+  // --- q263: stream-stream LEFT-OUTER interval join ---------------------------------------
+  // q139's inner join answers "which purchases had a preceding click";
+  // the LEFT-OUTER form answers the question attribution actually asks
+  // — "did each purchase have one?" — and is the semantically harder
+  // stream operator: a null-match verdict only becomes decidable when
+  // the WATERMARK closes the purchase's match window, so outer rows
+  // emit with watermark latency and a BOUNDED fixture needs the stream
+  // to advance the watermark past its last real row. The gate plants a
+  // non-joining sentinel pair beyond max(ts)+lookback+delay (filtered
+  // from the result); a production stream's next events do this for
+  // free. Delay is REAL here (10s, not q139's effectively-infinite
+  // 3650d) because outer semantics require the watermark to move.
+  // Oracle = the batch LEFT JOIN with the same interval condition.
+  val StreamOuterDelay = "10 seconds"
+  val StreamOuterLookback = "1 HOUR"
+
+  def streamedIntervalLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // beyond lookback + delay + a margin, so every real purchase's
+    // window closes before the stream ends
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+    val fixture = tempDir("graft_q263fx_")
+    val sentinels = Seq(
+      (-1L, -1L, "purchase", sentinelTs),
+      (-2L, -2L, "click", sentinelTs))
+    import spark.implicits._
+    // ONE file: the file-stream source orders batches by file, and a
+    // batch containing the sentinel would advance the watermark past
+    // every event in files processed after it — they'd all drop as
+    // late. A single file = a single batch at watermark 0 (nothing is
+    // late), then the no-data batch flushes the outer verdicts.
+    ev.unionByName(sentinels.toDF("user_id", "event_id", "event_type", "ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(fixture)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(fixture)
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val name = runToTable(
+      graft.streaming.StreamJoin.intervalLeftJoin(purchases, "purchase_ts",
+          clicks, "click_ts", keys = Seq("user_id"),
+          delay = StreamOuterDelay, lookback = StreamOuterLookback)
+        .writeStream,
+      "graft_q263_")
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  // --- q264: max-min fair token-budget allocation (water-filling) -------------------------
+  // The corpus-mixing allocator the q57/q83/q111 family still lacked:
+  // given per-source token supplies and a total budget, give every
+  // source as EQUAL a share as possible without exceeding its supply —
+  // the water-filling / max-min fairness solution (small sources keep
+  // everything, big sources are capped at one common level). Exact
+  // integer closed form over the O(sources) frame: sort supplies asc,
+  // a source is FULL iff serving it whole and everyone after it at its
+  // level fits the budget (cum_j + s_j·(n−j) ≤ B — monotone, so the
+  // full set is a prefix); the rest split the remainder R = B − cum_c
+  // as level L = R div k with the first r = R mod k (asc order) taking
+  // L+1 — Σ allocations ≡ B exactly, no float ever. Budget = total
+  // div 2 so the operator exercises at every SF.
+  val WaterfillDen = 2L
+
+  def budgetWaterfill(spark: SparkSession, dir: String): DataFrame =
+    waterfillFrom(Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(TextAnalysis.words(col("text"))).cast("long"))
+        .as("supply_tokens")))
+
+  /** The water-fill closed form over any (source, supply_tokens) frame —
+    * factored so the spec can drive planted supplies and pin the
+    * Σ alloc ≡ budget and alloc ≤ supply invariants.
+    */
+  private[graft] def waterfillFrom(supply: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("supply_tokens"), col("source"))
+    val ranked = supply
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("supply_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val tot = ranked.agg(max(col("cum")).as("total"),
+      max(col("rk")).as("n"))
+    val staged = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"total div ${WaterfillDen}L"))
+      .withColumn("full",
+        col("cum") + col("supply_tokens") * (col("n") - col("rk"))
+          <= col("budget"))
+    val cut = staged
+      .agg(sum(when(col("full"), 1L).otherwise(0L)).as("c"),
+        coalesce(max(when(col("full"), col("cum"))), lit(0L)).as("cum_c"))
+    staged.crossJoin(broadcast(cut))
+      // greatest(k,1): when every source is full (budget ≥ total) the
+      // level branch is dead but ANSI mode still evaluates the division
+      .withColumn("k", greatest(col("n") - col("c"), lit(1L)))
+      .withColumn("lvl", expr("(budget - cum_c) div k"))
+      .withColumn("rem", expr("(budget - cum_c) % k"))
+      .withColumn("allocated_tokens",
+        when(col("full"), col("supply_tokens"))
+          .otherwise(col("lvl") +
+            when(col("rk") - col("c") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("supply_tokens"), col("allocated_tokens"),
+        (!col("full")).as("is_capped"))
+      .orderBy("source")
+  }
+
   // --- q255: CSV round-trip through the rescue reader -------------------------------------
   // The text-format landing path under the gate (q173 gates JSON
   // rescue; this gates CSV, the other reference landing format): a
@@ -6974,8 +7157,14 @@ object Queries {
                                         maxMiddleDeg: Long): DataFrame = {
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    // quarantine by ANTI-joining the (tiny, usually empty) hub list,
+    // broadcast — a semi-join against the full ≤-cap vertex list costs
+    // real shuffle/probe work even when NO vertex is capped (measured:
+    // 2.5× the r15 pin); the hub list has ≤ 2m/cap vertices by the
+    // degree-sum bound, so it always broadcasts
     val mid = und.join(
-      deg.filter(col("deg") <= maxMiddleDeg).select("a"), Seq("a"), "left_semi")
+      broadcast(deg.filter(col("deg") > maxMiddleDeg).select("a")),
+      Seq("a"), "left_anti")
     val cand = mid.select(col("a").as("m"), col("b").as("x"))
       .join(mid.select(col("a").as("m2"), col("b").as("y")),
         col("m") === col("m2"))
@@ -11107,6 +11296,117 @@ object Oracles {
          FROM events p JOIN events c ON c.user_id = p.user_id
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    // q263 — the batch LEFT JOIN twin: unmatched purchases carry null
+    // click columns (the rows the stream emits on watermark close)
+    "q263_stream_interval_left" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
+
+    // q261 — the cumulative-offset bin rule replayed over the same
+    // hash-bucket manifest
+    "q261_compaction_plan" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      val t = Queries.CompactTargetRows
+      s"""WITH m AS (SELECT (($HA * l_orderkey + $HB) % $P)
+                            % ${Queries.CompactBuckets} AS bucket,
+                            CAST(COUNT(*) AS BIGINT) AS n_rows
+                     FROM lineitem GROUP BY 1),
+          a AS (SELECT bucket, n_rows,
+                       CAST(SUM(n_rows) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) - n_rows AS BIGINT)
+                         AS bin_start
+                FROM m),
+          b AS (SELECT *, bin_start // $t AS bin FROM a)
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+                 MIN(bucket) AS first_bucket, MAX(bucket) AS last_bucket,
+                 SUM(n_rows) < $t AS under_target
+          FROM b GROUP BY 1"""
+    },
+
+    // q262 — the q122 grouped-register chain keyed by day, a
+    // register-wise trailing-window max, the q121 exact-arithmetic
+    // estimate, and q95's exact decomposition riding along
+    "q262_sliding_hll" -> {
+      import graft.functions.Sketches._
+      val m = Queries.HllSlideM
+      val p = java.lang.Integer.numberOfTrailingZeros(m)
+      val wbits = hllRestBits(m)
+      val amm = hllNumerator(m)
+      val wd = Queries.SlidingWindowDays - 1
+      s"""WITH h0 AS (SELECT CAST(ts AS DATE) AS day,
+                             ($HA * user_id + $HB) % $P AS h FROM events),
+          h AS (SELECT day, (((h*h) % $P) * h) % $P AS h FROM h0),
+          s AS (SELECT day, h % $m AS idx,
+                       ${hllRhoSql(s"h // ${1L << p}", wbits)} AS rho
+                FROM h),
+          r AS (SELECT day, idx, MAX(rho) AS rho FROM s GROUP BY 1, 2),
+          g AS (SELECT d.day, gs.idx
+                FROM (SELECT DISTINCT day FROM h0) d
+                CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1}))
+                            AS idx) gs),
+          dns AS (SELECT g.day, g.idx, COALESCE(r.rho, 0) AS rho
+                  FROM g LEFT JOIN r USING (day, idx)),
+          sl AS (SELECT day AS window_end, idx,
+                        MAX(rho) OVER (PARTITION BY idx ORDER BY day
+                          RANGE BETWEEN INTERVAL $wd DAY PRECEDING
+                            AND CURRENT ROW) AS rho
+                 FROM dns),
+          z AS (SELECT window_end,
+                       SUM(CAST(1.0 AS DOUBLE)
+                           / CAST((1::BIGINT << rho) AS DOUBLE)) AS z
+                FROM sl GROUP BY 1),
+          ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          days AS (SELECT DISTINCT d AS window_end FROM ud),
+          ex AS (SELECT w.window_end,
+                        COUNT(DISTINCT u.user_id) AS exact_users_7d
+                 FROM days w JOIN ud u
+                   ON u.d <= w.window_end AND u.d >= w.window_end - $wd
+                 GROUP BY 1)
+          SELECT z.window_end, CAST($m AS BIGINT) AS m, exact_users_7d,
+                 CAST($amm AS DOUBLE) / z AS est_users_7d,
+                 (CAST($amm AS DOUBLE) / z)
+                   / CAST(exact_users_7d AS DOUBLE) AS est_ratio
+          FROM z JOIN ex USING (window_end)"""
+    },
+
+    // q264 — the integer water-fill closed form: asc sort, prefix-full
+    // test, remainder split L/L+1 by rank
+    "q264_budget_waterfill" -> {
+      s"""WITH sup AS (SELECT source,
+                         CAST(SUM(len($ws)) AS BIGINT) AS supply_tokens
+                       FROM documents WHERE text IS NOT NULL GROUP BY 1),
+          rk AS (SELECT source, supply_tokens,
+                        CAST(ROW_NUMBER() OVER (ORDER BY supply_tokens,
+                          source) AS BIGINT) AS rk,
+                        CAST(SUM(supply_tokens) OVER (ORDER BY supply_tokens,
+                          source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                        CAST(SUM(supply_tokens) OVER () AS BIGINT) AS total,
+                        CAST(COUNT(*) OVER () AS BIGINT) AS n
+                 FROM sup),
+          st AS (SELECT *, total // ${Queries.WaterfillDen} AS budget,
+                        cum + supply_tokens * (n - rk) <= total
+                          // ${Queries.WaterfillDen} AS is_full
+                 FROM rk),
+          ct AS (SELECT CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c,
+                        CAST(COALESCE(MAX(CASE WHEN is_full THEN cum END), 0)
+                          AS BIGINT) AS cum_c
+                 FROM st)
+          SELECT source, supply_tokens,
+                 CASE WHEN is_full THEN supply_tokens
+                      ELSE (budget - cum_c) // greatest(n - c, 1)
+                           + (CASE WHEN rk - c <=
+                                (budget - cum_c) % greatest(n - c, 1)
+                              THEN 1 ELSE 0 END) END AS allocated_tokens,
+                 NOT is_full AS is_capped
+          FROM st, ct"""
+    },
 
     "q140_quantile_normalize" -> {
       val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)

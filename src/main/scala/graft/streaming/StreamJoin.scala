@@ -29,4 +29,39 @@ object StreamJoin {
       expr(s"$rightTs >= $leftTs - INTERVAL $lookback AND $rightTs <= $leftTs")
     keys.foldLeft(l.join(r, keyCond && timeCond, "inner"))((d, k) => d.drop(r(k)))
   }
+
+  /** LEFT-OUTER variant: every left row emits — matched pairs as the
+    * inner join, plus ONE null-right row for left rows with no match in
+    * their interval. The semantics only become decidable when the
+    * WATERMARK closes a left row's match window (no future right row
+    * can land in [leftTs − lookback, leftTs] once wm > leftTs), so the
+    * null-match rows emit with watermark latency — that is the honest
+    * cost of outer semantics on an unbounded stream, not an
+    * implementation choice. Consequence for BOUNDED fixtures: the
+    * stream must carry events advancing the watermark beyond the last
+    * real row (the caller plants a non-joining sentinel and filters it
+    * from the result) or the final rows' outer verdicts never emit; on
+    * a production stream the next day's data does this for free. State
+    * stays O(rate × lookback), as for the inner join — eviction and
+    * outer emission ride the same watermark.
+    */
+  def intervalLeftJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                       rightTs: String, keys: Seq[String], delay: String,
+                       lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    // rename the right keys BEFORE the join and drop them BY NAME after:
+    // the attribute-reference drop(r(k)) form resolved to the LEFT
+    // column here, silently keeping the right's — which is NULL on
+    // every unmatched row, so a downstream key filter ate exactly the
+    // outer rows this join exists to produce (the inner join never
+    // notices: both sides' keys are equal there). Found by the q263
+    // gate reading 33 rows against the oracle's 1981.
+    val r = keys.foldLeft(right.withWatermark(rightTs, delay))(
+      (d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val keyCond = keys.map(k => l(k) === r(s"__r_$k")).reduce(_ && _)
+    val timeCond =
+      expr(s"$rightTs >= $leftTs - INTERVAL $lookback AND $rightTs <= $leftTs")
+    keys.foldLeft(l.join(r, keyCond && timeCond, "leftOuter"))(
+      (d, k) => d.drop(s"__r_$k"))
+  }
 }

@@ -242,6 +242,114 @@ class Round16Spec extends AnyFunSuite {
       s"member code mean mismatch: ${trained(0)(0)} vs ${Seq(exp0, exp1)}")
   }
 
+  // --- q261: compaction planner ---------------------------------------------
+
+  test("q261: cumulative-offset bin rule on a planted manifest") {
+    import spark.implicits._
+    val manifest = Seq((0L, 100L), (1L, 100L), (2L, 3900L), (3L, 100L),
+      (4L, 8000L), (5L, 50L)).toDF("bucket", "n_rows")
+    val plan = graft.sources.Compaction
+      .planBins(manifest, "bucket", "n_rows", targetRows = 4000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // starts 0,100,200,4100,4200,12200 → bins 0,0,0,1,1,3: small buckets
+    // coalesce, the oversized bucket rides its start's bin, the tail
+    // fragment honestly reads under_target
+    assert(plan.toSeq == Seq(
+      (0L, 3L, 4100L, 0L, 2L, false),
+      (1L, 2L, 8100L, 3L, 4L, false),
+      (3L, 1L, 50L, 5L, 5L, true)), plan.mkString(","))
+  }
+
+  // --- q262: sliding HLL max algebra ----------------------------------------
+
+  test("q262: the trailing-window register max equals the union sketch exactly") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val m = Queries.HllSlideM
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val ev = ((1L to 20L).map(u => (u, d1)) ++ (21L to 40L).map(u => (u, d2)))
+      .toDF("user_id", "day")
+    val daily = Sketches.groupedHllRegisters(ev, "day", col("user_id"), m)
+      .withColumn("day_num", datediff(col("day"),
+        lit("1970-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("idx").orderBy("day_num").rangeBetween(-6L, 0L)
+    val slidEst = Sketches.hllEstimate(
+      daily.withColumn("rho7", max(col("rho")).over(w))
+        .select(col("day").as("window_end"), col("idx"),
+          col("rho7").as("rho")),
+      Seq("window_end"), m, "est").filter(col("window_end") === d2)
+      .head().getDouble(1)
+    // the same 40 users sketched as ONE set — the max algebra makes the
+    // sliding combine EXACTLY the union sketch, not an approximation of it
+    val unionEst = Sketches.hllEstimate(
+      Sketches.hllRegisters(ev.select("user_id"), col("user_id"), m),
+      Nil, m, "est").head().getDouble(0)
+    assert(slidEst == unionEst, s"sliding $slidEst != union $unionEst")
+  }
+
+  // --- q264: water-fill invariants ------------------------------------------
+
+  test("q264: planted supplies allocate the exact closed form") {
+    import spark.implicits._
+    val got = Queries.waterfillFrom(
+      Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "supply_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // budget = 130 div 2 = 65: a and b fit whole, c capped at the level
+    assert(got.toSeq == Seq(("a", 10L, 10L, false), ("b", 20L, 20L, false),
+      ("c", 100L, 35L, true)), got.mkString(","))
+  }
+
+  test("q264: Σ allocations ≡ budget and no allocation exceeds supply, remainder split") {
+    import spark.implicits._
+    // budget = 18 div 2 = 9 over supplies 5,6,7: nobody fits whole
+    // (5+5·2=15 > 9) → level 3, remainder 0 → 3,3,3
+    val even = Queries.waterfillFrom(
+      Seq(("x", 5L), ("y", 6L), ("z", 7L)).toDF("source", "supply_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(even.toSeq == Seq(("x", 3L), ("y", 3L), ("z", 3L)),
+      even.mkString(","))
+    // budget = 20 div 2 = 10 → level 3 rem 1: the asc-first source
+    // takes the extra token, Σ = 10 exactly
+    val rem = Queries.waterfillFrom(
+      Seq(("x", 5L), ("y", 6L), ("z", 9L)).toDF("source", "supply_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rem.map(_._2).sum == 10L, rem.mkString(","))
+    assert(rem.toSeq == Seq(("x", 4L), ("y", 3L), ("z", 3L)),
+      rem.mkString(","))
+    // fixture invariants: Σ alloc ≡ budget (= total div 2), alloc ≤ supply
+    val fix = Queries.budgetWaterfill(spark, sf).collect()
+    val total = fix.map(_.getLong(1)).sum
+    assert(fix.map(_.getLong(2)).sum == total / Queries.WaterfillDen)
+    fix.foreach(r => assert(r.getLong(2) <= r.getLong(1), r.toString))
+  }
+
+  // --- q263: left-outer stream interval join --------------------------------
+
+  test("q263: unmatched purchases emit null-click rows; matches equal the inner join") {
+    val out = Queries.streamedIntervalLeftJoin(spark, sf)
+    val rows = out.collect()
+    val matched = rows.filter(!_.isNullAt(3))
+    val unmatched = rows.filter(_.isNullAt(3))
+    // the outer join's matched subset IS the inner join...
+    val inner = Queries.streamedIntervalJoin(spark, sf).collect()
+    assert(matched.length == inner.length,
+      s"matched ${matched.length} != inner ${inner.length}")
+    // ...and every purchase appears exactly once among (match-keys ∪ unmatched)
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val purchasesSeen = rows.map(_.getLong(1)).distinct.length
+    assert(purchasesSeen.toLong == nPurchases,
+      s"purchases seen $purchasesSeen != $nPurchases")
+    assert(unmatched.forall(_.isNullAt(4)), "null click_id with non-null ts")
+    assert(unmatched.nonEmpty,
+      "fixture has no click-less purchase — the outer path is untested")
+  }
+
   test("q258: validity audit — no overlaps, no gaps, exactly one current per key") {
     val scd = Queries.scd2TrackedExcept(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
