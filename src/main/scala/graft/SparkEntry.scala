@@ -284,6 +284,8 @@ object SparkEntry {
     "q265_time_in_state"      -> (Queries.timeInState _),
     "q266_neyman_allocation"  -> (Queries.neymanAllocation _),
     "q267_srm_check"          -> (Queries.srmCheck _),
+    "q268_stream_sliding_agg" -> (Queries.streamedSlidingAgg _),
+    "q269_stream_interval_full" -> (Queries.streamedIntervalFullJoin _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6911,12 +6913,52 @@ object Queries {
   val StreamOuterLookback = "1 HOUR"
 
   def streamedIntervalLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = outerJoinStreamSides(spark, dir)
+    val name = runToTable(
+      graft.streaming.StreamJoin.intervalLeftJoin(purchases, "purchase_ts",
+          clicks, "click_ts", keys = Seq("user_id"),
+          delay = StreamOuterDelay, lookback = StreamOuterLookback)
+        .writeStream,
+      "graft_q263_")
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  // --- q269: stream-stream FULL-OUTER interval join ---------------------------------------
+  // The correlation-completeness view (both directions of q263's
+  // question at once): matched pairs, click-less purchases AND
+  // purchase-less clicks in one stream — the report a pipeline-health
+  // dashboard wants ("what share of each feed correlates?"). The right
+  // side's null verdict needs the watermark past rightTs + lookback
+  // (a later purchase could still reach BACK an hour), so it emits
+  // with lookback+delay latency — strictly later than the left's. Same
+  // sentinel contract as q263; output key COALESCEd from whichever
+  // side exists.
+  def streamedIntervalFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = outerJoinStreamSides(spark, dir)
+    val name = runToTable(
+      graft.streaming.StreamJoin.intervalFullJoin(purchases, "purchase_ts",
+          clicks, "click_ts", keys = Seq("user_id"),
+          delay = StreamOuterDelay, lookback = StreamOuterLookback)
+        .writeStream,
+      "graft_q269_")
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  /** The outer-join gates' shared stream fixture: purchases + clicks
+    * file streams over the events slice with a non-joining sentinel
+    * PAIR planted past max(ts) + lookback + delay, so the watermark
+    * closes every real row's match window before the stream ends.
+    */
+  private def outerJoinStreamSides(spark: SparkSession,
+                                   dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val ev = Tables.events(spark, dir)
       .select("user_id", "event_id", "event_type", "ts")
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    // beyond lookback + delay + a margin, so every real purchase's
-    // window closes before the stream ends
+    // beyond lookback + delay + a margin, so every real row's window
+    // closes before the stream ends
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
     val fixture = tempDir("graft_q263fx_")
     val sentinels = Seq(
@@ -6936,20 +6978,34 @@ object Queries {
       StructField("event_type", StringType),
       StructField("ts", TimestampType)))
     val stream = spark.readStream.schema(schema).parquet(fixture)
-    val purchases = stream.filter(col("event_type") === "purchase")
+    (stream.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-    val clicks = stream.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+        col("ts").as("purchase_ts")),
+      stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")))
+  }
+
+  // --- q268: streaming SLIDING-window aggregation -----------------------------------------
+  // The overlapping-window twin of q138's tumbling gate (the streaming
+  // WAU curve): 7-day windows advancing daily, append mode — each
+  // event belongs to 7 window generations, each generation flushes
+  // exactly once when the watermark passes ITS end, so the emitted set
+  // is "every (window, type) cell whose end ≤ max(ts)" — the q138
+  // emission rule at slide granularity, reproduced by the oracle with
+  // a ×7 membership expansion (the batch shape of the same window
+  // algebra). Exact integer cents.
+  def streamedSlidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
     val name = runToTable(
-      graft.streaming.StreamJoin.intervalLeftJoin(purchases, "purchase_ts",
-          clicks, "click_ts", keys = Seq("user_id"),
-          delay = StreamOuterDelay, lookback = StreamOuterLookback)
+      graft.streaming.WindowedAgg.sliding(stream, "ts", "7 days", "1 day",
+          "0 seconds", Seq("event_type"),
+          Seq(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum")))
         .writeStream,
-      "graft_q263_")
-    spark.table(name).filter(col("user_id") >= 0)
-      .orderBy("user_id", "purchase_id", "click_id")
+      "graft_q268_")
+    spark.table(name).orderBy("window_start", "event_type")
   }
 
   // --- q264: max-min fair token-budget allocation (water-filling) -------------------------
@@ -11405,6 +11461,37 @@ object Oracles {
          FROM events p JOIN events c ON c.user_id = p.user_id
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    // q268 — the ×7 membership expansion of the same window algebra:
+    // each event explodes to its 7 daily-aligned window starts, the
+    // q138 emission rule (end ≤ max ts) filters the open generations
+    "q268_stream_sliding_agg" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+          g AS (SELECT unnest(generate_series(0, 6)) AS k),
+          w AS (SELECT date_trunc('day', ts) - k * INTERVAL 1 DAY
+                         AS window_start,
+                       date_trunc('day', ts) + (7 - k) * INTERVAL 1 DAY
+                         AS window_end,
+                       event_type, value
+                FROM events, g),
+          a AS (SELECT window_start, window_end, event_type,
+                       COUNT(*) AS n_events,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) AS BIGINT) AS cents_sum
+                FROM w GROUP BY 1, 2, 3)
+          SELECT window_start, window_end, event_type, n_events, cents_sum
+          FROM a, mx WHERE window_end <= mt""",
+
+    // q269 — the batch FULL JOIN twin: unmatched rows from EITHER feed
+    // carry nulls for the other side, key coalesced
+    "q269_stream_interval_full" ->
+      """SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+                p.event_id AS purchase_id, p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
 
     // q263 — the batch LEFT JOIN twin: unmatched purchases carry null
     // click columns (the rows the stream emits on watermark close)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{coalesce, col, expr}
 
 /** Stream-stream event-time interval join.
   *
@@ -63,5 +63,28 @@ object StreamJoin {
       expr(s"$rightTs >= $leftTs - INTERVAL $lookback AND $rightTs <= $leftTs")
     keys.foldLeft(l.join(r, keyCond && timeCond, "leftOuter"))(
       (d, k) => d.drop(s"__r_$k"))
+  }
+
+  /** FULL-OUTER variant: matched pairs plus one null-right row per
+    * unmatched left AND one null-left row per unmatched right. Both
+    * sides' null verdicts ride the watermark (a right row is unmatched
+    * only once wm > rightTs + lookback — no future left row's interval
+    * can reach back to it), so both carry watermark latency; the
+    * bounded-fixture sentinel contract is [[intervalLeftJoin]]'s. The
+    * output key is COALESCE(left, right) — exactly one of them is
+    * non-null on every row.
+    */
+  def intervalFullJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                       rightTs: String, keys: Seq[String], delay: String,
+                       lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = keys.foldLeft(right.withWatermark(rightTs, delay))(
+      (d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val keyCond = keys.map(k => l(k) === r(s"__r_$k")).reduce(_ && _)
+    val timeCond =
+      expr(s"$rightTs >= $leftTs - INTERVAL $lookback AND $rightTs <= $leftTs")
+    val joined = l.join(r, keyCond && timeCond, "fullOuter")
+    keys.foldLeft(joined)((d, k) =>
+      d.withColumn(k, coalesce(col(k), col(s"__r_$k"))).drop(s"__r_$k"))
   }
 }

@@ -26,4 +26,26 @@ object WindowedAgg {
     agged.select(col("window.start").as("window_start") +:
       col("window.end").as("window_end") +: rest.toSeq: _*)
   }
+
+  /** SLIDING windows (`windowDur` long, advancing every `slideDur`):
+    * each event lands in windowDur/slideDur overlapping windows, so
+    * state is that factor times tumbling's — still one partial row per
+    * (window, key), bounded by the watermark exactly as tumbling is
+    * (each window closes when the watermark passes ITS end, so at any
+    * moment ~windowDur/slideDur window generations are open per key).
+    * The streaming twin of q95's rolling-reach decomposition: the ×k
+    * membership fan-out happens inside the window expression, and
+    * map-side partial aggregation still means the stateful shuffle
+    * carries combiner output, not events.
+    */
+  def sliding(stream: DataFrame, tsCol: String, windowDur: String,
+              slideDur: String, delay: String, keys: Seq[String],
+              aggs: Seq[Column]): DataFrame = {
+    val agged = stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur, slideDur) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val rest = agged.columns.filterNot(_ == "window").map(col)
+    agged.select(col("window.start").as("window_start") +:
+      col("window.end").as("window_end") +: rest.toSeq: _*)
+  }
 }

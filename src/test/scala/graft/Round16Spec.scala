@@ -397,6 +397,56 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  // --- q268/q269: streaming window algebra ----------------------------------
+
+  test("q268: each flushed sliding cell equals the sum of its member tumbling days") {
+    val slide = Queries.streamedSlidingAgg(spark, sf).collect()
+      .map(r => ((r.getTimestamp(0), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val daily = Queries.streamedDailyAgg(spark, sf).collect()
+      .map(r => ((r.getTimestamp(0), r.getString(2)),
+        (r.getLong(3), r.getLong(4))))
+    assert(slide.nonEmpty && daily.nonEmpty)
+    // window algebra: the 7-day cell starting at d = Σ of the tumbling
+    // day cells in [d, d+7) for the same type — but only where ALL
+    // member days flushed (the sliding window's end is 6 days past the
+    // last member day's end, so compare only cells fully inside both
+    // emitted ranges)
+    val dayMs = 86400000L
+    var checked = 0
+    slide.foreach { case ((ws, et), (n, cents)) =>
+      val members = (0 until 7).map(i =>
+        new java.sql.Timestamp(ws.getTime + i * dayMs))
+      if (members.forall(m => daily.exists(_._1._1 == m))) {
+        val exp = members.flatMap(m => daily.filter(d =>
+          d._1._1 == m && d._1._2 == et).map(_._2))
+        assert((n, cents) == ((exp.map(_._1).sum, exp.map(_._2).sum)),
+          s"cell ($ws, $et)")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no fully-covered sliding cell to check")
+  }
+
+  test("q269: full outer = left outer plus purchase-less clicks") {
+    val full = Queries.streamedIntervalFullJoin(spark, sf)
+    val left = Queries.streamedIntervalLeftJoin(spark, sf)
+    // the purchase-bearing subset of the full join IS the left join
+    val purchSide = full.filter(col("purchase_id").isNotNull)
+    assert(purchSide.exceptAll(left).count() == 0 &&
+      left.exceptAll(purchSide).count() == 0)
+    // right-only rows: null purchase columns, and every click appears
+    // somewhere (matched or right-only)
+    val rightOnly = full.filter(col("purchase_id").isNull)
+    assert(rightOnly.filter(col("purchase_ts").isNotNull).count() == 0)
+    val nClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    val clicksSeen = full.filter(col("click_id").isNotNull)
+      .select("click_id").distinct().count()
+    assert(clicksSeen == nClicks, s"$clicksSeen != $nClicks")
+    assert(rightOnly.count() > 0, "fixture has no purchase-less click")
+  }
+
   test("q258: validity audit — no overlaps, no gaps, exactly one current per key") {
     val scd = Queries.scd2TrackedExcept(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
