@@ -72,8 +72,10 @@ object Bench {
     // no re-run: inflated wall + flat task_ms = driver-side stall
     // (GC/JIT/cleaner); inflated task_ms = the executors really did
     // more work (cache miss, plan change, spill). Listener events are
-    // posted async, but forceEval's head() returns after job end and
-    // deltas are read per-block — residual lag is noise, not skew.
+    // posted async, so the bus is DRAINED (waitUntilEmpty, below)
+    // before every snap — otherwise late onTaskEnd events from block N
+    // land in block N+1's delta and per-block attribution carries
+    // cross-block skew, not just noise (ADVICE r16).
     val taskAgg = new org.apache.spark.scheduler.SparkListener {
       val taskMs = new java.util.concurrent.atomic.AtomicLong
       val taskGcMs = new java.util.concurrent.atomic.AtomicLong
@@ -95,6 +97,18 @@ object Bench {
         Seq(taskMs.get, taskGcMs.get, spillB.get, shufB.get)
     }
     spark.sparkContext.addSparkListener(taskAgg)
+    // LiveListenerBus.waitUntilEmpty is private[spark] API surface but
+    // public in bytecode; reflection keeps the bench compiling against
+    // the public jar while still getting a true drain. Falls back to a
+    // no-op (attribution approximate, as before) if the internals move.
+    val drainBus: () => Unit = {
+      try {
+        val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(spark.sparkContext)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty")
+        () => { try { waitM.invoke(bus); () } catch { case _: Throwable => () } }
+      } catch { case _: Throwable => () => () }
+    }
     import scala.jdk.CollectionConverters._
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
@@ -132,9 +146,11 @@ object Bench {
       // diagnostics cover exactly the three timed runs
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = gcNowMs
+      drainBus()
       val task0 = taskAgg.snap
       val times = (1 to 3).map(_ => run())
       val gcMs = gcNowMs - gc0
+      drainBus()
       val taskD = taskAgg.snap.zip(task0).map { case (a, b) => a - b }
       // sum of per-pool peaks (eden+survivor+old): an upper bound on the
       // true simultaneous high-water, but self-consistent across rows
@@ -182,8 +198,10 @@ object Bench {
         }
         run1() // untimed steady-state run, the suite protocol
         System.gc() // the suite protocol's post-untimed collection
+        drainBus()
         val task0 = taskAgg.snap
         val isoTimes = (1 to 3).map(_ => run1())
+        drainBus()
         val taskD = taskAgg.snap.zip(task0).map { case (a, b) => a - b }
         val iso = if (isoFailed) -1.0 else isoTimes.sorted.apply(1)
         // the isolated task_ms next to the in-suite task_ms (in diag) is
@@ -245,6 +263,21 @@ object Bench {
               f"max=${u.getMax / 1048576.0}%.1fMB (${100.0 * u.getUsed / u.getMax}%.0f%%)")
         }
     } catch { case _: Throwable => () }
+    // The driver keeps only a byte-bounded TAIL of stdout, and the
+    // per-query progress lines above are printed as the suite runs —
+    // at 269 queries the EARLY ones scroll off the capture (r16's
+    // BENCH tail held 150/269 rows). Re-print the complete per-query
+    // map here, as the LAST lines, chunked so no single line can be
+    // head-truncated the way the round-6/7 monolithic summaries were
+    // (~1.2KB survives per line). Short keys + 3 decimals keep a
+    // 64-entry chunk under ~1KB.
+    results.toSeq.grouped(64).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v._1)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.mkString("{", ",", "}")
+      println(s"""{"qchunk":$i,"of":${(results.size + 63) / 64},"queries":$m}""")
+    }
     println(summary)
     spark.stop()
   }

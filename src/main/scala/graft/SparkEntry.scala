@@ -7117,7 +7117,15 @@ object Queries {
         (col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double") /
           (col("n_docs") * col("n_docs")).cast("double")))
       .withColumn("w", col("n_docs").cast("double") * col("sd_milli"))
-    val tot = st.agg(sum(col("w")).as("__wsum"))
+    // Σw in CANONICAL (source-sorted) order, not a partial-agg double
+    // sum: w is a double, float addition is order-dependent, and Spark's
+    // partial-agg fold order differs from DuckDB's row order — a
+    // last-ulp difference near a largest-remainder tie could flip a ±1
+    // allocation between engines. The O(sources) frame makes the
+    // sorted-list fold free (the q99 fixed-fold recipe).
+    val tot = st.agg(expr("""aggregate(
+        transform(sort_array(collect_list(struct(source, w))), s -> s.w),
+        0.0D, (acc, v) -> acc + v)""").as("__wsum"))
     val staged = st.crossJoin(broadcast(tot))
       .withColumn("exact_share",
         lit(NeymanBudget.toDouble) * col("w") / col("__wsum"))
@@ -11543,8 +11551,12 @@ object Oracles {
                             / CAST(n_docs * n_docs AS DOUBLE)) AS sd_milli
                 FROM st),
           w AS (SELECT *, CAST(n_docs AS DOUBLE) * sd_milli AS w FROM d),
-          e AS (SELECT *, CAST($b AS DOUBLE) * w / SUM(w) OVER ()
-                            AS exact_share FROM w),
+          tot AS (SELECT list_reduce(
+                    list_transform(list_sort(list({'s': source, 'w': w})),
+                                   s -> s.w),
+                    (x, y) -> x + y) AS wsum FROM w),
+          e AS (SELECT w.*, CAST($b AS DOUBLE) * w.w / tot.wsum
+                            AS exact_share FROM w, tot),
           bs AS (SELECT *, CAST(floor(exact_share) AS BIGINT) AS base,
                         exact_share - floor(exact_share) AS frac FROM e),
           l AS (SELECT $b - CAST(SUM(base) AS BIGINT) AS leftover FROM bs),

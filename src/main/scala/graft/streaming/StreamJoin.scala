@@ -23,11 +23,20 @@ object StreamJoin {
                    rightTs: String, keys: Seq[String], delay: String,
                    lookback: String): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
-    val r = right.withWatermark(rightTs, delay)
-    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    // Same rename-keys-before-join/drop-by-name pattern as the outer
+    // variants below. For an INNER join the old drop(r(k)) form was
+    // value-correct (both sides' keys are equal on every surviving row),
+    // but it resolved to the LEFT attribute and kept the right's — the
+    // exact pattern that, copy-pasted into the left-outer variant, ate
+    // every unmatched row (q263's gate caught it). One shape for all
+    // three joins so the trap can't be re-introduced by imitation.
+    val r = keys.foldLeft(right.withWatermark(rightTs, delay))(
+      (d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val keyCond = keys.map(k => l(k) === r(s"__r_$k")).reduce(_ && _)
     val timeCond =
       expr(s"$rightTs >= $leftTs - INTERVAL $lookback AND $rightTs <= $leftTs")
-    keys.foldLeft(l.join(r, keyCond && timeCond, "inner"))((d, k) => d.drop(r(k)))
+    keys.foldLeft(l.join(r, keyCond && timeCond, "inner"))(
+      (d, k) => d.drop(s"__r_$k"))
   }
 
   /** LEFT-OUTER variant: every left row emits — matched pairs as the
