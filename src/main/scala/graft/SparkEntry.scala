@@ -6189,7 +6189,7 @@ object Queries {
   /** The q232/q236 directed basket graph: consecutive line items of
     * every SccOrderMod-th order, as (src, dst) part keys.
     */
-  private def basketEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def basketEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(pmod(col("l_orderkey"), lit(SccOrderMod.toLong)) === 0)
       .select("l_orderkey", "l_linenumber", "l_partkey")

@@ -50,4 +50,38 @@ object LeanCheckpoint {
   implicit class Ops(private val df: DataFrame) extends AnyVal {
     def leanCheckpoint(): DataFrame = LeanCheckpoint.localCheckpoint(df)
   }
+
+  /** Materialize like [[localCheckpoint]] and, in the SAME job, return
+    * the row count and the exact sum of long column `longCol` (BigInt —
+    * no overflow whatever the ids). Fixpoint loops need a convergence
+    * witness (label sum) and peel loops need a progress witness (row
+    * count) immediately after every materialization; as two separate
+    * actions that is 2× the job count of the loop, and at fixpoint
+    * scale the sequential job latency IS the cost (measured on the
+    * q232 SCC: phase wall ∝ jobs, not rows). The fold rides the
+    * materializing action itself, so the witness is free. Exactness:
+    * the values are the action's RESULT (not accumulators), so task
+    * retries cannot double-count.
+    */
+  def localCheckpointSummed(df: DataFrame,
+                            longCol: String): (DataFrame, Long, BigInt) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val idx = cds.schema.fieldIndex(longCol)
+    require(cds.schema(idx).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"localCheckpointSummed needs a LongType column, got " +
+        s"${cds.schema(idx).dataType} for '$longCol'")
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    // an action on the derived RDD computes (and thereby persists) the
+    // checkpointed parent's partitions — same materialization contract
+    // as the count() in localCheckpoint above
+    val (cnt, sm) = rdd.mapPartitions { it =>
+      var c = 0L
+      var s = BigInt(0)
+      it.foreach { r => c += 1; if (!r.isNullAt(idx)) s += r.getLong(idx) }
+      Iterator.single((c, s))
+    }.fold((0L, BigInt(0))) { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) }
+    (cds.sparkSession.internalCreateDataFrame(rdd, cds.schema), cnt, sm)
+  }
 }
