@@ -34,6 +34,48 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // --- directive 1: the clustered ANN operating point ------------------------------
+
+  test("cfx fixture is clustered: separation >> spread, and exact top-k stays in-cluster") {
+    val rep = Queries.cfxFixtureReport(spark, sf).collect()
+    assert(rep.length == Queries.CfxClusters)
+    val maxWithin = rep.map(_.getDouble(2)).max
+    val minInter = rep.map(_.getDouble(3)).min
+    assert(minInter > 100 * maxWithin,
+      s"planted mixture must separate: min inter $minInter vs within $maxWithin")
+    // the clustered-regime consequence the recall rows rely on: every
+    // exact L2 neighbor shares its query's planted cluster
+    val emb = Queries.clusteredEmbeddings(spark, sf)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val crossCluster = Queries.exactL2TopKFrom(emb)
+      .join(lab.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), "query_id")
+      .join(lab, "vec_id")
+      .filter(col("ql") =!= col("label")).count()
+    assert(crossCluster == 0, "exact top-k crossed a planted cluster")
+  }
+
+  test("cfx recall instrument reads 1.0 on the ground truth itself") {
+    val truth = Queries.exactL2TopKFrom(Queries.clusteredEmbeddings(spark, sf))
+    val r = Queries.recallOf(truth, truth).collect()
+    assert(r.nonEmpty && r.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("cfx operating point: trained residual reads a usable recall and beats raw at equal budget") {
+    // the r16 directive-1 'done' criterion, pinned: recall@5 ≥ ~0.8 at
+    // nprobe ≪ lists for the trained-residual encode, strictly above
+    // the raw encode at the identical code budget and training.
+    // (Deterministic fixture: sf0.001 reads 0.92 avg vs 0.80 avg.)
+    assert(Queries.CfxNProbe * 8 <= Queries.CfxClusters, "nprobe must be << lists")
+    val tr = Queries.cfxTrainedRecall(spark, sf).collect()
+    val rw = Queries.cfxRawRecall(spark, sf).collect()
+    val trAvg = tr.map(_.getDouble(2)).sum / tr.length
+    val rwAvg = rw.map(_.getDouble(2)).sum / rw.length
+    assert(trAvg >= 0.8, s"trained-residual recall@5 avg $trAvg below the usable bar")
+    assert(trAvg > rwAvg,
+      s"residual must beat raw at equal budget on clustered data: $trAvg vs $rwAvg")
+  }
+
   test("Scc trim peels a pure tendril forest entirely (no fixpoint rounds needed)") {
     import spark.implicits._
     // a DAG has only singleton SCCs; trim alone must finish it
