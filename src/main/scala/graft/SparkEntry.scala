@@ -289,6 +289,7 @@ object SparkEntry {
     "q270_cfx_fixture"        -> (Queries.cfxFixtureReport _),
     "q271_cfx_trained_recall" -> (Queries.cfxTrainedRecall _),
     "q272_cfx_raw_recall"     -> (Queries.cfxRawRecall _),
+    "q273_suffix_spans"       -> (Queries.suffixSpans _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -7839,6 +7840,25 @@ object Queries {
       cfxAdcSearch(spark, dir, encodeRaw = true)
         .select("query_id", "vec_id"))
 
+  // --- q273: exact substring dedup via prefix-doubling suffix ranking ---------------------
+  // The true Lee et al. ExactSubstr operator (VERDICT r16 item 2):
+  // q125's word-8-gram span merge quantizes to word boundaries and
+  // gram length — a verbatim repeat shorter than 8 words, or one that
+  // starts mid-word, is invisible to it. operators/SuffixSpans finds
+  // ALL length-≥16-char repeated windows by equality-only prefix
+  // doubling (4 integer-rank shuffle rounds; no substring ever crosses
+  // an exchange, no global sort), then merges coverage into maximal
+  // per-doc spans — q125's report shape at character granularity. The
+  // oracle is the deliberately naive witness: materialize every 16-char
+  // window, GROUP BY the text itself.
+  val SuffixWindow = 16
+  val SuffixMaxChars = 512
+
+  def suffixSpans(spark: SparkSession, dir: String): DataFrame =
+    operators.SuffixSpans.repeatedSpans(
+      Tables.documents(spark, dir).filter(col("text").isNotNull),
+      "doc_id", "text", SuffixWindow, SuffixMaxChars)
+
   // --- q245: streaming signed-delta IVM (foreachBatch + bucketed commits) ---------------
   // q240 as a REAL change stream: every event row lands as an insert
   // (+1), and the retracted slice (pre-watermark, event_id ≡ 0 mod 7)
@@ -9243,6 +9263,39 @@ object Oracles {
     // on clustered data
     "q271_cfx_trained_recall" -> cfxRecallSql(encodeRaw = false),
     "q272_cfx_raw_recall" -> cfxRecallSql(encodeRaw = true),
+
+    // q273 — the naive witness: every 16-char window materialized and
+    // grouped by its TEXT (the 16× key blow-up the prefix-doubling
+    // plan exists to avoid), then q125's island merge on coverage
+    "q273_suffix_spans" -> {
+      val L = Queries.SuffixWindow
+      val mc = Queries.SuffixMaxChars
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, $mc) AS t
+                     FROM documents
+                     WHERE text IS NOT NULL
+                       AND length(substr(text, 1, $mc)) >= $L),
+          w AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       substr(t, CAST(i AS INT), $L) AS win
+                FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       length(t) - ${L - 1})) AS i) g),
+          rep AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+          hits AS (SELECT doc_id, i, i + ${L - 1} AS e
+                   FROM w JOIN rep USING (win)),
+          isl AS (SELECT doc_id, i, e,
+                         CASE WHEN i > COALESCE(MAX(e) OVER (
+                                PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                              THEN 1 ELSE 0 END AS nw
+                  FROM hits),
+          sp AS (SELECT doc_id, i, e,
+                        SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl)
+          SELECT doc_id, MIN(i) AS span_start, MAX(e) AS span_end,
+                 MAX(e) - MIN(i) + 1 AS span_chars
+          FROM sp GROUP BY doc_id, island"""
+    },
 
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of

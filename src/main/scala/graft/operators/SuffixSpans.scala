@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LeanCheckpoint
+
+/** Exact repeated-substring detection by distributed prefix doubling —
+  * the true Lee et al. 2021 ExactSubstr operator (their single-node
+  * form is a suffix array over the concatenated corpus; this is the
+  * shuffle-native equivalent), CHARACTER-level and quantization-free
+  * where q125's word-K-gram form misses any repeat that is shorter
+  * than K words or not aligned to word boundaries.
+  *
+  * Semantics: a character position is COVERED when some length-L
+  * window containing... precisely: when its length-L window (starting
+  * there) occurs ≥ 2 times anywhere in the corpus (within- or
+  * cross-document — a verbatim self-repeat is the same memorization
+  * risk); covered positions merge into maximal spans per document
+  * (the removal mask ExactSubstr dedup cuts out). L must be a power
+  * of two.
+  *
+  * Plan shape — the 100 TB argument: the naive form materializes every
+  * length-L substring as a shuffle KEY (L bytes per corpus character —
+  * a 16× corpus blow-up through the exchange, and the DuckDB oracle
+  * does exactly that, which is what makes it an independent witness).
+  * Prefix doubling never ships a substring: rank_0(p) identifies the
+  * single character; round k assigns each position the GROUP ID of the
+  * pair (rank_{k-1}(p), rank_{k-1}(p + 2^{k-1})) — two ranks are equal
+  * iff the 2^k-char windows are equal (induction: injective pair→id
+  * map) — so after log2(L) rounds equal ranks ⟺ equal L-windows, and
+  * every exchange carries 8-byte integers. Because only EQUALITY is
+  * needed (never suffix ORDER — the classic construction's global
+  * sort), the group id is just min(position-id) per pair group: three
+  * hash-partitioned equi-shuffles per round, no global sort, no
+  * driver state. Per-document work is bounded by `maxChars` (the
+  * bounded-prefix discipline the verdict prescribed; repeats beyond
+  * the cap belong to the next shard's pass).
+  */
+object SuffixSpans {
+
+  /** Position-id encoding: pid = doc_id · 2^20 + pos. */
+  private val PosEnc = 1L << 20
+
+  /** (doc_id, span_start, span_end, span_chars): maximal merged spans
+    * of positions whose length-`windowLen` window repeats (≥ 2
+    * occurrences corpus-wide). Positions are 1-based characters of the
+    * first `maxChars` of `textCol`.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    windowLen: Int, maxChars: Int): DataFrame = {
+    require(windowLen >= 2 && (windowLen & (windowLen - 1)) == 0,
+      s"windowLen must be a power of two, got $windowLen")
+    require(maxChars >= windowLen && maxChars < PosEnc,
+      s"maxChars must be in [$windowLen, $PosEnc), got $maxChars")
+    def ckpt(df: DataFrame): DataFrame = LeanCheckpoint.localCheckpoint(df)
+    val d = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        substring(col(textCol), 1, maxChars).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= windowLen)
+    // every loop frame is exactly TWO longs: pid = doc·2^20 + pos (pos
+    // 1-based, pos + off can never cross a document boundary since
+    // maxChars + windowLen < 2^20), rk the current rank — the pair join
+    // is a single-long-key self-join on pid, and the shuffles carry 16
+    // bytes per position instead of a (doc, pos, pid, rank) tuple
+    // rank_0: the character's code point — injective per character, and
+    // later rounds only ever test rank EQUALITY, so any injective class
+    // id works (round-1 group ids then switch to min-pid form); going
+    // straight to the integer avoids shuffling 1-char strings through a
+    // group/join just to re-derive what ascii() already is
+    var r = ckpt(d
+      .select(col("doc_id"),
+        posexplode(expr("transform(split(t, ''), c -> ascii(c))"))
+          .as(Seq("p0", "rk")))
+      .select((col("doc_id") * PosEnc + col("p0") + 1).as("pid"),
+        col("rk").cast("long").as("rk")))
+    var off = 1
+    while (off < windowLen) {
+      // position p pairs with p + off; the inner join drops positions
+      // whose doubled window would run past the document end
+      val b = r.select((col("pid") - off).as("pid"), col("rk").as("rk2"))
+      val pairs = r.join(b, "pid")
+      val gid = pairs.groupBy("rk", "rk2").agg(min("pid").as("g"))
+      r = ckpt(pairs.join(gid, Seq("rk", "rk2"))
+        .select(col("pid"), col("g").as("rk")))
+      off *= 2
+    }
+    // repeated L-windows: rank classes with ≥ 2 members (one exchange
+    // on the integer rank — q125's windowed count, never a join-back)
+    val wR = Window.partitionBy("rk")
+    val hits = r.withColumn("__n", count(lit(1)).over(wR))
+      .filter(col("__n") >= 2)
+      .select(expr(s"pid div $PosEnc").as("doc_id"),
+        pmod(col("pid"), lit(PosEnc)).as("i"))
+      .withColumn("e", col("i") + (windowLen - 1))
+    // q125's gaps-and-islands merge on character coverage
+    val wDo = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("e"))
+      .over(wDo.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new",
+        when(col("i") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wDo))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("i")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+      .orderBy("doc_id", "span_start")
+  }
+}

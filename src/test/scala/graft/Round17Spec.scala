@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Scc
+import graft.operators.{Scc, SuffixSpans}
 
 /** Round-17 contracts (VERDICT r16 directives). */
 class Round17Spec extends AnyFunSuite {
@@ -74,6 +74,71 @@ class Round17Spec extends AnyFunSuite {
     assert(trAvg >= 0.8, s"trained-residual recall@5 avg $trAvg below the usable bar")
     assert(trAvg > rwAvg,
       s"residual must beat raw at equal budget on clustered data: $trAvg vs $rwAvg")
+  }
+
+  // --- directive 2: suffix-array exact substring dedup ------------------------------
+
+  test("SuffixSpans finds the planted verbatim span that the word-8-gram form provably misses") {
+    import spark.implicits._
+    // two docs share a 21-char verbatim run that (a) is only 4 words —
+    // no repeated word-8-gram can exist in either doc, so q125's form
+    // finds NOTHING by construction — and (b) starts mid-word in doc 2
+    // (sub-word alignment), the quantization the char operator removes
+    // boundary chars around the shared run DIFFER between the docs
+    // ('.'/' ' vs 'd'/'!') so no window can extend past the plant
+    val shared = "alpha beta gamma delta"            // 22 chars, 4 words
+    val d1 = s"unique one $shared. tail one xxxxxxxx"
+    val d2 = s"prefixed$shared! other tail yyyyyyyy" // mid-word start
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    // premise check: no word-8-gram occurs twice across the two docs
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 7, 1)), i -> array_join(slice(w, i, 8), ' '))")).as("g"))
+    assert(grams.groupBy("g").count().filter(col("count") >= 2).count() == 0,
+      "fixture must defeat the word-8-gram form")
+    val spans = SuffixSpans.repeatedSpans(docs, "doc_id", "text", 16, 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: shared starts at position 12 (1-based, after "unique one ")
+    val s1 = d1.indexOf(shared) + 1L
+    val s2 = d2.indexOf(shared) + 1L
+    assert(spans.contains((1L, s1, s1 + shared.length - 1)), s"doc1 spans: $spans")
+    assert(spans.contains((2L, s2, s2 + shared.length - 1)), s"doc2 spans: $spans")
+  }
+
+  test("SuffixSpans: within-doc repeats count, sub-window repeats do not") {
+    import spark.implicits._
+    val run = "0123456789abcdef" // exactly 16 chars
+    // distinct boundary chars (:;;:) pin the repeated windows to the
+    // exact runs — a shared neighbor char would extend them
+    val d1 = s"start:$run;middle;$run:end padpadpad"
+    val docs = Seq(
+      (1L, d1),                                          // self-repeat
+      (2L, "no repeats here at all just words etc etc!!x"), // "etc etc" < 16
+      (3L, "zqwvxjkl mnbprst uvgfhcd eyoaiu 1234567")
+    ).toDF("doc_id", "text")
+    val spans = SuffixSpans.repeatedSpans(docs, "doc_id", "text", 16, 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans.forall(_._1 == 1L), s"only doc1 repeats 16 chars: $spans")
+    val p1 = d1.indexOf(run) + 1L
+    val p2 = d1.indexOf(run, run.length + 6) + 1L
+    assert(spans.toSet == Set((1L, p1, p1 + 15L), (1L, p2, p2 + 15L)), s"$spans")
+  }
+
+  test("SuffixSpans honors the bounded-prefix cap") {
+    import spark.implicits._
+    val run = "QRSTUVWXYZqrstuv"
+    // a 40-char all-distinct filler (a repeating filler like "x"*40
+    // would plant its own repeated windows); the repeat's second copy
+    // sits past the cap — with the cap it is invisible
+    val filler = "abcdefghij0123456789!@#$%^&*()-=[]{}<>~_"
+    val docs = Seq(
+      (1L, run + filler + run),
+      (2L, "no sixteen char repeats in this one at all.")
+    ).toDF("doc_id", "text")
+    val capped = SuffixSpans.repeatedSpans(docs, "doc_id", "text", 16, 32)
+    assert(capped.count() == 0)
+    val full = SuffixSpans.repeatedSpans(docs, "doc_id", "text", 16, 512)
+    assert(full.count() == 2)
   }
 
   test("Scc trim peels a pure tendril forest entirely (no fixpoint rounds needed)") {
