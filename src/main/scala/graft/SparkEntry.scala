@@ -290,6 +290,7 @@ object SparkEntry {
     "q271_cfx_trained_recall" -> (Queries.cfxTrainedRecall _),
     "q272_cfx_raw_recall"     -> (Queries.cfxRawRecall _),
     "q273_suffix_spans"       -> (Queries.suffixSpans _),
+    "q274_kn_perplexity"      -> (Queries.knPerplexity _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -7859,6 +7860,87 @@ object Queries {
       Tables.documents(spark, dir).filter(col("text").isNotNull),
       "doc_id", "text", SuffixWindow, SuffixMaxChars)
 
+  // --- q274: Kneser–Ney perplexity quality filter (the CCNet pass) -------------------------
+  // The LM half of the filtering stack (VERDICT r16 item 3): q28/q48
+  // are the heuristic (C4/Gopher) half; CCNet's is a per-language LM
+  // scoring each document's cross-entropy, bucketed head/middle/tail.
+  // Model: interpolated Kneser–Ney bigrams with D = 3/4 —
+  //   P(w|v) = max(c(vw)−D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/NB
+  // — built PER LANGUAGE from the corpus itself (q224's continuation
+  // counts and q215's bigram walk, composed), all counts exact int64
+  // over one common denominator 4·c(v)·NB.
+  //
+  // The log() engine-lottery is dodged entirely (the known hazard —
+  // VERDICT prescribed the recipe): the per-token score is the EXACT
+  // integer floor of −log2 P = floor(log2(den/num)), computed with no
+  // floating point at all as length(bin(den div num)) − 1 — for any
+  // real x ≥ 1, floor(log2 x) = bitlen(floor x) − 1, since
+  // x ∈ [2^k, 2^{k+1}) ⟺ floor(x) ∈ [2^k, 2^{k+1}). Σ bits over the
+  // doc is an exact integer cross-entropy (in whole bits/token — 1-bit
+  // granularity is far below the fluent-vs-gibberish gap the filter
+  // discriminates, and the planted spec pins that); bits_per_token is
+  // one int/int double division, identical in every engine. Buckets:
+  // ntile(3) per language over (bits_per_token, doc_id) — CCNet's
+  // head/middle/tail by perplexity rank. Docs with < 2 words have no
+  // transitions and are unscored, as in CCNet.
+  //
+  // Scale shape: one corpus scan → transition frame; model = three
+  // hash-aggs over it (vocabulary-sized); scoring = equi-joins of the
+  // transition frame against the (broadcastable per-lang totals +
+  // vocabulary-keyed) model tables; one window per language for the
+  // buckets. At 100 TB the model tables are the small side (vocabulary
+  // ≪ corpus) and the integer products stay < 2^63 up to ~10^7 tokens
+  // per language per shard — past that, the documented move is
+  // DECIMAL(38) for num/den (the q211 overflow lesson).
+  def knPerplexity(spark: SparkSession, dir: String): DataFrame =
+    knPerplexityFrom(Tables.documents(spark, dir))
+
+  /** The CCNet scorer over any (doc_id, lang, text) frame — factored so
+    * the spec can plant a gibberish-vs-fluent corpus.
+    */
+  private[graft] def knPerplexityFrom(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val trans = docs
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+        size(ws) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("a"),
+        slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.a").as("v"), col("p.b").as("w"))
+    val cvw = trans.groupBy("lang", "v", "w")
+      .agg(count(lit(1)).as("n_vw"))
+    val cv = cvw.groupBy("lang", "v")
+      .agg(sum("n_vw").as("n_v"), count(lit(1)).as("n1_right"))
+    val n1l = cvw.groupBy("lang", "w").agg(count(lit(1)).as("n1_left"))
+    val nb = cvw.groupBy("lang").agg(count(lit(1)).as("nb"))
+    val scored = trans
+      .join(cvw, Seq("lang", "v", "w"))
+      .join(cv, Seq("lang", "v"))
+      .join(n1l, Seq("lang", "w"))
+      .join(broadcast(nb), "lang")
+      .withColumn("num",
+        greatest(lit(4L) * col("n_vw") - 3L, lit(0L)) * col("nb") +
+          lit(3L) * col("n1_right") * col("n1_left"))
+      .withColumn("den", lit(4L) * col("n_v") * col("nb"))
+      // exact floor(−log2 P): no floating point, no log()
+      .withColumn("bits",
+        (length(bin(expr("den div num"))) - 1).cast("long"))
+    val perDoc = scored.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("bits_per_token",
+        col("total_bits").cast("double") /
+          col("n_transitions").cast("double"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bits_per_token"), col("doc_id"))
+    perDoc
+      .withColumn("ppl_bucket", ntile(3).over(wL).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_transitions"),
+        col("total_bits"), col("bits_per_token"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   // --- q245: streaming signed-delta IVM (foreachBatch + bucketed commits) ---------------
   // q240 as a REAL change stream: every event row lands as an insert
   // (+1), and the retracted slice (pre-watermark, event_id ≡ 0 mod 7)
@@ -9296,6 +9378,48 @@ object Oracles {
                  MAX(e) - MIN(i) + 1 AS span_chars
           FROM sp GROUP BY doc_id, island"""
     },
+
+    // q274 — the same per-language interpolated-KN model, the same
+    // log-free integer floor of −log2 P (bitlen(den // num) − 1 — no
+    // floating point until the final int/int division), same ntile
+    "q274_kn_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, lang, $ws AS w
+                     FROM documents
+                     WHERE text IS NOT NULL AND lang IS NOT NULL
+                       AND len($ws) >= 2),
+          tr AS (SELECT doc_id, lang, w[i] AS v, w[i+1] AS wd
+                 FROM d, LATERAL (SELECT unnest(generate_series(1,
+                        len(w) - 1)) AS i) g),
+          cvw AS (SELECT lang, v, wd, CAST(COUNT(*) AS BIGINT) AS n_vw
+                  FROM tr GROUP BY 1, 2, 3),
+          cv AS (SELECT lang, v, CAST(SUM(n_vw) AS BIGINT) AS n_v,
+                        CAST(COUNT(*) AS BIGINT) AS n1_right
+                 FROM cvw GROUP BY 1, 2),
+          n1l AS (SELECT lang, wd, CAST(COUNT(*) AS BIGINT) AS n1_left
+                  FROM cvw GROUP BY 1, 2),
+          nb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb
+                 FROM cvw GROUP BY 1),
+          sc AS (SELECT tr.doc_id, tr.lang,
+                        GREATEST(4 * n_vw - 3, 0) * nb.nb
+                          + 3 * n1_right * n1_left AS num,
+                        4 * n_v * nb.nb AS den
+                 FROM tr JOIN cvw USING (lang, v, wd)
+                         JOIN cv USING (lang, v)
+                         JOIN n1l USING (lang, wd)
+                         JOIN nb USING (lang)),
+          pd AS (SELECT doc_id, lang,
+                        CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                        CAST(SUM(length(bin(den // num)) - 1) AS BIGINT)
+                          AS total_bits
+                 FROM sc GROUP BY 1, 2),
+          bk AS (SELECT *, CAST(total_bits AS DOUBLE)
+                             / CAST(n_transitions AS DOUBLE)
+                             AS bits_per_token FROM pd)
+          SELECT doc_id, lang, n_transitions, total_bits, bits_per_token,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                        ORDER BY bits_per_token, doc_id) AS BIGINT)
+                   AS ppl_bucket
+          FROM bk""",
 
 
     // q237 — ADC replay: the same codes CTE as q223, a per-query LUT of

@@ -76,6 +76,43 @@ class Round17Spec extends AnyFunSuite {
       s"residual must beat raw at equal budget on clustered data: $trAvg vs $rwAvg")
   }
 
+  // --- directive 3: KN perplexity filter --------------------------------------------
+
+  test("KN perplexity: planted gibberish scores strictly more bits/token than fluent text, lands in the tail bucket") {
+    import spark.implicits._
+    // fluent docs: transitions drawn from a tiny repeated phrase set —
+    // every bigram is frequent, so max(c−D)/c dominates and bits/token
+    // stay low. gibberish: every transition unique — its probability
+    // falls to the backoff term and bits/token blow up.
+    val phrase = "the cat sat on the mat and the dog ran to the cat"
+    val fluent = (1L to 6L).map(i => (i, "en", phrase))
+    val gib = (100L, "en",
+      "zq wv xj kl mn bp rs tu vg fh cd ey oa iu qz wx jv lk nm pb sr ut")
+    val docs = (fluent :+ gib).toDF("doc_id", "lang", "text")
+    val out = Queries.knPerplexityFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).toList
+    val (gibRows, fluentRows) = out.partition(_._1 == 100L)
+    assert(gibRows.size == 1 && fluentRows.size == 6)
+    assert(fluentRows.forall(_._2 < gibRows.head._2),
+      s"gibberish must score strictly worse: $out")
+    assert(gibRows.head._3 == 3L, s"gibberish must land in the tail bucket: $out")
+  }
+
+  test("KN perplexity: bits are the exact floor of -log2 P (hand-computed doc)") {
+    import spark.implicits._
+    // corpus: "a b" ×3 and "a c" ×1 → c(a·)=4, N1+(a·)=2, NB=2,
+    // N1+(·b)=1, N1+(·c)=1, D=3/4:
+    //   P(b|a) = (3−3/4)/4 + (3/4)(2/4)(1/2) = 0.5625+0.1875·0.5 → num/den:
+    //     num = (4·3−3)·2 + 3·2·1 = 24, den = 4·4·2 = 32 → P=0.75 → bits=0
+    //   P(c|a) = num (4·1−3)·2 + 3·2·1 = 8, den 32 → P=0.25 → bits=2
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "a b"), (3L, "en", "a b"),
+      (4L, "en", "a c")).toDF("doc_id", "lang", "text")
+    val out = Queries.knPerplexityFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 0L && out(4L) == 2L,
+      s"hand-computed bits mismatch: $out")
+  }
+
   // --- directive 2: suffix-array exact substring dedup ------------------------------
 
   test("SuffixSpans finds the planted verbatim span that the word-8-gram form provably misses") {
