@@ -291,6 +291,8 @@ object SparkEntry {
     "q272_cfx_raw_recall"     -> (Queries.cfxRawRecall _),
     "q273_suffix_spans"       -> (Queries.suffixSpans _),
     "q274_kn_perplexity"      -> (Queries.knPerplexity _),
+    "q275_sessionize_tws"     -> (Queries.sessionizeTws _),
+    "q276_dedup_tws_ttl"      -> (Queries.dedupTwsRegistry _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2986,6 +2988,42 @@ object Queries {
     name
   }
 
+  /** `runToTable` for PROCESSING-TIME-mode stateful operators, which
+    * never terminate under AvailableNow: a ProcessingTime-mode
+    * transformWithState always answers `shouldRunAnotherBatch` = true
+    * (wall time always advances — a timer/TTL could fire), so the
+    * engine constructs batch after EMPTY batch forever (observed:
+    * ~3000 commits and counting on the q276 fixture) — and because
+    * every trigger "has a batch", `noNewData` is never set, so
+    * processAllAvailable() never unblocks either. Bounded-run protocol
+    * instead: the fixture source is a single parquet file, so the
+    * FileStreamSource puts EVERY row in batch 0 (no maxFilesPerTrigger
+    * cap) and the sink holds the full emission set the moment batch 0
+    * commits; progress reaching batchId ≥ 1 proves exactly that (batch
+    * 1 cannot construct before batch 0 commits). Poll for it, then
+    * stop. On a real deployment this operator runs forever by design —
+    * termination is a fixture-gate concern only.
+    */
+  private def runToTableDrained(q: org.apache.spark.sql.streaming.DataStreamWriter[_],
+                                tag: String): String = {
+    val name = tag + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val cp = Queries.tempDir(tag)
+    val sq = q.queryName(name).format("memory")
+      .option("checkpointLocation", s"$cp/cp")
+      .start()
+    try {
+      val deadline = System.nanoTime + 600L * 1000 * 1000 * 1000
+      while ((sq.lastProgress == null || sq.lastProgress.batchId < 1) &&
+             sq.isActive && System.nanoTime < deadline)
+        Thread.sleep(50)
+      sq.exception.foreach(throw _)
+      require(sq.lastProgress != null && sq.lastProgress.batchId >= 1,
+        s"$name: batch 0 did not commit within the drain deadline")
+    } finally sq.stop()
+    name
+  }
+
   /** Closed sessions as emitted by the streaming sessionizer — every
     * session except each key's open tail (never flushed: the watermark
     * stays 10 years behind, so no TTL fires).
@@ -3005,6 +3043,56 @@ object Queries {
         .writeStream,
       "graft_q127_")
     spark.table(name).orderBy("key", "session_seq")
+  }
+
+  // --- q275/q276: the same stateful operators on transformWithState ----------------
+  // Spark 4's arbitrary-state API (named states, explicit timers, native
+  // TTL, RocksDB column families) replacing flatMapGroupsWithState. Twin
+  // discipline: q275 gates against q127's oracle VERBATIM, q276 against
+  // q137's — identical semantics, different state machinery, so any
+  // drift between the two APIs' late-row/state handling surfaces as a
+  // hash mismatch rather than going unnoticed.
+
+  /** Closed sessions as emitted by the transformWithState sessionizer —
+    * same emission contract as q127 (every session except each key's
+    * open tail; the 10-year watermark delay keeps the eviction timers
+    * from firing on the bounded fixture).
+    */
+  def sessionizeTws(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[graft.streaming.SessionizeStream.Ev]
+    val stream = Tables.eventsStream(spark, dir)
+      .select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("tsMicros"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as(enc)
+    val name = graft.streaming.SessionizeTws.withRocksDb(spark) {
+      runToTable(
+        graft.streaming.SessionizeTws
+          .sessionize(stream, SessionGapMicros, lateness = "3650 days")
+          .writeStream,
+        "graft_q275_")
+    }
+    spark.table(name).orderBy("key", "session_seq")
+  }
+
+  /** Distinct-key registry as emitted by the TTL-bounded
+    * transformWithState dedup — with the 10-hour TTL no entry can lapse
+    * inside a bounded run, so the emission set equals q137's batch
+    * DISTINCT (the TTL-expiry path is spec-exercised with a short TTL).
+    */
+  def dedupTwsRegistry(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupTws
+    val enc = org.apache.spark.sql.Encoders.product[DedupTws.Key3]
+    val keys = Tables.eventsStream(spark, dir)
+      .select(col("user_id"), utcDate(col("ts")).as("day"), col("event_type"))
+      .as(enc)
+    val name = graft.streaming.SessionizeTws.withRocksDb(spark) {
+      runToTableDrained(
+        DedupTws.registry(keys, java.time.Duration.ofHours(10)).writeStream,
+        "graft_q276_")
+    }
+    spark.table(name).orderBy("user_id", "day", "event_type")
   }
 
   /** Final funnel stage per user as emitted by the streaming tracker.
@@ -8233,6 +8321,11 @@ object Oracles {
     "q144_asof_native"           -> sqlBase("q40_asof_join"),
     "q145_asof_native_tolerance" -> sqlBase("q84_asof_tolerance"),
     "q146_asof_native_forward"   -> sqlBase("q85_next_conversion"),
+    // the transformWithState twins (q275/q276) must match the SAME
+    // oracle rows as their flatMapGroupsWithState / withinWatermark
+    // counterparts — semantics identical, only the state API differs
+    "q275_sessionize_tws" -> sqlBase("q127_sessionize_stream"),
+    "q276_dedup_tws_ttl"  -> sqlBase("q137_stream_key_registry"),
     // conversion lags read off the SAME funnel chain q66 gates
     "q162_funnel_lag_percentiles" ->
       s"""WITH f AS (${sqlBase("q66_funnel")})

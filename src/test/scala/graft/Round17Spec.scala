@@ -187,4 +187,141 @@ class Round17Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
+
+  // --- directive 4: transformWithState (timers + TTL) -------------------------------
+
+  test("SessionizeTws: event-time timers evict silent keys' open tails and free state") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.{IngestPipeline, SessionizeStream, SessionizeTws}
+    val dir = TestSession.tempDir("graft_tws_evict")
+    val (src, cp, out) = (s"$dir/src", s"$dir/cp", s"$dir/out")
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val gap = 60L * 1000000L
+    val dayMicros = 24L * 3600 * 1000000L
+    val baseMicros = 1700000000000000L
+    // Cohort c: closed pair + an open tail a gap+ later, per key. A later
+    // cohort's events advance the watermark past the earlier cohort's
+    // tails — only handleExpiredTimer can flush those.
+    def cohort(c: Int) = (0 until 10).flatMap { k =>
+      val key = c.toLong * 10 + k
+      val t0 = baseMicros + c * dayMicros + k * 1000000L
+      Seq((key, t0, 100L), (key, t0 + 1000000L, 50L),
+        (key, t0 + gap + 10000000L, 25L))
+    }.toDF("key", "tsMicros", "cents")
+    val stateRows = SessionizeTws.withRocksDb(spark) {
+      (0 until 3).map { c =>
+        cohort(c).write.mode("append").parquet(src)
+        val stream = IngestPipeline
+          .boundedFileStream(spark, src, evEnc.schema).as(evEnc)
+        val q = SessionizeTws.sessionize(stream, gap)
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+          .lastOption.getOrElse(fail("no state-operator progress"))
+      }
+    }
+    // settled cohorts' keys are GONE from state (timer expiry cleared them)
+    assert(stateRows.last <= 20L,
+      s"state accreted under churn: per-run state rows = ${stateRows.toList}")
+    val settled = spark.read.parquet(out).filter(col("key") < 20L)
+    assert(settled.count() == 40L,
+      "each settled key must emit its closed session AND its timer-flushed tail")
+    assert(settled.filter(col("session_seq") === 1)
+      .filter(col("n_events") =!= 2 || col("total_cents") =!= 150).count() == 0)
+    assert(settled.filter(col("session_seq") === 2)
+      .filter(col("n_events") =!= 1 || col("total_cents") =!= 25).count() == 0)
+  }
+
+  test("SessionizeTws ≡ SessionizeStream on a multi-session fixture (twin equivalence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.{IngestPipeline, SessionizeStream, SessionizeTws}
+    val dir = TestSession.tempDir("graft_tws_twin")
+    val evEnc = Encoders.product[SessionizeStream.Ev]
+    val gap = 60L * 1000000L
+    val base = 1700000000000000L
+    val events = (0 until 50).flatMap { k =>
+      (0 until 6).map { i =>
+        // three sessions per key: events at 0s/1s, 300s/301s, 600s/601s
+        (k.toLong, base + (i / 2) * 300000000L + (i % 2) * 1000000L + k * 7000L,
+          (i + 1) * 10L)
+      }
+    }.toDF("key", "tsMicros", "cents")
+    events.write.mode("overwrite").parquet(s"$dir/src")
+    def run(twin: Boolean): Seq[(Long, Long, Long, Long, Long, Long)] = {
+      val stream = IngestPipeline
+        .boundedFileStream(spark, s"$dir/src", evEnc.schema).as(evEnc)
+      val sessions =
+        if (twin) SessionizeTws.sessionize(stream, gap, "3650 days")
+        else SessionizeStream.sessionize(stream, gap, "3650 days")
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$dir/out$twin").outputMode("append")
+        .option("checkpointLocation", s"$dir/cp$twin")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out$twin")
+        .orderBy("key", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    }
+    val twin = SessionizeTws.withRocksDb(spark) { run(twin = true) }
+    val orig = run(twin = false)
+    assert(twin == orig, "transformWithState twin diverged from fMGWS")
+    assert(twin.nonEmpty && twin.count(_._2 == 2L) == 50,
+      "fixture must exercise multi-session keys")
+  }
+
+  test("DedupTws TTL: a key re-emits after its state lapses, not before (live soak)") {
+    import spark.implicits._
+    import graft.streaming.{DedupTws, SessionizeTws}
+    val dir = TestSession.tempDir("graft_tws_ttl")
+    val (src, cp) = (s"$dir/src", s"$dir/cp")
+    val day = java.sql.Date.valueOf("2024-01-01")
+    def batch() = Seq(
+      DedupTws.Key3(1L, day, "view"), DedupTws.Key3(1L, day, "view"),
+      DedupTws.Key3(2L, day, "click")).toDS()
+    batch().toDF().write.mode("append").parquet(src)
+    val keys = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DedupTws.Key3].schema)
+      .parquet(src).as(org.apache.spark.sql.Encoders.product[DedupTws.Key3])
+    SessionizeTws.withRocksDb(spark) {
+      val q = DedupTws.registry(keys, java.time.Duration.ofMillis(500))
+        .writeStream.format("memory").queryName("tws_ttl_t")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // A ProcessingTime-mode transformWithState constructs a batch on
+      // EVERY trigger (a TTL could always fire), so noNewData is never
+      // set and processAllAvailable() never unblocks — poll the sink to
+      // a target count instead (the same drain contract the q276 gate
+      // documents on runToTableDrained).
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        while (spark.table("tws_ttl_t").count() < n &&
+               System.nanoTime < deadline) Thread.sleep(100)
+      }
+      try {
+        awaitCount(2)
+        // in-batch duplicate suppressed while the TTL is alive
+        assert(spark.table("tws_ttl_t").count() == 2,
+          "first batch must emit exactly the distinct keys")
+        Thread.sleep(3000) // >> TTL: every seen-entry lapses
+        batch().toDF().write.mode("append").parquet(src)
+        awaitCount(4)
+        // the registry FORGOT: both keys re-emit after expiry
+        assert(spark.table("tws_ttl_t").count() == 4,
+          "keys must re-emit once their TTL lapses")
+        val perKey = spark.table("tws_ttl_t")
+          .groupBy("user_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(perKey == Map(1L -> 2L, 2L -> 2L))
+      } finally q.stop()
+    }
+  }
 }
