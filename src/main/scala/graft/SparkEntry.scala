@@ -293,6 +293,8 @@ object SparkEntry {
     "q274_kn_perplexity"      -> (Queries.knPerplexity _),
     "q275_sessionize_tws"     -> (Queries.sessionizeTws _),
     "q276_dedup_tws_ttl"      -> (Queries.dedupTwsRegistry _),
+    "q277_zorder3_manifest"   -> (Queries.zorder3Manifest _),
+    "q278_hilbert3_vs_morton3" -> (Queries.hilbert3PruningCompare _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -6037,6 +6039,63 @@ object Queries {
       .orderBy("probe_id")
   }
 
+  // --- q277/q278: three-dimensional layout curves (VERDICT r16 item 6) -----------------
+  // The 2-D kernels interleave exactly two axes; real lakehouse OPTIMIZE
+  // Z-orders 3–4 columns (part × supplier × ship-day is the classic
+  // trio). q277 is the 3-D Morton zone map over lineitem — the d-dim
+  // interleave is a plain bit loop (ZOrderExprs.mortonN, codegen'd);
+  // q278 scores it against the 3-D Hilbert curve (Skilling transpose
+  // walk, HilbertExprs.hilbertN) on a fixed probe-box panel, extending
+  // the q227 comparison to d=3. qBits=6 per axis keeps the index at 18
+  // bits; the same exact-integer quantization as the 2-D family makes
+  // both engines' grids bit-identical.
+
+  val Z3QBits = 6
+  val Z3BlockShift = 6
+
+  /** 3-D probe boxes in quantized grid coordinates (0..63 per axis):
+    * single-dim stripes/planes/bands, a mid cube, a point, and the
+    * full-scan control row.
+    */
+  val PruneProbes3: Seq[(Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    (1, 10, 10, 0, 63, 0, 63),   // one part stripe, everything else
+    (2, 0, 63, 6, 6, 0, 63),     // one supplier plane
+    (3, 0, 63, 0, 63, 20, 27),   // 8-bucket ship-day band
+    (4, 16, 31, 16, 31, 16, 31), // mid-grid cube
+    (5, 33, 33, 33, 33, 33, 33), // single cell
+    (6, 0, 63, 0, 63, 0, 63))    // full scan (control row)
+
+  private def lineitem3Dims(spark: SparkSession, dir: String) = {
+    val li = Tables.lineitem(spark, dir)
+    (li, col("l_partkey"), col("l_suppkey"),
+      datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01"))))
+  }
+
+  def zorder3Manifest(spark: SparkSession, dir: String): DataFrame = {
+    val (li, x, y, z) = lineitem3Dims(spark, dir)
+    ZOrder.layoutManifest3(li, x, y, z, Z3QBits, Z3BlockShift)
+  }
+
+  def hilbert3PruningCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (li, x, y, z) = lineitem3Dims(spark, dir)
+    val mz = ZOrder.layoutManifest3(li, x, y, z, Z3QBits, Z3BlockShift)
+    val mh = ZOrder.hilbertManifest3(li, x, y, z, Z3QBits, Z3BlockShift)
+    val probes = PruneProbes3
+      .toDF("probe_id", "xlo", "xhi", "ylo", "yhi", "zlo", "zhi")
+    def touched(man: DataFrame, bc: String, rc: String) =
+      probes.join(broadcast(man),
+          col("xlo") <= col("max_x") && col("min_x") <= col("xhi") &&
+            col("ylo") <= col("max_y") && col("min_y") <= col("yhi") &&
+            col("zlo") <= col("max_z") && col("min_z") <= col("zhi"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("block")).as(bc),
+          coalesce(sum("n_rows"), lit(0L)).as(rc))
+    touched(mz, "blocks_z", "rows_z")
+      .join(touched(mh, "blocks_h", "rows_h"), Seq("probe_id"))
+      .orderBy("probe_id")
+  }
+
   // --- q238: two-level layout (time ranges → Hilbert within) vs the flat curve --------
   // The partition-evolution shape (VERDICT r14 item 10): range-plan the
   // OUTER dimension (order day) into 2^ObBits ingestion-aligned ranges
@@ -8326,6 +8385,31 @@ object Oracles {
     // counterparts — semantics identical, only the state API differs
     "q275_sessionize_tws" -> sqlBase("q127_sessionize_stream"),
     "q276_dedup_tws_ttl"  -> sqlBase("q137_stream_key_registry"),
+    // 3-D layout curves: the Morton zone map and the Hilbert-vs-Morton
+    // probe-panel comparison (q227's shape at d=3)
+    "q277_zorder3_manifest" -> zorder3ManifestSql,
+    "q278_hilbert3_vs_morton3" -> {
+      val probes = Queries.PruneProbes3
+        .map { case (i, xl, xh, yl, yh, zl, zh) =>
+          s"($i, $xl, $xh, $yl, $yh, $zl, $zh)" }
+        .mkString(",\n              ")
+      def touched(man: String, bc: String, rc: String) =
+        s"""SELECT probe_id, CAST(COUNT(block) AS BIGINT) AS $bc,
+                   CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS $rc
+            FROM probes LEFT JOIN $man
+              ON xlo <= max_x AND min_x <= xhi
+             AND ylo <= max_y AND min_y <= yhi
+             AND zlo <= max_z AND min_z <= zhi
+            GROUP BY 1"""
+      s"""WITH mz3 AS ($zorder3ManifestSql),
+          mh3 AS ($hilbert3ManifestSql),
+          probes(probe_id, xlo, xhi, ylo, yhi, zlo, zhi) AS (VALUES
+              $probes),
+          tz AS (${touched("mz3", "blocks_z", "rows_z")}),
+          th AS (${touched("mh3", "blocks_h", "rows_h")})
+          SELECT probe_id, blocks_z, rows_z, blocks_h, rows_h
+          FROM tz JOIN th USING (probe_id)"""
+    },
     // conversion lags read off the SAME funnel chain q66 gates
     "q162_funnel_lag_percentiles" ->
       s"""WITH f AS (${sqlBase("q66_funnel")})
@@ -13832,6 +13916,110 @@ object Oracles {
                MIN(bx) AS min_x, MAX(bx) AS max_x,
                MIN(by) AS min_y, MAX(by) AS max_y
         FROM h${svals.length} GROUP BY 1"""
+  }
+
+  /** Shared 3-D quantized-grid CTEs over lineitem (q277/q278): exact
+    * integer quantization of (l_partkey, l_suppkey, ship-day) onto the
+    * 2^Z3QBits grid — bit-identical to ZOrder.manifest3's quantize.
+    */
+  private lazy val grid3Ctes: String = {
+    val q = 1L << Queries.Z3QBits
+    s"""b3 AS (SELECT l_partkey AS x, l_suppkey AS y,
+                date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS z
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+             AND l_shipdate IS NOT NULL),
+        s3 AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                      MIN(y) AS miny, MAX(y) AS maxy,
+                      MIN(z) AS minz, MAX(z) AS maxz FROM b3),
+        g3 AS (SELECT ((x - minx) * $q) // (maxx - minx + 1) AS bx,
+                      ((y - miny) * $q) // (maxy - miny + 1) AS by,
+                      ((z - minz) * $q) // (maxz - minz + 1) AS bz FROM b3, s3)"""
+  }
+
+  /** 3-D Morton index of (bx,by,bz) as plain arithmetic: bit k of axis
+    * j lands at output position 3k+j — the layout
+    * ZOrderExprs.interleaveN computes.
+    */
+  private lazy val morton3Expr: String =
+    (0 until Queries.Z3QBits).flatMap { k =>
+      Seq(s"((bx >> $k) & 1) * ${1L << (3 * k)}",
+        s"((by >> $k) & 1) * ${1L << (3 * k + 1)}",
+        s"((bz >> $k) & 1) * ${1L << (3 * k + 2)}")
+    }.mkString(" + ")
+
+  /** q277's oracle: the 3-D Morton zone map. */
+  private lazy val zorder3ManifestSql: String = {
+    val blk = 1L << Queries.Z3BlockShift
+    s"""WITH $grid3Ctes
+        SELECT ($morton3Expr) // $blk AS block, COUNT(*) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y,
+               MIN(bz) AS min_z, MAX(bz) AS max_z
+        FROM g3 GROUP BY 1"""
+  }
+
+  /** Skilling AxesToTranspose for d=3 as a CTE chain (≡
+    * HilbertExprs.hilbertNJava round for round): per bit level Q =
+    * 2^(qBits−1)…2, three sequential reflect/exchange steps — axis 0
+    * is both the accumulator and an axis, so its own step reduces to a
+    * conditional XOR — then the Gray encode across axes and the
+    * trailing-axis correction term.
+    */
+  private lazy val hilbert3Ctes: String = {
+    val qvals = (Queries.Z3QBits - 1 to 1 by -1).map(1L << _)
+    val rounds = qvals.zipWithIndex.map { case (qv, r) =>
+      val p = qv - 1
+      val prev = if (r == 0) "h3_0" else s"h3_${r}c"
+      s"""h3_${r + 1}a AS (SELECT bx, by, bz,
+             CASE WHEN (x0 & $qv) > 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+             x1, x2 FROM $prev),
+          h3_${r + 1}bt AS (SELECT bx, by, bz, x0, x1, x2,
+             CASE WHEN (x1 & $qv) > 0 THEN 0 ELSE xor(x0, x1) & $p END AS t
+             FROM h3_${r + 1}a),
+          h3_${r + 1}b AS (SELECT bx, by, bz,
+             CASE WHEN (x1 & $qv) > 0 THEN xor(x0, $p) ELSE xor(x0, t) END AS x0,
+             xor(x1, t) AS x1, x2 FROM h3_${r + 1}bt),
+          h3_${r + 1}ct AS (SELECT bx, by, bz, x0, x1, x2,
+             CASE WHEN (x2 & $qv) > 0 THEN 0 ELSE xor(x0, x2) & $p END AS t
+             FROM h3_${r + 1}b),
+          h3_${r + 1}c AS (SELECT bx, by, bz,
+             CASE WHEN (x2 & $qv) > 0 THEN xor(x0, $p) ELSE xor(x0, t) END AS x0,
+             x1, xor(x2, t) AS x2 FROM h3_${r + 1}ct)"""
+    }.mkString(",\n        ")
+    val last = qvals.length
+    val tFold = qvals
+      .map(qv => s"CASE WHEN (x2 & $qv) > 0 THEN ${qv - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    s"""$rounds,
+        h3_g AS (SELECT bx, by, bz, x0, xor(x1, x0) AS x1,
+                        xor(x2, xor(x1, x0)) AS x2 FROM h3_${last}c),
+        h3_t AS (SELECT bx, by, bz, x0, x1, x2, $tFold AS tt FROM h3_g),
+        h3_f AS (SELECT bx, by, bz, xor(x0, tt) AS x0, xor(x1, tt) AS x1,
+                        xor(x2, tt) AS x2 FROM h3_t)"""
+  }
+
+  /** Interleave of the TRANSPOSED axes: per bit level k, axis 0's bit
+    * is the most significant of the level's three (3k+2, 3k+1, 3k).
+    */
+  private lazy val hilbert3IndexExpr: String =
+    (0 until Queries.Z3QBits).flatMap { k =>
+      Seq(s"((x0 >> $k) & 1) * ${1L << (3 * k + 2)}",
+        s"((x1 >> $k) & 1) * ${1L << (3 * k + 1)}",
+        s"((x2 >> $k) & 1) * ${1L << (3 * k)}")
+    }.mkString(" + ")
+
+  /** q278's Hilbert half: the 3-D Hilbert zone map. */
+  private lazy val hilbert3ManifestSql: String = {
+    val blk = 1L << Queries.Z3BlockShift
+    s"""WITH $grid3Ctes,
+        h3_0 AS (SELECT bx, by, bz, bx AS x0, by AS x1, bz AS x2 FROM g3),
+        $hilbert3Ctes
+        SELECT ($hilbert3IndexExpr) // $blk AS block, COUNT(*) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y,
+               MIN(bz) AS min_z, MAX(bz) AS max_z
+        FROM h3_f GROUP BY 1"""
   }
 
   /** BM25 scored-docs SQL shared by q69/q79 — ≡ Queries.bm25Scores (same

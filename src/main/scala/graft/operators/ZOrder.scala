@@ -193,6 +193,49 @@ object ZOrder {
         min("y").as("min_y"), max("y").as("max_y"))
   }
 
+  /** 3-D layout manifest on curve `ix` — the d>2 generalization real
+    * lakehouse OPTIMIZE runs (ZORDER BY three or four columns). Same
+    * shape as the 2-D manifests: one scalar bounds agg broadcast back,
+    * map-side codegen'd curve index (`ZOrderExprs.mortonN` /
+    * `HilbertExprs.hilbertN`), one hash-agg over O(blocks) groups; the
+    * zone map carries min/max of all THREE quantized dims, so a probe
+    * box on any dim subset prunes.
+    */
+  private def manifest3(df: DataFrame, xCol: Column, yCol: Column,
+                        zCol: Column, qBits: Int, blockShift: Int,
+                        ix: Seq[Column] => Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        zCol.cast("long").as("z"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
+    val bounds = base.agg(min("x").as("minx"), max("x").as("maxx"),
+      min("y").as("miny"), max("y").as("maxy"),
+      min("z").as("minz"), max("z").as("maxz"))
+    base.crossJoin(broadcast(bounds))
+      .select(
+        quantize(col("x"), col("minx"), col("maxx"), qBits).as("bx"),
+        quantize(col("y"), col("miny"), col("maxy"), qBits).as("by"),
+        quantize(col("z"), col("minz"), col("maxz"), qBits).as("bz"))
+      .withColumn("c", ix(Seq(col("bx"), col("by"), col("bz"))))
+      .groupBy(shiftright(col("c"), blockShift).as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("bx").as("min_x"), max("bx").as("max_x"),
+        min("by").as("min_y"), max("by").as("max_y"),
+        min("bz").as("min_z"), max("bz").as("max_z"))
+      .orderBy("block")
+  }
+
+  /** 3-D Morton (Z-order) manifest. */
+  def layoutManifest3(df: DataFrame, xCol: Column, yCol: Column, zCol: Column,
+                      qBits: Int = 6, blockShift: Int = 6): DataFrame =
+    manifest3(df, xCol, yCol, zCol, qBits, blockShift,
+      cs => ZOrderExprs.mortonN(qBits, cs))
+
+  /** 3-D Hilbert manifest (Skilling transpose walk). */
+  def hilbertManifest3(df: DataFrame, xCol: Column, yCol: Column, zCol: Column,
+                       qBits: Int = 6, blockShift: Int = 6): DataFrame =
+    manifest3(df, xCol, yCol, zCol, qBits, blockShift,
+      cs => graft.plans.HilbertExprs.hilbertN(qBits, cs))
+
   def hilbertLayoutManifest(df: DataFrame, xCol: Column, yCol: Column,
                             qBits: Int = 8, blockShift: Int = 6): DataFrame = {
     val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

@@ -41,6 +41,105 @@ object ZOrderExprs {
     x = (x | (x << 1)) & 0x55555555L
     x
   }
+
+  /** `mortonN(qBits, axes)`: d-dimensional Morton interleave — axis j's
+    * bit i lands at output position `i*d + j` (axis 0 least significant,
+    * the same layout `morton16` gives at d=2). Real lakehouse OPTIMIZE
+    * Z-orders 3–4 columns; the 2-D magic-number spread doesn't
+    * generalize, so the d-dim kernel is the plain bit loop — `d*qBits`
+    * iterations of shift/mask integer ops, still branchless inside
+    * whole-stage codegen.
+    */
+  def mortonN(qBits: Int, cols: Seq[Column]): Column =
+    GraftColumnBridge.column(MortonInterleaveN(
+      cols.map(GraftColumnBridge.expression), qBits))
+
+  /** The d-dim interleave kernel (called from interpreted eval and
+    * generated code). Pure function of the low `qBits` bits of each
+    * axis.
+    */
+  def interleaveN(qBits: Int, xs: Array[Long]): Long = {
+    val d = xs.length
+    var out = 0L
+    var i = 0
+    while (i < qBits) {
+      var j = 0
+      while (j < d) {
+        out |= ((xs(j) >>> i) & 1L) << (i * d + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** d-ary Morton interleave over `qBits`-bit axes. Requires
+  * `d * qBits ≤ 62` so the index stays a positive long.
+  */
+case class MortonInterleaveN(children: Seq[Expression], qBits: Int)
+    extends Expression {
+
+  require(children.size >= 2, "MortonInterleaveN needs at least 2 axes")
+  require(children.size * qBits <= 62,
+    s"MortonInterleaveN: ${children.size} axes x $qBits bits overflow a long")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"MortonInterleaveN requires all-bigint axes, got " +
+        children.map(_.dataType).mkString(", "))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val xs = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderExprs.interleaveN(qBits, xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    NaryCurveCodegen.gen(ctx, ev, children, nullable,
+      arr => s"graft.plans.ZOrderExprs.interleaveN($qBits, new long[]{$arr})")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MortonInterleaveN =
+    copy(children = newChildren)
+}
+
+/** Shared codegen for the N-ary long→long curve kernels: evaluate every
+  * axis, OR the null flags, call one static helper on a stack array.
+  */
+private[plans] object NaryCurveCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+
+  def gen(ctx: CodegenContext, ev: ExprCode, children: Seq[Expression],
+          nullable: Boolean, call: String => String): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val invoke = call(evals.map(_.value).mkString(", "))
+    if (nullable) {
+      val nullCheck = evals.map(_.isNull.toString).mkString(" || ")
+      ev.copy(code =
+        code"""
+          $childCode
+          boolean ${ev.isNull} = $nullCheck;
+          long ${ev.value} = ${ev.isNull} ? 0L : $invoke;""")
+    } else {
+      ev.copy(isNull = FalseLiteral, code =
+        code"""
+          $childCode
+          long ${ev.value} = $invoke;""")
+    }
+  }
 }
 
 /** `spread16(x) | (spread16(y) << 1)` over the low 16 bits of two longs. */
@@ -101,6 +200,61 @@ object HilbertExprs {
     GraftColumnBridge.column(HilbertIndex(
       GraftColumnBridge.expression(x), GraftColumnBridge.expression(y), qBits))
 
+  /** d-dimensional Hilbert index — the classic xy2d walk is 2-D-only,
+    * so the d-dim kernel is Skilling's transpose algorithm ("Programming
+    * the Hilbert curve", AIP Conf. Proc. 707, 2004 — the standard
+    * public formulation): per-axis inverse-undo rounds from the top bit
+    * down, a Gray encode across axes, then bit-interleave of the
+    * transposed axes (axis 0 most significant per bit level). Every
+    * step is shift/mask/xor integer ops — one static call inside
+    * whole-stage codegen, reproduced round-for-round by the DuckDB
+    * oracle's unrolled CTEs. NOTE: at d=2 this parameterization is a
+    * valid Hilbert curve but NOT bit-identical to `hilbertJava`'s xy2d
+    * orientation; the 2-D operators keep xy2d for oracle stability.
+    */
+  def hilbertN(qBits: Int, cols: Seq[Column]): Column =
+    GraftColumnBridge.column(HilbertIndexN(
+      cols.map(GraftColumnBridge.expression), qBits))
+
+  /** Skilling transpose walk + interleave. MUTATES `xs` (callers pass a
+    * fresh array). Called from interpreted eval and generated code.
+    */
+  def hilbertNJava(qBits: Int, xs: Array[Long]): Long = {
+    val n = xs.length
+    val m = 1L << (qBits - 1)
+    // inverse undo: from the top bit level down, reflect/exchange each
+    // axis against axis 0 inside the level's subcube
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((xs(i) & q) != 0) xs(0) ^= p
+        else { val t = (xs(0) ^ xs(i)) & p; xs(0) ^= t; xs(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode across axes
+    var i = 1
+    while (i < n) { xs(i) ^= xs(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((xs(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { xs(i) ^= t; i += 1 }
+    // interleave the transposed axes: per bit level (MSB first), axis 0
+    // contributes the most significant of the level's n bits
+    var d = 0L
+    var k = qBits - 1
+    while (k >= 0) {
+      var j = 0
+      while (j < n) { d = (d << 1) | ((xs(j) >>> k) & 1L); j += 1 }
+      k -= 1
+    }
+    d
+  }
+
   /** xy→d on the 2^qBits × 2^qBits grid. Called from interpreted eval
     * and generated code.
     */
@@ -147,4 +301,45 @@ case class HilbertIndex(left: Expression, right: Expression, qBits: Int)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): HilbertIndex =
     copy(left = newLeft, right = newRight)
+}
+
+/** d-ary Hilbert index over `qBits`-bit axes (Skilling transpose walk).
+  * Requires `d * qBits ≤ 62` so the index stays a positive long.
+  */
+case class HilbertIndexN(children: Seq[Expression], qBits: Int)
+    extends Expression {
+
+  require(children.size >= 2, "HilbertIndexN needs at least 2 axes")
+  require(children.size * qBits <= 62,
+    s"HilbertIndexN: ${children.size} axes x $qBits bits overflow a long")
+  require(qBits >= 1, s"hilbert qBits out of range: $qBits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"HilbertIndexN requires all-bigint axes, got " +
+        children.map(_.dataType).mkString(", "))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val xs = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HilbertExprs.hilbertNJava(qBits, xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    NaryCurveCodegen.gen(ctx, ev, children, nullable,
+      arr => s"graft.plans.HilbertExprs.hilbertNJava($qBits, new long[]{$arr})")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertIndexN =
+    copy(children = newChildren)
 }

@@ -188,6 +188,63 @@ class Round17Spec extends AnyFunSuite {
     assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  // --- directive 6: d-dimensional layout curves --------------------------------------
+
+  test("hilbertN is a bijection with unit steps (the defining Hilbert property), d=2 and d=3") {
+    import graft.plans.HilbertExprs
+    for ((d, qBits) <- Seq((2, 4), (3, 3))) {
+      val side = 1 << qBits
+      val cells = math.pow(side, d).toInt
+      // index -> coords, via exhaustive forward evaluation
+      val byIndex = new Array[Array[Long]](cells)
+      def walk(prefix: List[Long]): Unit =
+        if (prefix.length == d) {
+          val idx = HilbertExprs.hilbertNJava(qBits, prefix.toArray)
+          assert(idx >= 0 && idx < cells, s"index $idx out of range")
+          assert(byIndex(idx.toInt) == null, s"index $idx hit twice (not a bijection)")
+          byIndex(idx.toInt) = prefix.toArray
+        } else (0 until side).foreach(v => walk(prefix :+ v.toLong))
+      walk(Nil)
+      // consecutive indices are grid-adjacent: exactly one axis moves by 1
+      (1 until cells).foreach { i =>
+        val diff = byIndex(i).zip(byIndex(i - 1))
+          .map { case (a, b) => math.abs(a - b) }
+        assert(diff.sum == 1 && diff.max == 1,
+          s"d=$d step $i is not a unit step: ${byIndex(i - 1).toList} -> ${byIndex(i).toList}")
+      }
+    }
+  }
+
+  test("interleaveN at d=2 matches the 2-D magic-number spread kernel") {
+    import graft.plans.ZOrderExprs
+    val rnd = new scala.util.Random(17)
+    (0 until 2000).foreach { _ =>
+      val x = rnd.nextInt(1 << 16).toLong
+      val y = rnd.nextInt(1 << 16).toLong
+      assert(ZOrderExprs.interleaveN(16, Array(x, y)) ==
+        (ZOrderExprs.spread16(x) | (ZOrderExprs.spread16(y) << 1)))
+    }
+  }
+
+  test("3-D probe panel: control row scans everything, point probes stay tiny, manifests cover all rows") {
+    val rep = Queries.hilbert3PruningCompare(spark, sf)
+      .orderBy("probe_id").collect()
+    assert(rep.length == 6)
+    val man = Queries.zorder3Manifest(spark, sf)
+    val (totBlocks, totRows) = (man.count(),
+      man.agg(sum("n_rows")).head().getLong(0))
+    val full = rep.last // probe 6: the full-grid control row
+    assert(full.getAs[Long]("blocks_z") == totBlocks &&
+      full.getAs[Long]("rows_z") == totRows,
+      "full-box probe must touch every Morton block")
+    assert(full.getAs[Long]("rows_h") == totRows,
+      "full-box probe must cover all rows under Hilbert too")
+    val point = rep(4) // probe 5: single cell
+    assert(point.getAs[Long]("blocks_z") <= totBlocks / 10 &&
+      point.getAs[Long]("blocks_h") <= totBlocks / 10,
+      "a single-cell probe must prune the vast majority of blocks")
+  }
+
   // --- directive 4: transformWithState (timers + TTL) -------------------------------
 
   test("SessionizeTws: event-time timers evict silent keys' open tails and free state") {
