@@ -295,6 +295,8 @@ object SparkEntry {
     "q276_dedup_tws_ttl"      -> (Queries.dedupTwsRegistry _),
     "q277_zorder3_manifest"   -> (Queries.zorder3Manifest _),
     "q278_hilbert3_vs_morton3" -> (Queries.hilbert3PruningCompare _),
+    "q279_dsir_weights"       -> (Queries.dsirWeights _),
+    "q280_dsir_select"        -> (Queries.dsirSelect _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -8088,6 +8090,94 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- q279/q280: DSIR hashed-bigram importance weighting + selection -------------------
+  // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  // score every raw-corpus document by how much better a TARGET
+  // bag-of-hashed-ngrams model explains it than the RAW-corpus model,
+  // then select top importance under a token budget. Features are word
+  // BIGRAMS hashed by the engine-portable polynomial fold into
+  // `DsirBuckets` buckets (DSIR's hashed feature space — collisions are
+  // part of the estimator, identical in both engines). Target = the
+  // lang='en' slice (the trusted-seed stand-in); raw = the whole corpus;
+  // both models add-one smoothed over the full bucket domain.
+  //
+  // The log-likelihood ratio is the log() engine lottery — dodged with
+  // the q274 recipe: per-bucket model cost in EXACT integer bits,
+  // bits(model, b) = floor(log2(TOTAL / count_b)) = bitlen(TOTAL div
+  // count_b) − 1 (valid since count_b ≤ TOTAL ⟹ the ratio ≥ 1, no
+  // negative branch needed), and the per-doc importance is
+  // Σ c_b · (bitsRAW_b − bitsTARGET_b) — "whole bits saved when the
+  // target model codes this doc instead of the raw model" (positive =
+  // target-like). 1-bit-per-bucket granularity is the same quantization
+  // q274 accepted per transition; the planted spec pins that the
+  // target-vs-junk gap dwarfs it.
+  //
+  // Scale shape: one corpus scan → exploded hashed-bigram frame
+  // (map-side codegen fingerprint); doc×bucket counts = one hash-agg;
+  // both models are ≤DsirBuckets-row frames (broadcast); scoring is one
+  // broadcast join + one hash-agg. q280's budget selection rides
+  // PrefixSum (no single-task global window), ordered by importance.
+  val DsirBuckets = 256L
+  val DsirTokenBudget = 15000L
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The DSIR scorer over any (doc_id, lang, text) frame — factored so
+    * the spec can plant a target-like-vs-junk corpus.
+    */
+  private[graft] def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val dc = docs
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+        size(ws) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("a"),
+        slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextAnalysis.rollingFingerprint(
+          concat(col("p.a"), lit(" "), col("p.b"))), lit(DsirBuckets))
+          .as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("c"))
+    // raw model over every doc, target model over the seed slice; every
+    // bucket in dc appears in rawB by construction, targets may miss
+    val rawB = dc.groupBy("bucket").agg(sum("c").as("cq"))
+    val tgtB = dc.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("c").as("cp"))
+    val tot = rawB.agg(sum("cq").as("sq")).crossJoin(
+        tgtB.agg(coalesce(sum("cp"), lit(0L)).as("sp")))
+      .select((col("sq") + DsirBuckets).as("tq"),
+        (col("sp") + DsirBuckets).as("tp"))
+    val model = rawB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        // exact integer bits, no log(): bitlen(total div count) − 1
+        (length(bin(expr("tq div (cq + 1)"))) - 1).cast("long").as("bits_q"),
+        (length(bin(expr("tp div (coalesce(cp, 0L) + 1)"))) - 1)
+          .cast("long").as("bits_p"))
+    dc.join(broadcast(model), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c") * (col("bits_q") - col("bits_p"))).as("bits_saved"))
+      .withColumn("target_like", col("bits_saved") > 0)
+  }
+
+  /** Importance-ranked token-budget selection (DSIR's resampling step as
+    * a deterministic curriculum cut): docs in (bits_saved DESC, doc_id)
+    * order until the budget fills — q83's PrefixSum running-cumsum shape
+    * with importance as the rank key, so no single-task global window.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = dsirWeightsFrom(Tables.documents(spark, dir))
+      .withColumn("tokens", col("n_bigrams") + 1)
+    val bucketed = scored.withColumn("qb", -col("bits_saved"))
+    PrefixSum.runningSum(bucketed, "qb",
+        Seq(col("bits_saved").desc, col("doc_id")), col("tokens"), "cum_tokens")
+      .filter(col("cum_tokens") - col("tokens") < DsirTokenBudget)
+      .select(col("doc_id"), col("bits_saved"), col("tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   // --- q245: streaming signed-delta IVM (foreachBatch + bucketed commits) ---------------
   // q240 as a REAL change stream: every event row lands as an insert
   // (+1), and the retracted slice (pre-watermark, event_id ≡ 0 mod 7)
@@ -8410,6 +8500,20 @@ object Oracles {
           SELECT probe_id, blocks_z, rows_z, blocks_h, rows_h
           FROM tz JOIN th USING (probe_id)"""
     },
+    // DSIR importance weights + the budget selection over them (the
+    // selection window replays Spark's PrefixSum order exactly)
+    "q279_dsir_weights" -> dsirWeightsSql,
+    "q280_dsir_select" ->
+      s"""WITH w AS ($dsirWeightsSql),
+          sel AS (SELECT doc_id, bits_saved, n_bigrams + 1 AS tokens,
+                         SUM(n_bigrams + 1) OVER (
+                           ORDER BY bits_saved DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM w)
+          SELECT doc_id, CAST(bits_saved AS BIGINT) AS bits_saved,
+                 CAST(tokens AS BIGINT) AS tokens,
+                 CAST(cum_tokens AS BIGINT) AS cum_tokens
+          FROM sel WHERE cum_tokens - tokens < ${Queries.DsirTokenBudget}""",
     // conversion lags read off the SAME funnel chain q66 gates
     "q162_funnel_lag_percentiles" ->
       s"""WITH f AS (${sqlBase("q66_funnel")})
@@ -14020,6 +14124,44 @@ object Oracles {
                MIN(by) AS min_y, MAX(by) AS max_y,
                MIN(bz) AS min_z, MAX(bz) AS max_z
         FROM h3_f GROUP BY 1"""
+  }
+
+  /** q279's oracle (shared by q280): the DSIR hashed-bigram importance
+    * score replayed with the identical integer arithmetic — the same
+    * per-char polynomial fold as q30, the same add-one smoothing, the
+    * same bitlen identity for the per-bucket model cost.
+    */
+  private lazy val dsirWeightsSql: String = {
+    val b = Queries.DsirBuckets
+    s"""WITH d AS (SELECT doc_id, lang, $ws AS w
+                   FROM documents
+                   WHERE text IS NOT NULL AND lang IS NOT NULL
+                     AND len($ws) >= 2),
+        bgr AS (SELECT doc_id, lang,
+                  list_reduce(list_transform(
+                      string_split_regex(w[i] || ' ' || w[i+1], ''),
+                      c -> CAST(ascii(c) AS BIGINT)),
+                    (a, x) -> (a * 31 + x) % 1000000007) % $b AS bucket
+                FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       len(w) - 1)) AS i) g),
+        dc AS (SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM bgr GROUP BY 1, 2, 3),
+        rawb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cq
+                 FROM dc GROUP BY 1),
+        tgtb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cp
+                 FROM dc WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT SUM(cq) FROM rawb) + $b AS tq,
+                       (SELECT COALESCE(SUM(cp), 0) FROM tgtb) + $b AS tp),
+        model AS (SELECT rawb.bucket,
+                         length(bin(tq // (cq + 1))) - 1 AS bits_q,
+                         length(bin(tp // (COALESCE(cp, 0) + 1))) - 1 AS bits_p
+                  FROM rawb LEFT JOIN tgtb USING (bucket), tot)
+        SELECT dc.doc_id, dc.lang,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c * (bits_q - bits_p)) AS BIGINT) AS bits_saved,
+               CAST(SUM(c * (bits_q - bits_p)) AS BIGINT) > 0 AS target_like
+        FROM dc JOIN model USING (bucket)
+        GROUP BY 1, 2"""
   }
 
   /** BM25 scored-docs SQL shared by q69/q79 — ≡ Queries.bm25Scores (same

@@ -245,6 +245,46 @@ class Round17Spec extends AnyFunSuite {
       "a single-cell probe must prune the vast majority of blocks")
   }
 
+  // --- DSIR importance weighting ------------------------------------------------------
+
+  test("DSIR: target-vocabulary docs save bits, junk docs cost bits, regardless of label") {
+    import spark.implicits._
+    // DSIR's operating regime: a junk-heavy RAW pool and a small trusted
+    // seed whose distribution DIFFERS from raw — that difference is the
+    // signal; when target ≈ raw, p_b/q_b ≈ 1 and the integer-bit
+    // quantization correctly reads ~0 saved
+    val seed = (1L to 5L).map(i =>
+      (i, "the data table join query the data table join query", "en"))
+    val junkPool = (100L to 139L).map(i =>
+      (i, "zz qq xx vv ww rr tt uu zz qq xx vv ww rr tt uu", "fr"))
+    val probes = Seq(
+      // target-like CONTENT under a non-target label: DSIR scores by
+      // content resemblance, not by the label that defined the seed
+      (900L, "the data table join query data table join", "fr"),
+      // junk vocabulary: absent from the seed, so the target model
+      // charges the smoothing floor for every bigram
+      (901L, "zz qq xx vv ww zz qq xx vv ww", "fr"))
+    val docs = (seed ++ junkPool ++ probes).toDF("doc_id", "text", "lang")
+    val got = Queries.dsirWeightsFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1)._1 == 9, "10 words must yield 9 bigram occurrences")
+    assert(got(900L)._2 > 0, s"target-like content must save bits, got ${got(900L)}")
+    assert(got(901L)._2 < 0, s"junk content must cost bits, got ${got(901L)}")
+    assert(got(900L)._2 > got(901L)._2 + 8,
+      "the target-vs-junk gap must dwarf the 1-bit bucket quantization")
+    val sel = Queries.dsirSelect(spark, sf).collect()
+    assert(sel.nonEmpty)
+    // the selection is a valid prefix: budget respected for every kept
+    // doc, cumulative sums self-consistent
+    sel.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("tokens")
+        < Queries.DsirTokenBudget)
+    }
+    assert(sel.map(_.getAs[Long]("tokens")).sum ==
+      sel.map(_.getAs[Long]("cum_tokens")).max,
+      "kept docs' tokens must sum to the max cumulative (a true prefix)")
+  }
+
   // --- directive 4: transformWithState (timers + TTL) -------------------------------
 
   test("SessionizeTws: event-time timers evict silent keys' open tails and free state") {
