@@ -297,6 +297,7 @@ object SparkEntry {
     "q278_hilbert3_vs_morton3" -> (Queries.hilbert3PruningCompare _),
     "q279_dsir_weights"       -> (Queries.dsirWeights _),
     "q280_dsir_select"        -> (Queries.dsirSelect _),
+    "q281_stream_dsir"        -> (Queries.streamedDsir _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -8123,12 +8124,10 @@ object Queries {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsFrom(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  /** The DSIR scorer over any (doc_id, lang, text) frame — factored so
-    * the spec can plant a target-like-vs-junk corpus.
-    */
-  private[graft] def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+  /** Per-(doc, lang, bucket) hashed-bigram occurrence counts. */
+  private def dsirBucketCounts(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    val dc = docs
+    docs
       .filter(col("text").isNotNull && col("lang").isNotNull &&
         size(ws) >= 2)
       .select(col("doc_id"), col("lang"), explode(arrays_zip(
@@ -8139,6 +8138,12 @@ object Queries {
           concat(col("p.a"), lit(" "), col("p.b"))), lit(DsirBuckets))
           .as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The trained bucket model: per bucket, the exact-integer bit cost
+    * under the raw and target distributions (≤DsirBuckets rows).
+    */
+  private def dsirModel(dc: DataFrame): DataFrame = {
     // raw model over every doc, target model over the seed slice; every
     // bucket in dc appears in rawB by construction, targets may miss
     val rawB = dc.groupBy("bucket").agg(sum("c").as("cq"))
@@ -8148,18 +8153,61 @@ object Queries {
         tgtB.agg(coalesce(sum("cp"), lit(0L)).as("sp")))
       .select((col("sq") + DsirBuckets).as("tq"),
         (col("sp") + DsirBuckets).as("tp"))
-    val model = rawB.join(tgtB, Seq("bucket"), "left")
+    rawB.join(tgtB, Seq("bucket"), "left")
       .crossJoin(broadcast(tot))
       .select(col("bucket"),
         // exact integer bits, no log(): bitlen(total div count) − 1
         (length(bin(expr("tq div (cq + 1)"))) - 1).cast("long").as("bits_q"),
         (length(bin(expr("tp div (coalesce(cp, 0L) + 1)"))) - 1)
           .cast("long").as("bits_p"))
-    dc.join(broadcast(model), "bucket")
+  }
+
+  /** The DSIR scorer over any (doc_id, lang, text) frame — factored so
+    * the spec can plant a target-like-vs-junk corpus.
+    */
+  private[graft] def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val dc = dsirBucketCounts(docs)
+    dc.join(broadcast(dsirModel(dc)), "bucket")
       .groupBy("doc_id", "lang")
       .agg(sum("c").as("n_bigrams"),
         sum(col("c") * (col("bits_q") - col("bits_p"))).as("bits_saved"))
       .withColumn("target_like", col("bits_saved") > 0)
+  }
+
+  // --- q281: ONLINE DSIR scoring (stream-static broadcast, the q234 shape) ---------------
+  // The online-curation deployment of q279: the bucket model is TRAINED
+  // on the frozen batch corpus, then incoming documents stream through a
+  // STATELESS scoring pass — explode hashed bigrams map-side (the same
+  // codegen fingerprint, on columns, never in a lambda), broadcast-join
+  // the ≤DsirBuckets-row model, emit per-occurrence bit deltas. No
+  // watermark, no stream aggregation state: a document is complete in
+  // its input row, so all its occurrence rows land in one micro-batch
+  // and the sink-side per-doc fold (the q128 read-time-aggregate
+  // pattern) is exact. Gated against q279's oracle VERBATIM — the
+  // online path must score a document identically to the batch path.
+  def streamedDsir(spark: SparkSession, dir: String): DataFrame = {
+    val model = dsirModel(dsirBucketCounts(Tables.documents(spark, dir)))
+    val ws = split(col("text"), " ")
+    val scored = Tables.documentsStream(spark, dir)
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+        size(ws) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("a"),
+        slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextAnalysis.rollingFingerprint(
+          concat(col("p.a"), lit(" "), col("p.b"))), lit(DsirBuckets))
+          .as("bucket"))
+      .join(broadcast(model), "bucket")
+      .select(col("doc_id"), col("lang"),
+        (col("bits_q") - col("bits_p")).as("delta_bits"))
+    val name = runToTable(scored.writeStream, "graft_q281_")
+    spark.table(name)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("delta_bits").as("bits_saved"))
+      .withColumn("target_like", col("bits_saved") > 0)
+      .orderBy("doc_id")
   }
 
   /** Importance-ranked token-budget selection (DSIR's resampling step as
@@ -8475,6 +8523,9 @@ object Oracles {
     // counterparts — semantics identical, only the state API differs
     "q275_sessionize_tws" -> sqlBase("q127_sessionize_stream"),
     "q276_dedup_tws_ttl"  -> sqlBase("q137_stream_key_registry"),
+    // the ONLINE DSIR scoring path must score a doc identically to the
+    // batch path — q279's oracle verbatim
+    "q281_stream_dsir" -> dsirWeightsSql,
     // 3-D layout curves: the Morton zone map and the Hilbert-vs-Morton
     // probe-panel comparison (q227's shape at d=3)
     "q277_zorder3_manifest" -> zorder3ManifestSql,

@@ -164,6 +164,21 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** Streaming twin of `documents` (the q281 online-curation gate): the
+    * fixture file as an unbounded file-source stream, the same
+    * brace-glob single-file addressing as `eventsStream`.
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentsSchema).option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
+
+  private val DocumentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
