@@ -8179,12 +8179,17 @@ object Queries {
   // on the frozen batch corpus, then incoming documents stream through a
   // STATELESS scoring pass — explode hashed bigrams map-side (the same
   // codegen fingerprint, on columns, never in a lambda), broadcast-join
-  // the ≤DsirBuckets-row model, emit per-occurrence bit deltas. No
-  // watermark, no stream aggregation state: a document is complete in
-  // its input row, so all its occurrence rows land in one micro-batch
-  // and the sink-side per-doc fold (the q128 read-time-aggregate
-  // pattern) is exact. Gated against q279's oracle VERBATIM — the
-  // online path must score a document identically to the batch path.
+  // the ≤DsirBuckets-row model, fold per doc INSIDE each micro-batch via
+  // a foreachBatch sink (the IvmSink shape). No watermark, no stream-agg
+  // state: a document is complete in its one input row, so all its
+  // occurrence rows share a micro-batch and the BATCH-LOCAL fold is
+  // exact — and the sink carries O(docs) rows, not O(bigram
+  // occurrences). (First cut emitted per-occurrence rows into a memory
+  // sink; the 100× drill killed it on driver maxResultSize — 1.1 GB of
+  // occurrence rows collected — which is the honest argument for
+  // folding before the sink on any real deployment too.) Gated against
+  // q279's oracle VERBATIM — the online path must score a document
+  // identically to the batch path.
   def streamedDsir(spark: SparkSession, dir: String): DataFrame = {
     val model = dsirModel(dsirBucketCounts(Tables.documents(spark, dir)))
     val ws = split(col("text"), " ")
@@ -8201,11 +8206,19 @@ object Queries {
       .join(broadcast(model), "bucket")
       .select(col("doc_id"), col("lang"),
         (col("bits_q") - col("bits_p")).as("delta_bits"))
-    val name = runToTable(scored.writeStream, "graft_q281_")
-    spark.table(name)
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum("delta_bits").as("bits_saved"))
+    val tmp = tempDir("graft_q281_")
+    val q = scored.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum("delta_bits").as("bits_saved"))
+          .write.mode("append").parquet(s"$tmp/out")
+      }
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
       .withColumn("target_like", col("bits_saved") > 0)
       .orderBy("doc_id")
   }

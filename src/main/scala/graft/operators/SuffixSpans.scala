@@ -53,7 +53,20 @@ object SuffixSpans {
       s"windowLen must be a power of two, got $windowLen")
     require(maxChars >= windowLen && maxChars < PosEnc,
       s"maxChars must be in [$windowLen, $PosEnc), got $maxChars")
-    def ckpt(df: DataFrame): DataFrame = LeanCheckpoint.localCheckpoint(df)
+    // Round frames are O(corpus CHARACTERS) — at the 100× drill ~0.25 G
+    // rows — so unlike the O(keys) fixpoint loops this loop must manage
+    // its checkpoint lifetimes: serialized storage (wire-size heap, disk
+    // spill under pressure) and round k unpersisted the moment round
+    // k+1 has materialized (safe: a round is never read after its
+    // successor exists). Keeping all log2(L) rounds deserialized was a
+    // drill-caught OOM (31 GB heap, executor death at 100×).
+    var live: org.apache.spark.rdd.RDD[_] = null
+    def ckpt(df: DataFrame): DataFrame = {
+      val (out, handle) = LeanCheckpoint.localCheckpointSer(df)
+      if (live != null) live.unpersist(blocking = false)
+      live = handle
+      out
+    }
     val d = docs
       .select(col(idCol).cast("long").as("doc_id"),
         substring(col(textCol), 1, maxChars).as("t"))
@@ -86,13 +99,16 @@ object SuffixSpans {
       off *= 2
     }
     // repeated L-windows: rank classes with ≥ 2 members (one exchange
-    // on the integer rank — q125's windowed count, never a join-back)
+    // on the integer rank — q125's windowed count, never a join-back).
+    // The hits frame is O(repeated positions) ≪ corpus — checkpoint IT,
+    // then free the final O(corpus) rank frame; downstream (island
+    // merge) re-evaluates only ever read the small persisted hits.
     val wR = Window.partitionBy("rk")
-    val hits = r.withColumn("__n", count(lit(1)).over(wR))
+    val hits = ckpt(r.withColumn("__n", count(lit(1)).over(wR))
       .filter(col("__n") >= 2)
       .select(expr(s"pid div $PosEnc").as("doc_id"),
         pmod(col("pid"), lit(PosEnc)).as("i"))
-      .withColumn("e", col("i") + (windowLen - 1))
+      .withColumn("e", col("i") + (windowLen - 1)))
     // q125's gaps-and-islands merge on character coverage
     val wDo = Window.partitionBy("doc_id").orderBy("i")
     val prevEnd = max(col("e"))

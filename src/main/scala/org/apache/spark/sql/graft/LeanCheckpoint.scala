@@ -44,6 +44,29 @@ object LeanCheckpoint {
     cds.sparkSession.internalCreateDataFrame(rdd, cds.schema)
   }
 
+  /** [[localCheckpoint]] in SERIALIZED storage, returning the persisted
+    * RDD as an explicit lifetime handle. For loops whose round frames
+    * are O(corpus) rather than O(keys) — q273's suffix ranking carries
+    * ~0.5 G position rows at the 100× drill — the deserialized
+    * `UnsafeRow` objects cost ~5× their serialized bytes in heap, and a
+    * loop that keeps every round persisted OOMs (caught by the round-17
+    * drill: 31 GB heap, executor death). MEMORY_AND_DISK_SER (set
+    * BEFORE `localCheckpoint()`, which preserves a pre-set level and
+    * only forces the disk bit) keeps each round at its wire size and
+    * spills under pressure, and the handle lets the caller UNPERSIST
+    * round k as soon as round k+1 has materialized. A localCheckpointed
+    * RDD has no lineage — unpersist only when provably never read again
+    * (the returned DataFrame fails, not recomputes, past that point).
+    */
+  def localCheckpointSer(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    rdd.localCheckpoint()
+    rdd.count() // eager materialization (the localCheckpoint contract)
+    (cds.sparkSession.internalCreateDataFrame(rdd, cds.schema), rdd)
+  }
+
   /** `df.leanCheckpoint()` sugar — drop-in for the
     * `.localCheckpoint(true)` iteration discipline.
     */
