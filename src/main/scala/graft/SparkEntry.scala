@@ -298,6 +298,8 @@ object SparkEntry {
     "q279_dsir_weights"       -> (Queries.dsirWeights _),
     "q280_dsir_select"        -> (Queries.dsirSelect _),
     "q281_stream_dsir"        -> (Queries.streamedDsir _),
+    "q282_bpe_encode"         -> (Queries.bpeEncodeTrained _),
+    "q283_dedup_excise"       -> (Queries.dedupExcise _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2968,6 +2970,105 @@ object Queries {
         graft.plans.BpeExprs.bpeTokenCount(split(col("text"), " "), BpeMerges)
           .as("bpe_tokens"))
       .orderBy("doc_id")
+
+  // --- q282: BPE ENCODE with the TRAINED merges (q225 → corpus, the tokenize step) -----
+  // q126 counts tokens under a FIXED merge list (the codegen kernel);
+  // q225 TRAINS merges on the corpus but never applies them. This is
+  // the missing composition — the tokenizer loop closed: train on the
+  // corpus, encode the corpus, report per-doc token counts under the
+  // LEARNED vocabulary. The plan exploits BPE's defining factorization:
+  // encoding is a pure function of the WORD, so the merge replaces run
+  // over the DISTINCT-WORD table (vocabulary-sized — the same trick
+  // training uses), and the corpus is touched only by one explode + a
+  // broadcast join of the encoded vocabulary. The merge list itself is
+  // O(rounds) driver state (the q225 bounded-argmax contract). Replace
+  // semantics are training's exactly: left-to-right non-overlapping
+  // `replace` on the sentinel-padded symbol string, identical in both
+  // engines.
+  def bpeEncodeTrained(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(spark, Tables.documents(spark, dir), BpeMergeRounds)
+
+  /** Train-then-encode over any (doc_id, text) frame — factored so the
+    * spec can drive it with a hand-computable corpus.
+    */
+  private[graft] def bpeEncodeFrom(spark: SparkSession, docs: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val merges = bpeMergesFrom(spark, docs, col("text"), rounds)
+      .collect().map(r => (r.getString(1), r.getString(2))) // O(rounds)
+    val vocab = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("s", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+        lit(" ")))
+    val encoded = merges.foldLeft(vocab)((v, m) =>
+        v.withColumn("s", org.apache.spark.sql.functions.replace(col("s"),
+          lit(s" ${m._1} ${m._2} "), lit(s" ${m._1}${m._2} "))))
+      .select(col("w"),
+        size(split(trim(col("s")), " ")).cast("long").as("toks"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(encoded), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("toks").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- q283: exact-substring EXCISION (q273 → the cleaned corpus) -----------------------
+  // The consuming half of Lee et al.'s ExactSubstr dedup: q273 FINDS the
+  // repeated spans; this CUTS them — each document's kept text is the
+  // concatenation of the segments BETWEEN its merged spans (segments
+  // derived relationally: per span, the slice from the previous span's
+  // end+1 to its start−1 via one lag window; plus the tail after the
+  // last span — which also carries everything beyond the analyzed
+  // `SuffixMaxChars` prefix untouched). Docs with no spans pass through
+  // verbatim. One keyed window over the O(spans) frame + one hash-agg;
+  // the ordered reassembly is a deterministic sort_array fold, not a
+  // collect_list-order gamble.
+  def dedupExcise(spark: SparkSession, dir: String): DataFrame =
+    dedupExciseFrom(Tables.documents(spark, dir))
+
+  /** Excision over any (doc_id, text) frame — factored for the spec. */
+  private[graft] def dedupExciseFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val spans = graft.operators.SuffixSpans.repeatedSpans(
+      docs, "doc_id", "text", SuffixWindow, SuffixMaxChars)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val segs = spans.join(docs, "doc_id")
+      .withColumn("seg_from",
+        coalesce(lag(col("span_end"), 1).over(wD) + 1, lit(1L)))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        // the between-spans segment (empty when spans touch)
+        col("text").substr(col("seg_from").cast("int"),
+          greatest(col("span_start") - col("seg_from"), lit(0L)).cast("int"))
+          .as("seg"),
+        // the after-last-span tail (non-empty only on the last span row)
+        when(lead(col("span_start"), 1).over(wD).isNull,
+          col("text").substr((col("span_end") + 1).cast("int"), lit(1 << 24)))
+          .otherwise(lit("")).as("tail_seg"))
+    val rebuilt = segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("cut_chars"),
+        // deterministic ordered reassembly: sort by span_start, then fold
+        concat(
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(span_start, seg))), x -> x.seg)"),
+            ""),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(span_start, tail_seg))), x -> x.tail_seg)"),
+            "")).as("kept_text"))
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        coalesce(col("kept_text"), col("text")).as("kept_text"))
+      .orderBy("doc_id")
+  }
 
   // --- q127/q128: stateful streaming operators under the batch oracle gate ---------
   // These two run the REAL Structured Streaming operators (not batch
@@ -8578,6 +8679,99 @@ object Oracles {
                  CAST(tokens AS BIGINT) AS tokens,
                  CAST(cum_tokens AS BIGINT) AS cum_tokens
           FROM sel WHERE cum_tokens - tokens < ${Queries.DsirTokenBudget}""",
+
+    // BPE encode under the TRAINED merges: q225's unrolled training CTEs
+    // carrying `w` through every round, the encoded vocabulary joined
+    // back to the corpus (the same vocabulary-factorized plan)
+    "q282_bpe_encode" -> {
+      val rounds = (1 to Queries.BpeMergeRounds).map { r =>
+        s"""p$r AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+               SELECT unnest(sy[1:len(sy)-1]) AS a,
+                      unnest(sy[2:len(sy)]) AS b, n
+               FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM s${r - 1})
+               WHERE len(sy) >= 2)
+             GROUP BY 1, 2),
+          b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+          s$r AS MATERIALIZED (SELECT w, replace(s,
+                    ' ' || (SELECT a FROM b$r) || ' '
+                        || (SELECT b FROM b$r) || ' ',
+                    ' ' || (SELECT a FROM b$r)
+                        || (SELECT b FROM b$r) || ' ') AS s, n
+                  FROM s${r - 1})"""
+      }.mkString(",\n          ")
+      s"""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+            WHERE len(w) > 0 GROUP BY 1),
+          s0 AS (SELECT w, ' ' || array_to_string(
+                   list_transform(generate_series(1, length(w)), i -> w[i]),
+                   ' ') || ' ' AS s, n
+                 FROM w0),
+          $rounds,
+          enc AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+                         AS toks
+                  FROM s${Queries.BpeMergeRounds}),
+          dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(toks) AS BIGINT) AS bpe_tokens
+          FROM dw JOIN enc USING (w) WHERE len(w) > 0 GROUP BY 1"""
+    },
+
+    // span EXCISION over the naive-witness spans (q273's independent
+    // oracle form) — segments between spans via one lag window, ordered
+    // string_agg reassembly, tail past the last span carried verbatim
+    "q283_dedup_excise" -> {
+      val L = Queries.SuffixWindow
+      val mc = Queries.SuffixMaxChars
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, $mc) AS t
+                     FROM documents
+                     WHERE text IS NOT NULL
+                       AND length(substr(text, 1, $mc)) >= $L),
+          w AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       substr(t, CAST(i AS INT), $L) AS win
+                FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       length(t) - ${L - 1})) AS i) g),
+          rep AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+          hits AS (SELECT doc_id, i, i + ${L - 1} AS e
+                   FROM w JOIN rep USING (win)),
+          isl AS (SELECT doc_id, i, e,
+                         CASE WHEN i > COALESCE(MAX(e) OVER (
+                                PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                              THEN 1 ELSE 0 END AS nw
+                  FROM hits),
+          spn AS (SELECT doc_id, i, e,
+                        SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl),
+          spans AS (SELECT doc_id, MIN(i) AS span_start, MAX(e) AS span_end
+                    FROM spn GROUP BY doc_id, island),
+          docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+          segs AS (SELECT s.doc_id, span_start, span_end, text,
+                        COALESCE(LAG(span_end) OVER (PARTITION BY s.doc_id
+                          ORDER BY span_start), 0) + 1 AS seg_from,
+                        LEAD(span_start) OVER (PARTITION BY s.doc_id
+                          ORDER BY span_start) AS nxt
+                   FROM spans s JOIN docs USING (doc_id)),
+          built AS (SELECT doc_id,
+                        CAST(COUNT(*) AS BIGINT) AS n_spans,
+                        CAST(SUM(span_end - span_start + 1) AS BIGINT)
+                          AS cut_chars,
+                        string_agg(
+                          substr(text, CAST(seg_from AS INT),
+                            CAST(GREATEST(span_start - seg_from, 0) AS INT))
+                          || CASE WHEN nxt IS NULL
+                               THEN substr(text, CAST(span_end + 1 AS INT))
+                               ELSE '' END,
+                          '' ORDER BY span_start) AS kept_text
+                    FROM segs GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+                 COALESCE(cut_chars, 0) AS cut_chars,
+                 COALESCE(kept_text, d.text) AS kept_text
+          FROM docs d LEFT JOIN built USING (doc_id)"""
+    },
     // conversion lags read off the SAME funnel chain q66 gates
     "q162_funnel_lag_percentiles" ->
       s"""WITH f AS (${sqlBase("q66_funnel")})

@@ -42,6 +42,17 @@ object SuffixSpans {
   /** Position-id encoding: pid = doc_id · 2^20 + pos. */
   private val PosEnc = 1L << 20
 
+  /** The previous call's persisted hits frame. Each call leaves exactly
+    * one checkpointed RDD alive (its result re-evaluates from it); a
+    * bench/suite that invokes the operator repeatedly would otherwise
+    * strand one frame per invocation for the JVM's lifetime, squeezing
+    * every LATER query's storage memory. A NEW call unpersists the
+    * previous call's frame — by then its result has been consumed (the
+    * operator is eager; callers evaluate before re-invoking), and a
+    * stale handle failing fast beats a silent heap leak.
+    */
+  private var prevCall: org.apache.spark.rdd.RDD[_] = null
+
   /** (doc_id, span_start, span_end, span_chars): maximal merged spans
     * of positions whose length-`windowLen` window repeats (≥ 2
     * occurrences corpus-wide). Positions are 1-based characters of the
@@ -60,6 +71,9 @@ object SuffixSpans {
     // k+1 has materialized (safe: a round is never read after its
     // successor exists). Keeping all log2(L) rounds deserialized was a
     // drill-caught OOM (31 GB heap, executor death at 100×).
+    SuffixSpans.synchronized {
+      if (prevCall != null) { prevCall.unpersist(blocking = false); prevCall = null }
+    }
     var live: org.apache.spark.rdd.RDD[_] = null
     def ckpt(df: DataFrame): DataFrame = {
       val (out, handle) = LeanCheckpoint.localCheckpointSer(df)
@@ -109,6 +123,7 @@ object SuffixSpans {
       .select(expr(s"pid div $PosEnc").as("doc_id"),
         pmod(col("pid"), lit(PosEnc)).as("i"))
       .withColumn("e", col("i") + (windowLen - 1)))
+    SuffixSpans.synchronized { prevCall = live } // = the hits handle
     // q125's gaps-and-islands merge on character coverage
     val wDo = Window.partitionBy("doc_id").orderBy("i")
     val prevEnd = max(col("e"))

@@ -245,6 +245,71 @@ class Round17Spec extends AnyFunSuite {
       "a single-cell probe must prune the vast majority of blocks")
   }
 
+  // --- BPE encode under trained merges ------------------------------------------------
+
+  test("BPE encode: hand-computed merges and token counts on a planted corpus") {
+    import spark.implicits._
+    // corpus: 'aaab' x3, 'ab' x2. round-1 pairs (weighted): (a,a)=6,
+    // (a,b)=5 -> merge (a,a): ' a a a b '->' aa a b ' (left-to-right
+    // non-overlapping). round-2 pairs: (aa,a)=3, (a,b)=3+2=5 -> merge
+    // (a,b): 'aaab'->[aa,ab]=2 tokens, 'ab'->[ab]=1 token.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    // premise: the trained merges are exactly ((a,a),(a,b))
+    val merges = Queries.bpeMergesFrom(spark, docs, col("text"), 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "a"), ("a", "b")), s"merges: $merges")
+    val got = Queries.bpeEncodeFrom(spark, docs, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: 2 words x 2 tokens; doc2: 2+1; doc3: 1
+    assert(got == Map(1L -> (2L, 4L), 2L -> (2L, 3L), 3L -> (1L, 1L)),
+      s"encoded: $got")
+  }
+
+  // --- exact-substring excision -------------------------------------------------------
+
+  test("Excision cuts exactly the repeated spans and reassembles segments in order") {
+    import spark.implicits._
+    val run1 = "0123456789abcdef" // 16 chars, repeated across docs
+    val run2 = "ghijklmnopqrstuv" // a second repeated run
+    val d1 = s"X${run1}Y${run2}Z"   // two spans inside one doc
+    val d2 = s"AA${run1}BB"
+    val d3 = s"CC${run2}DD"
+    val d4 = "totally unique text with no repeats at all ......."
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val got = Queries.dedupExciseFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 32L, "XYZ")),
+      s"two-span doc must keep exactly the three 1-char segments: ${got(1L)}")
+    assert(got(2L) == ((1L, 16L, "AABB")), s"${got(2L)}")
+    assert(got(3L) == ((1L, 16L, "CCDD")), s"${got(3L)}")
+    assert(got(4L) == ((0L, 0L, d4)), "span-free docs must pass through verbatim")
+  }
+
+  test("Excision leaves text beyond the analyzed prefix cap untouched") {
+    import spark.implicits._
+    val run = "0123456789abcdef"
+    // window-free filler up to the 512-char cap: 124 DISTINCT 4-char
+    // base-26 counter blocks — every 16-char window spans 4 consecutive
+    // blocks, so no window repeats (a plain T-run would itself be a
+    // within-doc repeat and get excised, which an earlier cut of this
+    // fixture learned the hard way)
+    val filler = (0 until 124).map { i =>
+      f"${('a' + i / 26 / 26).toChar}${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}${('0' + i % 10).toChar}"
+    }.mkString
+    assert(filler.length == 496)
+    val beyond = "T" * 104 // past SuffixMaxChars = 512: never analyzed
+    val docs = Seq((1L, s"$run$filler$beyond"), (2L, s"$run-pad"))
+      .toDF("doc_id", "text")
+    val got = Queries.dedupExciseFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == filler + beyond,
+      "only the shared run is cut; the beyond-cap tail survives verbatim")
+    assert(got(2L) == "-pad")
+  }
+
   // --- DSIR importance weighting ------------------------------------------------------
 
   test("DSIR: target-vocabulary docs save bits, junk docs cost bits, regardless of label") {
