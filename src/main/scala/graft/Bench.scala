@@ -12,6 +12,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The UI is off but the AppStatus/SQL listeners still retain
+      // per-job/stage/task/execution state in heap at their DEFAULTS
+      // (1000 jobs / 1000 stages / 100k tasks / 1000 SQL executions,
+      // each SQL execution holding its full plan graph string). A
+      // 283-query × 5-runs suite churns ~10k executions through those
+      // stores, so late queries ran against a heap holding megabytes of
+      // dead plan descriptions (round-18 in-suite inflation, VERDICT r17
+      // item 1). Nothing reads the stores in a bench run — keep them
+      // small and constant-size.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_QUERIES=q21_...,q22_... restricts the run (scaling
@@ -116,19 +130,37 @@ object Bench {
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
     def gcNowMs: Long = gcBeans.asScala.map(_.getCollectionTime).sum
-    val results = queries.map { case (name, fn) =>
-      var failed = false
-      // Equal-footing protocol: every query block starts from an empty
-      // block-manager cache (and a GC'd heap), so a query's measurement
-      // can't depend on what earlier suite positions left cached/stranded
-      // — the round-9/10 in-suite excursions (q155 4.4x its isolated
-      // median) tracked exactly that accumulation. Queries that RELY on
-      // a shared cache (the dedup decision-table family) re-register it
-      // on first use (Queries.ensureCached) and pay its build once in
-      // the untimed first run below — the same footing as their isolated
-      // adjudication runs, so medians stay comparable to BASELINE.md.
+    // Equal-footing sweep, run before every block: the round-17 verdict
+    // measured the graph tier inflating 3.5-8.5× in-suite while isolated
+    // re-runs read at pin — storage/heap accumulated across 283 blocks.
+    // clearCache() alone missed three leak classes: (1) RDD-level
+    // persists (LeanCheckpoint leaves under the memoized decision
+    // table/co-purchase graph, SuffixSpans' stranded hits frame) live in
+    // the block manager but NOT the SQL cache; (2) memory-sink temp
+    // tables from the streaming gate queries accumulate one table per
+    // RUN; (3) the memo maps keep (1) reachable forever. The sweep
+    // evicts the memos FIRST (so no memoized plan dangles over a freed
+    // lineage-free checkpoint), then unpersists every persistent RDD,
+    // then clears the SQL cache. Queries that rely on a shared cache
+    // (the dedup decision-table family) rebuild it on first use
+    // (Queries.ensureCached) and pay the build once in the untimed
+    // first run below — the same footing as their isolated adjudication
+    // runs, so medians stay comparable to BASELINE.md.
+    def sweep(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      Queries.evictMemos()
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_q"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       System.gc()
+    }
+    val results = queries.map { case (name, fn) =>
+      var failed = false
+      sweep()
       def run(): Double = {
         val t0 = System.nanoTime()
         try { forceEval(fn(spark, sfDir)) } catch { case _: Throwable => failed = true }
@@ -183,8 +215,7 @@ object Bench {
     val adjudicated = results.collect {
       case (name, (sec, _, _, _))
           if sec > 0 && pins.get(name).exists(p => sec > 2 * p) =>
-        spark.catalog.clearCache()
-        System.gc()
+        sweep()
         val fn = queries(name)
         // Track failure like the suite loop: a query that THROWS during
         // its isolated re-run must not record a fast, plausible elapsed
@@ -279,6 +310,25 @@ object Bench {
       println(s"""{"qchunk":$i,"of":${(results.size + 63) / 64},"queries":$m}""")
     }
     println(summary)
+    // VERDICT r17 item 6: the driver keeps only ~2000 bytes of stdout
+    // tail, and a 283-row queries map can never fit it — so the very
+    // LAST line is a complete, short, self-sufficient summary that a
+    // byte-bounded tail always captures whole: total, row/failure
+    // counts, the median ratio vs the BASELINE pins, and every >2× row
+    // with its ratio. The full per-query map lives in the qchunk lines
+    // above and in bench_results.json.
+    def r3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratios = results.toSeq.collect {
+      case (k, v) if v._1 > 0 && pins.contains(k) => v._1 / pins(k)
+    }.sorted
+    val medianVsPin =
+      if (ratios.isEmpty) "null" else r3(ratios(ratios.size / 2)).toString
+    val over2x = results.toSeq.collect {
+      case (k, v) if v._1 > 0 && pins.get(k).exists(p => v._1 > 2 * p) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r3(v._1 / pins(k))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rows":${results.size},"failures":$fq,"median_vs_pin":$medianVsPin,"pinned_rows":${ratios.size},"over2x":$over2x,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -166,18 +166,17 @@ object Tables {
 
   /** Streaming twin of `documents` (the q281 online-curation gate): the
     * fixture file as an unbounded file-source stream, the same
-    * brace-glob single-file addressing as `eventsStream`.
+    * brace-glob single-file addressing as `eventsStream`. The stream
+    * schema is DERIVED from the batch reader's footer-inferred schema —
+    * a single source of truth, so a fixture-writer column change can
+    * never make the stream path read silently-null columns while the
+    * batch twin keeps working (ADVICE r17 item 2: the twin gate would
+    * diverge with no schema error).
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(DocumentsSchema).option("basePath", dir)
+    spark.readStream.schema(documents(spark, dir).schema)
+      .option("basePath", dir)
       .parquet(s"$dir/{documents.parquet}")
-
-  private val DocumentsSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")

@@ -34,24 +34,31 @@ object Bfs {
   def hops(edges: DataFrame, aCol: String, bCol: String,
            sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "bfs needs at least one hop")
-    // both directions once, up front — each round reuses the same frame
+    // both directions once, up front — each round reuses the same frame,
+    // cached hash-partitioned on the per-round join key `u` so rounds
+    // neither exchange nor sort O(edges) (guide §2.4); the per-round
+    // hash table builds on the frontier side, which only ever holds the
+    // newest ring of vertices
     val undirected = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .leanCheckpoint()
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = sources.select(col("n"), lit(0).as("hop"))
       .groupBy("n").agg(min("hop").as("hop"))
       .leanCheckpoint()
     for (r <- 1 to maxHops) {
       // expand ONLY from the newest frontier: a vertex first reached at
       // round r-1 is the only one that can reveal a new vertex at r
-      val frontier = dist.filter(col("hop") === (r - 1))
+      val frontier = dist.filter(col("hop") === (r - 1)).hint("shuffle_hash")
       val reached = frontier.join(undirected, frontier("n") === undirected("u"))
         .select(col("v").as("n"), lit(r).as("hop"))
       dist = dist.unionByName(reached)
         .groupBy("n").agg(min("hop").as("hop"))
         .leanCheckpoint()
     }
+    // the final dist frame is a checkpointed leaf — safe to drop the cache
+    undirected.unpersist()
     dist.select(col("n").as("node"), col("hop").cast("long").as("hop"))
   }
 

@@ -44,8 +44,12 @@ object Components {
     // the Jaccard pair pipeline) would be computed twice into the cache.
     val e0 = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // cached hash-partitioned on `dst`, the per-round join key, so the
+    // neighbor-min join never re-exchanges or sorts O(edges) (guide
+    // §2.4); the per-round hash table builds on the O(nodes) label side
     val bidir = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Only nodes INCIDENT to an edge can ever change label: iterate over
     // that subgraph and pass every isolated node through with label = id
@@ -65,7 +69,8 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val nbrMin = bidir.join(labels, bidir("dst") === labels("id"))
+      val nbrMin = bidir.join(labels.hint("shuffle_hash"),
+          bidir("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),

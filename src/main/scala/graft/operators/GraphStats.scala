@@ -27,14 +27,19 @@ object GraphStats {
     val deg = e.select(col("x").as("n"))
       .unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    val directed = e.select(col("x").as("a"), col("y").as("b"))
-      .unionByName(e.select(col("y").as("a"), col("x").as("b")))
-    val m = directed
-      .join(deg.select(col("n").as("a"), col("deg").as("dx")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("deg").as("dy")), Seq("b"))
-      .agg(count(lit(1)).as("mm"), sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
+    // the directed moment sums are SYMMETRIC functions of each
+    // undirected edge's endpoint degrees — (x,y) and (y,x) contribute
+    // dx+dy to Σx, dx²+dy² to Σx², and 2·dx·dy to Σxy — so the joins
+    // run over the undirected frame (HALF the rows the explicit
+    // directed union shipped) and the mirror orientation is folded in
+    // arithmetically; exact int64 sums, identical values
+    val m = e
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), Seq("y"))
+      .agg((count(lit(1)) * 2).as("mm"),
+        sum(col("dx") + col("dy")).as("sx"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sxx"),
+        (sum(col("dx") * col("dy")) * 2).as("sxy"))
     val nv = deg.agg(count(lit(1)).as("n_nodes"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: org.apache.spark.sql.Column) = c.cast(dec)

@@ -46,9 +46,18 @@ object KCore {
       val deg = e.select(col("x").as("n"))
         .unionByName(e.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("n")
-      e = e.join(keep.select(col("n").as("x")), Seq("x"), "left_semi")
-        .join(keep.select(col("n").as("y")), Seq("y"), "left_semi")
+      // peel by ANTI-joining the DROPPED set rather than semi-joining
+      // the kept set — identical semantics (every endpoint of e has a
+      // deg row, and keep = deg ≥ k is exactly the complement of
+      // dropped = deg < k), but the dropped side is the SMALL one on
+      // every round past the first, so AQE's runtime size check turns
+      // both joins into broadcasts and the O(edges) frame is neither
+      // shuffled nor sorted per round (guide §3.1; scale-adaptive by
+      // construction — a round whose dropped set is genuinely large
+      // falls back to a shuffled join on its own)
+      val dropped = deg.filter(col("deg") < k).select("n")
+      e = e.join(dropped.select(col("n").as("x")), Seq("x"), "left_anti")
+        .join(dropped.select(col("n").as("y")), Seq("y"), "left_anti")
         .select("x", "y")
         .leanCheckpoint()
     }

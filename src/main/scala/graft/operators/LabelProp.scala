@@ -31,17 +31,26 @@ object LabelProp {
   def propagate(edges: DataFrame, aCol: String, bCol: String,
                 rounds: Int): DataFrame = {
     require(rounds >= 1, "label propagation needs at least one round")
+    // The edge frame is joined on `v` EVERY round: cache it already
+    // hash-partitioned on the join key (guide §2.4 — keyed operations
+    // share one exchange) and build the per-round hash table on the
+    // O(nodes) label side, so rounds neither exchange nor sort the
+    // O(edges) frame. A plain persist (not a checkpoint) is enough:
+    // round plans reference this one fixed subtree, lineage growth
+    // lives in `labels`, which keeps the leanCheckpoint discipline.
     val undirected = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .leanCheckpoint()
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = undirected.select(col("u").as("n"))
       .distinct()
       .withColumn("lbl", col("n"))
       .leanCheckpoint()
     for (_ <- 1 to rounds) {
       labels = undirected
-        .join(labels.withColumnRenamed("n", "v"), Seq("v"))
+        .join(labels.withColumnRenamed("n", "v").hint("shuffle_hash"),
+          Seq("v"))
         .groupBy(col("u").as("n"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         // argmax by (count DESC, label ASC) as one struct-max: largest
@@ -51,6 +60,9 @@ object LabelProp {
         .select(col("n"), (-col("m.neg")).as("lbl"))
         .leanCheckpoint()
     }
+    // the final labels frame is a checkpointed leaf — it no longer
+    // references the cached edge frame, so the cache can drop now
+    undirected.unpersist()
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }
 

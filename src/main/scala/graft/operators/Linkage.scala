@@ -47,8 +47,17 @@ object Linkage {
       blockOf(col("name")).as("__blk"))
     a.join(b, Seq("__blk"))
       .filter(col("name_a") < col("name_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      // exactness-preserving pre-filter: levenshtein ≥ |len_a − len_b|,
+      // so pairs differing by more than maxDist in length can never
+      // survive — drop them before the DP runs at all
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // threshold form (SPARK-44510): the DP band-limits at maxDist+1
+      // and bails early — O(maxDist·n) per pair instead of O(n²) — and
+      // returns −1 past the threshold, so the ≥ 0 guard reproduces the
+      // original ≤ maxDist filter with identical surviving distances
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .drop("__blk")
   }
 }
