@@ -3911,9 +3911,15 @@ object Queries {
   // part key in the cluster), variant-name count, total rows absorbed.
   // Same compute-once/many-readers posture as the q34/q65 dedup layer.
   def entityClusters(spark: SparkSession, dir: String): DataFrame = {
-    val dict = Tables.part(spark, dir)
-      .groupBy(col("p_name").as("name"))
-      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id"))
+    // the dictionary is read THREE times (both fuzzy-join sides via the
+    // shared CTE, the id map, the final roster join) and each driver
+    // action inside the Components loop would otherwise re-run the
+    // part-table scan+agg — one eager lean checkpoint of the O(names)
+    // frame makes every re-read a stored-rows scan
+    val dict = org.apache.spark.sql.graft.LeanCheckpoint.localCheckpoint(
+      Tables.part(spark, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id")))
     val pairs = Linkage.fuzzyPairs(
       dict.select("name", "n_rows"),
       nm => element_at(split(nm, " "), -1), FuzzyMaxDist)
@@ -4006,7 +4012,6 @@ object Queries {
     // the contribution agg's map-side partial reduces the O(edges) fan
     // before its exchange
     val withDeg = edges.join(deg, "src")
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(15L * PrScale / 100L)
     var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
@@ -5661,10 +5666,10 @@ object Queries {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
-    // partitioned-on-join-key cache + rank-side hash build: rounds never
-    // exchange or sort the O(edges) frame (see pagerankRounds)
+    // cache partitioned on the round join key by its own build join +
+    // rank-side hash build: rounds never exchange or sort the O(edges)
+    // frame (see pagerankRounds)
     val withW = edges.join(wsum, "src")
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(15L * PrScale / 100L)
     var ranks = wsum.select(col("src").as("i"), lit(PrScale).as("p"))
@@ -5771,10 +5776,10 @@ object Queries {
       .unionByName(ed.select(col("dst").as("i"))).distinct()
       .leanCheckpoint()
     val outw = ed.groupBy("src").agg(sum(col("w")).as("tw"))
-    // partitioned-on-join-key cache + rank-side hash build: rounds never
-    // exchange or sort the O(edges) frame (see pagerankRounds)
+    // cache partitioned on the round join key by its own build join +
+    // rank-side hash build: rounds never exchange or sort the O(edges)
+    // frame (see pagerankRounds)
     val withW = ed.join(outw, "src")
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1-row frames, broadcast — the q101 global-span pattern (never a
     // driver collect in the loop)
@@ -5854,8 +5859,7 @@ object Queries {
   // (q167's decomposition family), so the state machine and the
   // window algebra must agree bit-for-bit. The open tail day never
   // closes — both sides exclude each type's last day.
-  def cusumStreamed(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = streamSpark(spark0)
+  def cusumStreamed(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.CusumStream
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"),
@@ -6448,8 +6452,7 @@ object Queries {
   // so the emission set is exactly the batch assignment and the gate
   // shares q223's oracle verbatim (the q144↔q40 twin discipline
   // extended to streams).
-  def streamedPqAssign(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = streamSpark(spark0)
+  def streamedPqAssign(spark: SparkSession, dir: String): DataFrame = {
     val subDim = graft.functions.Lsh.Dim / PqSub
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -8369,8 +8372,7 @@ object Queries {
   // folding before the sink on any real deployment too.) Gated against
   // q279's oracle VERBATIM — the online path must score a document
   // identically to the batch path.
-  def streamedDsir(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = streamSpark(spark0)
+  def streamedDsir(spark: SparkSession, dir: String): DataFrame = {
     val model = dsirModel(dsirBucketCounts(Tables.documents(spark, dir)))
     val ws = split(col("text"), " ")
     val scored = Tables.documentsStream(spark, dir)
@@ -8387,18 +8389,26 @@ object Queries {
       .select(col("doc_id"), col("lang"),
         (col("bits_q") - col("bits_p")).as("delta_bits"))
     val tmp = tempDir("graft_q281_")
+    // idempotent under foreachBatch's at-least-once contract (ADVICE r17
+    // item 3): each micro-batch owns its OWN partition directory and
+    // overwrites it wholesale, so a retried batch rewrites identical
+    // rows instead of appending duplicates — the bucketed-commit shape
+    // q177/q245 use, in its partitionBy form
     val q = scored.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_bigrams"),
             sum("delta_bits").as("bits_saved"))
-          .write.mode("append").parquet(s"$tmp/out")
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(s"$tmp/out")
       }
       .option("checkpointLocation", s"$tmp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$tmp/out")
+    spark.read.parquet(s"$tmp/out").drop("__batch")
       .withColumn("target_like", col("bits_saved") > 0)
       .orderBy("doc_id")
   }

@@ -62,10 +62,14 @@ object Components {
     // and neighbor-min side), so lineage doubles per iteration — an eager
     // localCheckpoint truncates it to a leaf each round, keeping plan
     // size O(1) regardless of graph diameter.
-    var labels = touched.select(col("id"), col("id").as("label"))
-      .leanCheckpoint()
-    var prevSum = BigDecimal(
-      labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
+    // every round is exactly ONE job: the convergence witness (label
+    // sum) rides the materializing action itself (the Scc discipline —
+    // LeanCheckpoint.localCheckpointSummed), halving the loop's job
+    // count vs a separate aggregate action per round; at fixpoint scale
+    // the sequential job latency IS the cost, not the row work
+    var (labels, _, prevSum) = org.apache.spark.sql.graft.LeanCheckpoint
+      .localCheckpointSummed(
+        touched.select(col("id"), col("id").as("label")), "label")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -79,12 +83,12 @@ object Components {
       // label. Every label value is a node id, so the parent lookup is an
       // equi-join against the same round's label table.
       val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
-      val next = stepped.join(parents, stepped("step") === parents("p_id"), "left")
-        .select(stepped("id"),
-          least(col("step"), coalesce(col("p_label"), col("step"))).as("label"))
-        .leanCheckpoint()
-      val s = BigDecimal(
-        next.agg(coalesce(sum("label"), lit(0L))).head().getLong(0))
+      val (next, _, s) = org.apache.spark.sql.graft.LeanCheckpoint
+        .localCheckpointSummed(
+          stepped.join(parents, stepped("step") === parents("p_id"), "left")
+            .select(stepped("id"),
+              least(col("step"), coalesce(col("p_label"), col("step")))
+                .as("label")), "label")
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -25,22 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Wedge-side bloom pre-filter against the canonical edge set: sizes
-    * the bitmap from the actual edge count (scale-adaptive — ~12 bits
-    * per key, capped at a 2 MiB plan literal; past the cap the filter
-    * degrades to pass-through-ish but stays CORRECT, the exact closing
-    * join still decides), probes on the (x, y) pair struct.
-    */
-  private[operators] def bloomed(wedges: DataFrame, e: DataFrame): DataFrame = {
-    val eK = e.select(struct(col("x"), col("y")).as("xy"))
-    val n = eK.count()
-    val want = 12L * math.max(1L, n)
-    val mBits = math.min(1L << 24, math.max(1L << 16,
-      java.lang.Long.highestOneBit(want) * 2)).toInt
-    val bm = BloomJoin.buildBitmap(eK, "xy", mBits)
-    wedges.filter(BloomJoin.mightContain(bm, struct(col("x"), col("y"))))
-  }
-
   /** One-row graph summary over undirected edges `(aCol, bCol)` (each
     * unordered pair present once, endpoints distinct): node/edge/wedge/
     * triangle counts and the global clustering coefficient
@@ -77,13 +61,7 @@ object Triangles {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(least(col("e1.v"), col("e2.v")).as("x"),
         greatest(col("e1.v"), col("e2.v")).as("y"))
-    // bloom pre-filter (guide §3.2): the wedge frame is O(m^1.5) — far
-    // larger than the edge set — and most wedges do NOT close, so a
-    // bitmap over the canonical edge pairs kills the non-closers
-    // MAP-SIDE, before the closing join's exchange ships them. False
-    // positives are removed by the exact semi-join; false negatives are
-    // impossible — the triangle count is bit-identical.
-    val tri = Triangles.bloomed(wedges, e).join(e, Seq("x", "y"), "left_semi")
+    val tri = wedges.join(e, Seq("x", "y"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     // open+closed wedge total Σ d(d−1)/2 — exact (d·(d−1) is even)
     val wedgeTotal = deg.agg(
@@ -128,13 +106,11 @@ object Triangles {
     // wedge (u; v, w) with v < w by id — its closing edge is canonical
     // (v, w), so an INNER join (vs triangleStats' semi join) yields each
     // triangle's full corner set exactly once
-    val triples = Triangles.bloomed(
-        e1.join(e2,
-            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-          .select(col("e1.u").as("u"),
-            least(col("e1.v"), col("e2.v")).as("x"),
-            greatest(col("e1.v"), col("e2.v")).as("y")),
-        e)
+    val triples = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"),
+        least(col("e1.v"), col("e2.v")).as("x"),
+        greatest(col("e1.v"), col("e2.v")).as("y"))
       .join(e, Seq("x", "y"))
     // ONE evaluation of the wedge-close join: exploding the corner array
     // credits all three vertices in a single pass — a union of three
