@@ -27,6 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap: the bench protocol runs two explicit full GCs per
+  // query block (equal-footing sweep + post-untimed-run collection),
+  // and G1 SHRINKS/uncommits the committed heap on a full GC when Xms
+  // is far below Xmx — so every block's TIMED runs were re-committing
+  // pages the previous sweep gave back, a broad fixed tax that lands
+  // hardest on sub-second rows (round-18's ~1.3-1.5x small-row
+  // inflation, VERDICT r18 What's-wrong 2). Equal Xms keeps the
+  // committed heap constant across all 283 sweeps; the GCs still
+  // collect, they just stop resizing.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The full bench suite compiles ~124 queries x 5 runs of codegen'd
   // plans; the JVM default ReservedCodeCacheSize (240 MB) fills, the JIT
   // compiler shuts off, and the LAST queries in the run execute

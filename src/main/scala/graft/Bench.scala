@@ -138,8 +138,12 @@ object Bench {
     // table/co-purchase graph, SuffixSpans' stranded hits frame) live in
     // the block manager but NOT the SQL cache; (2) memory-sink temp
     // tables from the streaming gate queries accumulate one table per
-    // RUN; (3) the memo maps keep (1) reachable forever. The sweep
-    // evicts the memos FIRST (so no memoized plan dangles over a freed
+    // RUN — those live in the MEMOIZED STREAM SESSION's catalog, which
+    // this session cannot see; Queries.evictMemos() stops that session's
+    // strays and drops its graft_q* sinks (ADVICE r18 item 3), while the
+    // drop loop below covers any sink registered on THIS session; (3)
+    // the memo maps keep (1) reachable forever. The sweep evicts the
+    // memos FIRST (so no memoized plan dangles over a freed
     // lineage-free checkpoint), then unpersists every persistent RDD,
     // then clears the SQL cache. Queries that rely on a shared cache
     // (the dedup decision-table family) rebuild it on first use

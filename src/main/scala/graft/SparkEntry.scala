@@ -972,6 +972,18 @@ object Queries {
     decisionMemo.clear()
     pairsMemo.clear()
     coEdgesMemo.clear()
+    // The stream-gate sessions have their OWN StreamingQueryManager and
+    // catalog — the bench session's sweep cannot reach them. Stop any
+    // stray stream and drop the memory-sink temp tables here, where the
+    // memoized sessions are visible; the sessions themselves are kept
+    // (cheap, conf-stable).
+    streamSessionMemo.values.forEach { s =>
+      s.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      try s.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_q"))
+        .foreach(t => s.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+    }
   }
 
   /** A memoized frame whose persist may have been dropped externally
@@ -3109,15 +3121,26 @@ object Queries {
     * and the batch session is untouched. The caller session's conf is
     * copied wholesale so gate semantics can't drift between sessions.
     */
-  private def streamSpark(spark: SparkSession): SparkSession = {
-    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
-    val s = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Throwable => () }
-    }
-    s.conf.set("spark.sql.shuffle.partitions", parts)
-    s
-  }
+  private val streamSessionMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def streamSpark(spark: SparkSession): SparkSession =
+    // ONE stream session per parent session (ADVICE r18 item 4), not
+    // one per gate invocation: a 5-run bench used to allocate dozens of
+    // throwaway sessions per suite, each holding its memory-sink temp
+    // tables until GC. The memoized session is also reachable by
+    // evictMemos(), which stops its strays and drops its graft_q* sink
+    // tables on every bench sweep — the leak class the sweep previously
+    // could not see (ADVICE r18 item 3).
+    streamSessionMemo.computeIfAbsent(spark, parent => {
+      val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+      val s = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v) catch { case _: Throwable => () }
+      }
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      s
+    })
 
   private def runToTable(q: org.apache.spark.sql.streaming.DataStreamWriter[_],
                          tag: String): String = {
@@ -4010,20 +4033,27 @@ object Queries {
     // on the O(nodes) rank side, so the edge side is neither shuffled
     // NOR sorted per round — per-round exchanges carry O(nodes), and
     // the contribution agg's map-side partial reduces the O(edges) fan
-    // before its exchange
+    // before its exchange. Partition count sized to the DATA (round 19,
+    // operators/IterParts), not the session core count: every round
+    // runs that many tasks over the cache, so a core-count cache made
+    // the whole tier sequential-fixed-cost-bound at fixture scale.
     val withDeg = edges.join(deg, "src")
+      .repartition(
+        graft.operators.IterParts.forRows(e0, 2L * e0.count(), 32),
+        col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(15L * PrScale / 100L)
     var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // `div` (integer division on int64) — NOT `/`, which routes longs
       // through double and can misround once 85·p crosses 2^53
-      ranks = withDeg.join(ranks.hint("shuffle_hash"),
+      val next = withDeg.join(ranks.hint("shuffle_hash"),
           withDeg("src") === ranks("i"))
         .select(col("dst"), expr("(85 * p) div (100 * d)").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("pagerank_round2", next)
+      ranks = next.leanCheckpoint()
     }
     withDeg.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -4279,9 +4309,16 @@ object Queries {
   // tie-filtered min, so map-side partials survive and no per-cluster
   // sort exists.
   def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
-    val dict = Tables.part(spark, dir)
-      .groupBy(col("p_name").as("name"))
-      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id"))
+    // q153's dictionary discipline (round 19): the dict is read FOUR
+    // times here (both fuzzy-join sides, the id map, the component
+    // roster, the golden-row pick) and each driver action inside the
+    // Components loop would otherwise re-run the part-table scan+agg —
+    // one eager lean checkpoint of the O(names) frame makes every
+    // re-read a stored-rows scan
+    val dict = org.apache.spark.sql.graft.LeanCheckpoint.localCheckpoint(
+      Tables.part(spark, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("id")))
     val pairs = Linkage.fuzzyPairs(
       dict.select("name", "n_rows"),
       nm => element_at(split(nm, " "), -1), FuzzyMaxDist)
@@ -5666,20 +5703,25 @@ object Queries {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
-    // cache partitioned on the round join key by its own build join +
-    // rank-side hash build: rounds never exchange or sort the O(edges)
-    // frame (see pagerankRounds)
+    // cache partitioned on the round join key, data-sized (IterParts —
+    // see pagerankRounds) + rank-side hash build: rounds never exchange
+    // or sort the O(edges) frame and per-round task count follows the
+    // graph, not the session core count
     val withW = edges.join(wsum, "src")
+      .repartition(
+        graft.operators.IterParts.forRows(e0, 2L * e0.count(), 40),
+        col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(15L * PrScale / 100L)
     var ranks = wsum.select(col("src").as("i"), lit(PrScale).as("p"))
-    for (_ <- 1 to rounds) {
-      ranks = withW.join(ranks.hint("shuffle_hash"),
+    for (r <- 1 to rounds) {
+      val next = withW.join(ranks.hint("shuffle_hash"),
           withW("src") === ranks("i"))
         .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("pagerank_weighted_round2", next)
+      ranks = next.leanCheckpoint()
     }
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -5776,31 +5818,35 @@ object Queries {
       .unionByName(ed.select(col("dst").as("i"))).distinct()
       .leanCheckpoint()
     val outw = ed.groupBy("src").agg(sum(col("w")).as("tw"))
-    // cache partitioned on the round join key by its own build join +
-    // rank-side hash build: rounds never exchange or sort the O(edges)
-    // frame (see pagerankRounds)
+    // cache partitioned on the round join key, data-sized (IterParts —
+    // see pagerankRounds) + rank-side hash build: rounds never exchange
+    // or sort the O(edges) frame
     val withW = ed.join(outw, "src")
+      .repartition(
+        graft.operators.IterParts.forRows(ed, ed.count(), 40),
+        col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1-row frames, broadcast — the q101 global-span pattern (never a
     // driver collect in the loop)
     val nn = nodes.agg(count(lit(1)).as("nn"))
     val base = lit(15L * PrScale / 100L)
     var ranks = nodes.select(col("i"), lit(PrScale).as("p"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val dang = ranks.join(outw, ranks("i") === outw("src"), "left_anti")
         .agg(coalesce(sum(col("p")), lit(0L)).as("d"))
       val contrib = withW.join(ranks.hint("shuffle_hash"),
           withW("src") === ranks("i"))
         .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, nodes("i") === contrib("dst"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nn))
         .select(col("i"),
           (base + coalesce(col("cs"), lit(0L)) +
             expr("(85 * d) div (100 * nn)")).as("p"))
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("pagerank_directed_round2", next)
+      ranks = next.leanCheckpoint()
     }
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -6568,7 +6614,8 @@ object Queries {
     * hand-computable DAG (the weightedPagerankRounds pattern).
     */
   private[graft] def condensationDepths(edgeFrame: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.LeanCheckpoint.Ops
+    import org.apache.spark.sql.graft.LeanCheckpoint
+    import LeanCheckpoint.Ops
     val ed = edgeFrame.leanCheckpoint()
     val comp = Scc.components(ed)
     val cS = comp.select(col("node").as("src"), col("scc_id").as("cs"))
@@ -6579,20 +6626,24 @@ object Queries {
       .leanCheckpoint()
     var depth = comp.select(col("scc_id").as("c")).distinct()
       .withColumn("dep", lit(0L)).leanCheckpoint()
-    var prevSum = BigDecimal(
-      depth.agg(coalesce(sum("dep"), lit(0L))).head().getLong(0))
+    // dep starts all-zero, so the initial witness sum is 0 by
+    // construction — no job needed to measure it; and each round's sum
+    // rides the materializing action itself (localCheckpointSummed, the
+    // Scc/Components discipline) instead of a second aggregate job, so
+    // the depth loop is ONE job per round instead of two (guide §1.2:
+    // at fixpoint scale the sequential job latency IS the cost).
+    var prevSum = BigInt(0)
     var converged = false
     var round = 0
     while (!converged && round < CondMaxRounds) {
       round += 1
       val upd = ce.join(depth, ce("s") === depth("c"))
         .groupBy(ce("d").as("c2")).agg(max(col("dep") + 1).as("din"))
-      val next = depth.join(upd, depth("c") === upd("c2"), "left")
-        .select(depth("c"),
-          greatest(col("dep"), coalesce(col("din"), col("dep"))).as("dep"))
-        .leanCheckpoint()
-      val sNow = BigDecimal(
-        next.agg(coalesce(sum("dep"), lit(0L))).head().getLong(0))
+      val (next, _, sNow) = LeanCheckpoint.localCheckpointSummed(
+        depth.join(upd, depth("c") === upd("c2"), "left")
+          .select(depth("c"),
+            greatest(col("dep"), coalesce(col("din"), col("dep"))).as("dep")),
+        "dep")
       depth = next
       converged = sNow == prevSum
       prevSum = sNow
@@ -8392,17 +8443,20 @@ object Queries {
     // idempotent under foreachBatch's at-least-once contract (ADVICE r17
     // item 3): each micro-batch owns its OWN partition directory and
     // overwrites it wholesale, so a retried batch rewrites identical
-    // rows instead of appending duplicates — the bucketed-commit shape
-    // q177/q245 use, in its partitionBy form
+    // rows instead of appending duplicates. Round 19: the directory is
+    // addressed DIRECTLY (write.parquet("<out>/__batch=<id>")) instead
+    // of via dynamic-partition-overwrite — same ownership, same
+    // idempotence (a retry overwrites exactly its own directory), but
+    // without the dynamic mode's staging-and-swap commit layer, which
+    // was the measured 39% cost of the r18 hardening (VERDICT r18
+    // item 8/What's-wrong 5). The hive-style dir name keeps the
+    // read-back's partition discovery identical.
     val q = scored.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_bigrams"),
             sum("delta_bits").as("bits_saved"))
-          .withColumn("__batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch").parquet(s"$tmp/out")
+          .write.mode("overwrite").parquet(s"$tmp/out/__batch=$batchId")
       }
       .option("checkpointLocation", s"$tmp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

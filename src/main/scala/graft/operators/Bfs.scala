@@ -39,10 +39,16 @@ object Bfs {
     // neither exchange nor sort O(edges) (guide §2.4); the per-round
     // hash table builds on the frontier side, which only ever holds the
     // newest ring of vertices
-    val undirected = edges
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .repartition(col("u"))
+    // Persist the RAW edge projection before counting/mirroring so the
+    // caller's (possibly expensive) upstream runs once, into this cache
+    // (the Components discipline); the count then sizes the mirrored
+    // cache's partitioning to the GRAPH (IterParts), not the session
+    // core count — per-round tasks over the cache follow the data.
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undirected = e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(IterParts.forRows(e0, 2L * e0.count(), 32), col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = sources.select(col("n"), lit(0).as("hop"))
       .groupBy("n").agg(min("hop").as("hop"))
@@ -53,12 +59,14 @@ object Bfs {
       val frontier = dist.filter(col("hop") === (r - 1)).hint("shuffle_hash")
       val reached = frontier.join(undirected, frontier("n") === undirected("u"))
         .select(col("v").as("n"), lit(r).as("hop"))
-      dist = dist.unionByName(reached)
+      val next = dist.unionByName(reached)
         .groupBy("n").agg(min("hop").as("hop"))
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("bfs_round2", next)
+      dist = next.leanCheckpoint()
     }
-    // the final dist frame is a checkpointed leaf — safe to drop the cache
+    // the final dist frame is a checkpointed leaf — safe to drop the caches
     undirected.unpersist()
+    e0.unpersist()
     dist.select(col("n").as("node"), col("hop").cast("long").as("hop"))
   }
 

@@ -46,10 +46,12 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cached hash-partitioned on `dst`, the per-round join key, so the
     // neighbor-min join never re-exchanges or sorts O(edges) (guide
-    // §2.4); the per-round hash table builds on the O(nodes) label side
+    // §2.4); the per-round hash table builds on the O(nodes) label side.
+    // Partition count sized to the graph (IterParts), not the session
+    // core count — per-round tasks over this cache follow the data
     val bidir = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(IterParts.forRows(e0, 2L * e0.count(), 32), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Only nodes INCIDENT to an edge can ever change label: iterate over
     // that subgraph and pass every isolated node through with label = id
@@ -83,12 +85,14 @@ object Components {
       // label. Every label value is a node id, so the parent lookup is an
       // equi-join against the same round's label table.
       val parents = labels.select(col("id").as("p_id"), col("label").as("p_label"))
+      val roundFrame = stepped
+        .join(parents, stepped("step") === parents("p_id"), "left")
+        .select(stepped("id"),
+          least(col("step"), coalesce(col("p_label"), col("step")))
+            .as("label"))
+      if (it == 1) graft.RoundPlanDump.dump("components_round2", roundFrame)
       val (next, _, s) = org.apache.spark.sql.graft.LeanCheckpoint
-        .localCheckpointSummed(
-          stepped.join(parents, stepped("step") === parents("p_id"), "left")
-            .select(stepped("id"),
-              least(col("step"), coalesce(col("p_label"), col("step")))
-                .as("label")), "label")
+        .localCheckpointSummed(roundFrame, "label")
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -39,10 +39,20 @@ object KCore {
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     require(rounds >= 1, "k-core needs at least one peel round")
-    var e = edges.select(least(col(aCol), col(bCol)).as("x"),
+    // Null endpoints are dropped up front (ADVICE r18 item 2), BEFORE
+    // canonicalization — least/greatest skip nulls, so a (v, null) pair
+    // would otherwise collapse into a (v, v) self-loop instead of
+    // staying null-keyed. The anti-join peel would also have KEPT any
+    // null-keyed edge forever (null never matches the dropped set),
+    // where the earlier semi-join form dropped it on round 1. A null
+    // endpoint is not a vertex; no caller passes one, and now neither
+    // join form could disagree if one did.
+    var e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
       .leanCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val deg = e.select(col("x").as("n"))
         .unionByName(e.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -56,10 +66,11 @@ object KCore {
       // construction — a round whose dropped set is genuinely large
       // falls back to a shuffled join on its own)
       val dropped = deg.filter(col("deg") < k).select("n")
-      e = e.join(dropped.select(col("n").as("x")), Seq("x"), "left_anti")
+      val next = e.join(dropped.select(col("n").as("x")), Seq("x"), "left_anti")
         .join(dropped.select(col("n").as("y")), Seq("y"), "left_anti")
         .select("x", "y")
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("kcore_round2", next)
+      e = next.leanCheckpoint()
     }
     e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))

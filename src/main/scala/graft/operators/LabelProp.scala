@@ -38,17 +38,23 @@ object LabelProp {
     // O(edges) frame. A plain persist (not a checkpoint) is enough:
     // round plans reference this one fixed subtree, lineage growth
     // lives in `labels`, which keeps the leanCheckpoint discipline.
-    val undirected = edges
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .repartition(col("v"))
+    // Persist the RAW edge projection before counting/mirroring so the
+    // caller's (possibly expensive) upstream runs once, into this cache
+    // (the Components discipline); the count then sizes the mirrored
+    // cache's partitioning to the GRAPH (IterParts), not the session
+    // core count — per-round tasks over the cache follow the data.
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undirected = e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(IterParts.forRows(e0, 2L * e0.count(), 32), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = undirected.select(col("u").as("n"))
       .distinct()
       .withColumn("lbl", col("n"))
       .leanCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = undirected
+    for (r <- 1 to rounds) {
+      val next = undirected
         .join(labels.withColumnRenamed("n", "v").hint("shuffle_hash"),
           Seq("v"))
         .groupBy(col("u").as("n"), col("lbl"))
@@ -58,11 +64,13 @@ object LabelProp {
         .groupBy("n")
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("n"), (-col("m.neg")).as("lbl"))
-        .leanCheckpoint()
+      if (r == 2) graft.RoundPlanDump.dump("labelprop_round2", next)
+      labels = next.leanCheckpoint()
     }
     // the final labels frame is a checkpointed leaf — it no longer
-    // references the cached edge frame, so the cache can drop now
+    // references the cached edge frames, so the caches can drop now
     undirected.unpersist()
+    e0.unpersist()
     labels.select(col("n").as("node"), col("lbl").as("label"))
   }
 

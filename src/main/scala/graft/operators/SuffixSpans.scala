@@ -80,8 +80,15 @@ object SuffixSpans {
                     windowLen: Int, maxChars: Int): DataFrame = {
     require(windowLen >= 2 && (windowLen & (windowLen - 1)) == 0,
       s"windowLen must be a power of two, got $windowLen")
-    require(maxChars >= windowLen && maxChars < PosEnc,
-      s"maxChars must be in [$windowLen, $PosEnc), got $maxChars")
+    // maxChars + windowLen ≤ PosEnc, not just maxChars < PosEnc: the
+    // doubling path forms rank pairs at pid − off for offsets up to
+    // windowLen/2, and the pid encoding doc_id·PosEnc + i only stays
+    // injective across documents when i + off can never wrap past
+    // PosEnc — otherwise an early position of doc D aliases a valid
+    // position of doc D−1 and cross-document rank pairs corrupt spans
+    // (ADVICE r18 item 1; previously unenforced headroom).
+    require(maxChars >= windowLen && maxChars <= PosEnc - windowLen,
+      s"maxChars must be in [$windowLen, ${PosEnc - windowLen}], got $maxChars")
     // a new call releases the previous doubling call's stranded frame
     SuffixSpans.synchronized {
       if (prevCall != null) { prevCall.unpersist(blocking = false); prevCall = null }

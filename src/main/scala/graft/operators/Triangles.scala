@@ -22,8 +22,33 @@ import org.apache.spark.sql.functions._
   *
   * All joins are hash equi-joins on node keys; counts are exact longs;
   * the only double is the final clustering-coefficient division.
+  *
+  * Wedge-pipeline shape (round 19): the O(m^{3/2}) wedge frame is by
+  * far the widest intermediate — at sf0.1 the closing join's exchange
+  * alone shuffled 1.3 GB of wedge rows (bench diag) while the EDGE
+  * frame is a few MB. When the edge frame is small enough to broadcast
+  * (measured by an exact count against an env-overridable bound, not a
+  * planner estimate), both the wedge-generating self-join and the
+  * closing join take the edge side as a broadcast hash relation: the
+  * wedge frame is then generated, probed and partially aggregated
+  * inside ONE codegen pipeline over the cached edge partitions — it
+  * never serializes into a shuffle at all (guide §3.1: broadcast the
+  * side that fits; §2.3: the heavy intermediate is the thing to keep
+  * off the wire). Above the bound the original shuffle plan runs
+  * unchanged — the wedge work is intrinsic either way, the gate only
+  * decides where the wedge rows live. Identical results by
+  * construction: join strategy never changes join semantics.
   */
 object Triangles {
+
+  /** Edge-count bound under which the oriented/closing edge frames are
+    * broadcast (≈48 B/row in the built hash relation ⇒ the default 4 M
+    * edges is ~200 MB — guide §3.1's "a few hundred MB is fine" with
+    * margin). Production knob: SPARK_GRAFT_TRI_BCAST_MAX_EDGES.
+    */
+  private[graft] def defaultBcastMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_TRI_BCAST_MAX_EDGES").map(_.toLong)
+      .getOrElse(4000000L)
 
   /** One-row graph summary over undirected edges `(aCol, bCol)` (each
     * unordered pair present once, endpoints distinct): node/edge/wedge/
@@ -36,9 +61,13 @@ object Triangles {
     * representation) would silently miss triangles whose closing edge
     * arrived as (b, a) with a < b.
     */
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+                    bcastMaxEdges: Long = defaultBcastMaxEdges): DataFrame = {
     val e = edges.select(least(col(aCol), col(bCol)).as("x"),
       greatest(col(aCol), col(bCol)).as("y"))
+    // exact broadcast gate: one count over the (typically cached) edge
+    // frame decides whether the wedge pipeline can stay shuffle-free
+    val small = e.count() <= bcastMaxEdges
     val deg = e.select(col("x").as("n"))
       .unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -53,7 +82,7 @@ object Triangles {
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
         col("y")).otherwise(col("x")).as("v"))
     val e1 = oriented.alias("e1")
-    val e2 = oriented.alias("e2")
+    val e2 = (if (small) broadcast(oriented) else oriented).alias("e2")
     // wedge (u; v, w) with v < w BY ID — the closing edge is then looked
     // up at its canonical (least, greatest) representation, which is how
     // `edges` stores pairs
@@ -61,7 +90,8 @@ object Triangles {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(least(col("e1.v"), col("e2.v")).as("x"),
         greatest(col("e1.v"), col("e2.v")).as("y"))
-    val tri = wedges.join(e, Seq("x", "y"), "left_semi")
+    val tri = wedges.join(if (small) broadcast(e) else e,
+        Seq("x", "y"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     // open+closed wedge total Σ d(d−1)/2 — exact (d·(d−1) is even)
     val wedgeTotal = deg.agg(
@@ -87,9 +117,11 @@ object Triangles {
     * (left join), lcc = 0 — absence of closure is signal for
     * recommender/community work, not a missing row.
     */
-  def localTriangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def localTriangleStats(edges: DataFrame, aCol: String, bCol: String,
+                         bcastMaxEdges: Long = defaultBcastMaxEdges): DataFrame = {
     val e = edges.select(least(col(aCol), col(bCol)).as("x"),
       greatest(col(aCol), col(bCol)).as("y"))
+    val small = e.count() <= bcastMaxEdges
     val deg = e.select(col("x").as("n"))
       .unionByName(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -102,7 +134,7 @@ object Triangles {
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
         col("y")).otherwise(col("x")).as("v"))
     val e1 = oriented.alias("e1")
-    val e2 = oriented.alias("e2")
+    val e2 = (if (small) broadcast(oriented) else oriented).alias("e2")
     // wedge (u; v, w) with v < w by id — its closing edge is canonical
     // (v, w), so an INNER join (vs triangleStats' semi join) yields each
     // triangle's full corner set exactly once
@@ -111,7 +143,7 @@ object Triangles {
       .select(col("e1.u").as("u"),
         least(col("e1.v"), col("e2.v")).as("x"),
         greatest(col("e1.v"), col("e2.v")).as("y"))
-      .join(e, Seq("x", "y"))
+      .join(if (small) broadcast(e) else e, Seq("x", "y"))
     // ONE evaluation of the wedge-close join: exploding the corner array
     // credits all three vertices in a single pass — a union of three
     // projections of `triples` re-runs the O(m^1.5) join subtree three

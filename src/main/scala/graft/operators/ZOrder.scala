@@ -114,10 +114,17 @@ object ZOrder {
     coded
       .repartitionByRange(col("h"))
       .write.mode("overwrite").partitionBy("hblock").parquet(path)
-    // one evaluation: the zone map comes from the files just written
-    // (partition-dir inference reads hblock back as int — re-widen)
-    df.sparkSession.read.parquet(path)
-      .groupBy(col("hblock").cast("long").as("hblock"))
+    // Zone map from the SAME `coded` frame the write materialized (its
+    // rows ARE the written rows — mode("overwrite") + the write
+    // completing means file content ≡ coded), instead of reading the
+    // freshly written table back: the read-back paid a 2^(2qBits −
+    // blockShift)-directory listing + partition-schema inference + a
+    // tiny-file scan per block dir (guide §6 small-files tax, measured
+    // the dominant non-commit cost of q230) to recompute aggregates of
+    // rows we already hold the plan for. One more pass over the input
+    // scan is strictly cheaper than a thousand-directory read-back.
+    coded
+      .groupBy(col("hblock"))
       .agg(count(lit(1)).as("n_rows"),
         min("bx").as("min_x"), max("bx").as("max_x"),
         min("by").as("min_y"), max("by").as("max_y"))
