@@ -4037,23 +4037,51 @@ object Queries {
     // operators/IterParts), not the session core count: every round
     // runs that many tasks over the cache, so a core-count cache made
     // the whole tier sequential-fixed-cost-bound at fixture scale.
+    val nParts = graft.operators.IterParts.forRows(e0, 2L * e0.count(), 32)
     val withDeg = edges.join(deg, "src")
-      .repartition(
-        graft.operators.IterParts.forRows(e0, 2L * e0.count(), 32),
-        col("src"))
+      .repartition(nParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE the first round compiles its plan:
+    // an unmaterialized cached AdaptiveSparkPlan reports unknown output
+    // partitioning, so the first job would re-exchange the O(edges)
+    // frame at the session default instead of reusing the cache layout
+    // (observed on the r19 round-plan dumps); one warm count — a local
+    // read pass the first round pays anyway — keeps every round's join
+    // on the cached partitioning
+    withDeg.count()
     val base = lit(15L * PrScale / 100L)
-    var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
-    for (r <- 1 to rounds) {
-      // `div` (integer division on int64) — NOT `/`, which routes longs
-      // through double and can misround once 85·p crosses 2^53
-      val next = withDeg.join(ranks.hint("shuffle_hash"),
-          withDeg("src") === ranks("i"))
+    // the rank side is explicitly repartitioned to the CACHE's layout
+    // before each join: a rank frame that arrives with some other
+    // partitioning (the initial deg projection, or a fused first
+    // round's agg output at the session default) would otherwise
+    // "satisfy" the join on its side and make EnsureRequirements
+    // re-exchange the O(edges) cache instead — observed on the r19
+    // round-plan dumps; the O(nodes) rank exchange is the per-round
+    // design, the O(edges) one is what the cache exists to remove
+    def round(rk: DataFrame): DataFrame = {
+      val co = rk.repartition(nParts, col("i"))
+      withDeg.join(co.hint("shuffle_hash"), withDeg("src") === co("i"))
         .select(col("dst"), expr("(85 * p) div (100 * d)").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-      if (r == 2) graft.RoundPlanDump.dump("pagerank_round2", next)
-      ranks = next.leanCheckpoint()
+    }
+    // `div` (integer division on int64) — NOT `/`, which routes longs
+    // through double and can misround once 85·p crosses 2^53.
+    // TWO rounds per checkpoint job (round 19, §1.2 job-count
+    // discipline): the round body references the previous rank frame
+    // exactly ONCE, so chaining a second round grows the per-job plan
+    // linearly with zero recompute — same arithmetic, same exact
+    // integer results, half the sequential job latency of the loop.
+    // (Bodies that reference their input ≥2× must NOT be fused this
+    // way — the SCC trim unroll measured that blowup.)
+    var ranks = deg.select(col("src").as("i"), lit(PrScale).as("p"))
+    var r = 1
+    while (r <= rounds) {
+      val one = round(ranks)
+      val fused = if (r + 1 <= rounds) round(one) else one
+      if (r >= 2) graft.RoundPlanDump.dump("pagerank_round2", fused)
+      ranks = fused.leanCheckpoint()
+      r += (if (r + 1 <= rounds) 2 else 1)
     }
     withDeg.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))
@@ -5707,21 +5735,33 @@ object Queries {
     // see pagerankRounds) + rank-side hash build: rounds never exchange
     // or sort the O(edges) frame and per-round task count follows the
     // graph, not the session core count
+    val nParts = graft.operators.IterParts.forRows(e0, 2L * e0.count(), 40)
     val withW = edges.join(wsum, "src")
-      .repartition(
-        graft.operators.IterParts.forRows(e0, 2L * e0.count(), 40),
-        col("src"))
+      .repartition(nParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // warm the cache so round 1 already reuses its partitioning (see
+    // pagerankRounds)
+    withW.count()
     val base = lit(15L * PrScale / 100L)
-    var ranks = wsum.select(col("src").as("i"), lit(PrScale).as("p"))
-    for (r <- 1 to rounds) {
-      val next = withW.join(ranks.hint("shuffle_hash"),
-          withW("src") === ranks("i"))
+    // rank side co-partitioned to the cache's layout before each join
+    // (see pagerankRounds — keeps EnsureRequirements off the cache)
+    def round(rk: DataFrame): DataFrame = {
+      val co = rk.repartition(nParts, col("i"))
+      withW.join(co.hint("shuffle_hash"), withW("src") === co("i"))
         .select(col("dst"), expr("w * ((85 * p) div (100 * tw))").as("contrib"))
         .groupBy(col("dst").as("i"))
         .agg((base + sum(col("contrib"))).as("p"))
-      if (r == 2) graft.RoundPlanDump.dump("pagerank_weighted_round2", next)
-      ranks = next.leanCheckpoint()
+    }
+    // two rounds per checkpoint job — single-reference round body, so
+    // fusion is recompute-free (see pagerankRounds)
+    var ranks = wsum.select(col("src").as("i"), lit(PrScale).as("p"))
+    var r = 1
+    while (r <= rounds) {
+      val one = round(ranks)
+      val fused = if (r + 1 <= rounds) round(one) else one
+      if (r >= 2) graft.RoundPlanDump.dump("pagerank_weighted_round2", fused)
+      ranks = fused.leanCheckpoint()
+      r += (if (r + 1 <= rounds) 2 else 1)
     }
     withW.unpersist()
     ranks.select(col("i").as("item"), col("p").as("rank_score"))

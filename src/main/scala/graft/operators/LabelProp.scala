@@ -45,27 +45,44 @@ object LabelProp {
     // core count — per-round tasks over the cache follow the data.
     val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nParts = IterParts.forRows(e0, 2L * e0.count(), 32)
     val undirected = e0
       .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(IterParts.forRows(e0, 2L * e0.count(), 32), col("v"))
+      .repartition(nParts, col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // warm the cache so round 1 already reuses its partitioning (an
+    // unmaterialized cached AdaptiveSparkPlan reports unknown output
+    // partitioning — the first join would re-exchange O(edges))
+    undirected.count()
     var labels = undirected.select(col("u").as("n"))
       .distinct()
       .withColumn("lbl", col("n"))
       .leanCheckpoint()
-    for (r <- 1 to rounds) {
-      val next = undirected
-        .join(labels.withColumnRenamed("n", "v").hint("shuffle_hash"),
-          Seq("v"))
-        .groupBy(col("u").as("n"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        // argmax by (count DESC, label ASC) as one struct-max: largest
-        // cnt wins; within it the largest -lbl = the SMALLEST label
-        .groupBy("n")
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("n"), (-col("m.neg")).as("lbl"))
-      if (r == 2) graft.RoundPlanDump.dump("labelprop_round2", next)
-      labels = next.leanCheckpoint()
+    // label side co-partitioned to the cache's layout before each join
+    // (the pagerankRounds discipline — a label frame arriving with the
+    // session-default partitioning would make EnsureRequirements
+    // re-exchange the O(edges) cache instead)
+    def round(lb: DataFrame): DataFrame = undirected
+      .join(lb.withColumnRenamed("n", "v")
+        .repartition(nParts, col("v")).hint("shuffle_hash"), Seq("v"))
+      .groupBy(col("u").as("n"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      // argmax by (count DESC, label ASC) as one struct-max: largest
+      // cnt wins; within it the largest -lbl = the SMALLEST label
+      .groupBy("n")
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("n"), (-col("m.neg")).as("lbl"))
+    // two rounds per checkpoint job — the round body references the
+    // previous label frame exactly once, so the fusion is recompute-
+    // free (the pagerankRounds §1.2 discipline); identical labels,
+    // half the loop's sequential job latency
+    var r = 1
+    while (r <= rounds) {
+      val one = round(labels)
+      val fused = if (r + 1 <= rounds) round(one) else one
+      if (r >= 2) graft.RoundPlanDump.dump("labelprop_round2", fused)
+      labels = fused.leanCheckpoint()
+      r += (if (r + 1 <= rounds) 2 else 1)
     }
     // the final labels frame is a checkpointed leaf — it no longer
     // references the cached edge frames, so the caches can drop now
